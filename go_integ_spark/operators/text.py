@@ -1,0 +1,211 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, fingerprinting.
+
+All hot-path logic is built-in Spark SQL functions (JVM codegen, no
+Python UDFs): these operators run at full scan speed and scale
+linearly — language ID on 100 TB of documents is embarrassingly
+parallel with zero shuffles (pure projection).
+
+Each heuristic is deliberately expressible in ANSI SQL so the DuckDB
+oracle runs the *same* logic — the correctness gate checks the
+implementation, not the linguistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_integ_spark.registry import register
+from go_integ_spark.tables import load_table
+
+# Marker stopwords per language, checked as padded substrings.
+# Priority order breaks ties deterministically.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "and", "of"]),
+    ("fr", ["le", "la", "et", "les"]),
+    ("es", ["el", "los", "que", "y"]),
+    ("de", ["der", "die", "und", "das"]),
+    ("zh", ["的", "是", "了"]),
+]
+
+
+def _occurrences(padded: Column, word: str) -> Column:
+    """Count non-overlapping occurrences of ``' word '`` in a
+    space-padded text. length-delta / pattern-length: identical
+    left-to-right non-overlapping semantics in Spark and DuckDB.
+    """
+    pat = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / len(pat)
+
+
+def _occurrences_sql(padded: str, word: str) -> str:
+    pat = f" {word} "
+    return f"(length({padded}) - length(replace({padded}, ' {word} ', ''))) / {len(pat)}"
+
+
+def _lang_score_sql(lang: str) -> str:
+    terms = " + ".join(_occurrences_sql("p", w) for w in LANG_MARKERS_DICT[lang])
+    return f"({terms})"
+
+
+LANG_MARKERS_DICT = dict(LANG_MARKERS)
+
+
+@register(
+    "text_lang_id",
+    tags=("text", "langid"),
+    oracle="""
+WITH scored AS (
+    SELECT doc_id,
+           {scores}
+    FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+)
+SELECT doc_id,
+       CASE
+         WHEN score_en = 0 AND score_fr = 0 AND score_es = 0
+              AND score_de = 0 AND score_zh = 0 THEN 'und'
+         WHEN score_en >= score_fr AND score_en >= score_es
+              AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+         WHEN score_fr >= score_es AND score_fr >= score_de
+              AND score_fr >= score_zh THEN 'fr'
+         WHEN score_es >= score_de AND score_es >= score_zh THEN 'es'
+         WHEN score_de >= score_zh THEN 'de'
+         ELSE 'zh'
+       END AS pred_lang
+FROM scored
+""".format(
+        scores=",\n           ".join(
+            f"{'(' + ' + '.join(_occurrences_sql('p', w) for w in ws) + ')'} AS score_{lang}"
+            for lang, ws in LANG_MARKERS
+        )
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-count language ID. Pure projection — no
+    shuffle, no UDF; a single codegen'd stage over the scan.
+    Deterministic priority-ordered argmax (en > fr > es > de > zh on
+    ties; 'und' when no marker hits).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    scored = docs.select(
+        "doc_id",
+        *[
+            sum(_occurrences(padded, w) for w in ws).alias(f"score_{lang}")
+            for lang, ws in LANG_MARKERS
+        ],
+    )
+    all_zero = None
+    for lang, _ in LANG_MARKERS:
+        c = F.col(f"score_{lang}") == 0
+        all_zero = c if all_zero is None else (all_zero & c)
+    pred = F.when(all_zero, F.lit("und"))
+    langs = [lang for lang, _ in LANG_MARKERS]
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return scored.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "text_quality_score",
+    tags=("text", "quality"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+       round(length(regexp_replace(text, '[^a-z]', '', 'g'))
+             / greatest(len(regexp_extract_all(text, '[a-z]+')), 1), 4) AS avg_word_len,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+              + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3)
+             / greatest(len(regexp_extract_all(text, '[a-z]+')), 1), 4) AS stopword_ratio,
+       (len(regexp_extract_all(text, '[a-z]+')) BETWEEN 10 AND 1000
+        AND length(regexp_replace(text, '[^a-z]', '', 'g'))
+            / greatest(len(regexp_extract_all(text, '[a-z]+')), 1) BETWEEN 2 AND 12)
+           AS quality_ok
+FROM documents
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: word count, mean word length, punctuation
+    ratio, stopword ratio, boolean gate. All length/regexp projections
+    — scan-bound at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)).cast("bigint")
+    n_words_safe = F.greatest(n_words, F.lit(1))
+    alpha_len = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    punct_len = F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", ""))
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    stop_hits = _occurrences(padded, "the") + _occurrences(padded, "a")
+    avg_word_len = alpha_len / n_words_safe
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(avg_word_len, 4).alias("avg_word_len"),
+        F.round(punct_len / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(stop_hits / n_words_safe, 4).alias("stopword_ratio"),
+        (n_words.between(10, 1000) & avg_word_len.between(2, 12)).alias("quality_ok"),
+    )
+
+
+@register(
+    "text_token_count",
+    tags=("text", "tokenize"),
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)  AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+           AS n_bpe_ish_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex
+    (letter runs | digit runs | single non-alnum). regexp_extract_all
+    is JVM-side; the patterns avoid engine-specific regex features so
+    Spark (Java regex) and DuckDB (RE2) agree.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+        .cast("bigint")
+        .alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+        .cast("bigint")
+        .alias("n_bpe_ish_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("text", "fingerprint"),
+    oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercased
+    text — the exact-dedup key for documents whose only difference is
+    spacing/casing. (The shingle-based near-dup fingerprints live in
+    operators/dedup.py.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
