@@ -1,0 +1,72 @@
+"""Non-HTTP sources (reference S12: FsStream/DbStream/GeneralStream
+are declared-but-unimplemented stubs — sourcedef.go:91-101,
+proto.go:338-339 "fs runner not implemented").
+
+In a Spark-native engine these are *first-class*, not stubs: a file
+or JDBC stream is a declarative spec resolved straight to
+``spark.read`` — distributed scans, pushdown and partition pruning
+come from the format readers. Included for surface parity and used
+by the connector test-suite as a local-source fixture.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_integ_spark.schema.stream import StreamSchema
+
+
+@dataclass
+class FileStream:
+    """format: parquet | json (jsonl) | csv | orc | text."""
+
+    schema: StreamSchema
+    path: str
+    format: str = "parquet"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format(self.format).options(**self.options)
+        if self.format in ("json", "csv"):
+            reader = reader.schema(self.schema.struct)
+        df = reader.load(self.path)
+        return df.select(*[f.name for f in self.schema.struct.fields])
+
+    def incremental_dataframe(
+        self, spark: SparkSession, state: dict | None, state_key: str = "To"
+    ) -> tuple[DataFrame, dict]:
+        """Cursor-filtered batch read over a file source: the
+        reference's P3 predicate, pushed into the file scan by
+        Catalyst instead of an HTTP query param. Returns the filtered
+        frame and the new state (cursor high-water mark).
+        """
+        cursor = self.schema.cursor_field()
+        if cursor is None:
+            raise ValueError(f"stream {self.schema.name!r} has no cursor field")
+        df = self.dataframe(spark)
+        if state and state.get(state_key) is not None:
+            df = df.filter(F.col(cursor) > F.lit(state[state_key]))
+        row = df.agg(F.max(cursor).alias("hi")).collect()[0]
+        hi = row["hi"]
+        new_state = {state_key: hi if hi is not None else (state or {}).get(state_key)}
+        return df, new_state
+
+
+@dataclass
+class JdbcStream:
+    schema: StreamSchema
+    url: str
+    table: str
+    options: dict[str, str] = field(default_factory=dict)
+
+    def dataframe(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", self.table)
+            .options(**self.options)
+            .load()
+        )

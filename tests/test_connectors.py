@@ -1,0 +1,245 @@
+"""Connector-layer tests: all five pagination styles against the stub
+server, auth, retry, projection pushdown, cursor incremental state,
+lifecycle commands, envelope parsing, protocol golden shapes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import json
+
+import pytest
+
+from go_integ_spark.engine.envelope import parse_envelope
+from go_integ_spark.engine.lifecycle import Engine
+from go_integ_spark.examples.connectors import klaviyo, pokeapi, shopify, sitoo, storm
+from go_integ_spark.protocols.airbyte import AirbyteWriter
+from go_integ_spark.protocols.singer import SingerWriter
+from go_integ_spark.sources.http import Retryer, urllib_transport
+from go_integ_spark.sources.source import utc_now
+from tests.stub_server import StubServer
+
+FIXED_CLOCK = lambda: dt.datetime(2022, 4, 7, 12, 0, 0, tzinfo=dt.timezone.utc)  # noqa: E731
+
+
+@pytest.fixture(scope="module")
+def server():
+    with StubServer() as s:
+        yield s
+
+
+def read_all(stream, config, state=None, clock=utc_now):
+    pages, new_state = stream.read(config, state, clock=clock)
+    return [r for p in pages for r in p], new_state
+
+
+# --- pagination styles S2-S6 ---------------------------------------------
+def test_next_url_pagination(server):
+    rows, _ = read_all(pokeapi.streams[0], {"url": server.base})
+    assert rows == server.data["pokemon"]  # 25 rows over 3 pages
+
+
+def test_link_header_pagination_with_auth_cursor_projection(server):
+    stream = shopify.stream("users")
+    config = {"url": server.base, "api_key": "sekret"}
+    rows, new_state = read_all(stream, config, clock=FIXED_CLOCK)
+    # cursor window [now-10y, now] covers all fixture rows
+    assert len(rows) == len(server.data["users"])
+    # projection pushdown: server only returned schema fields
+    assert set(rows[0]) == set(stream.schema.field_keys())
+    # new state = window end, RFC3339 (shopify.go:60,67-72)
+    assert new_state == {"To": "2022-04-07T12:00:00+0000"}
+
+
+def test_cursor_state_filters_server_side(server):
+    stream = shopify.stream("users")
+    config = {"url": server.base, "api_key": "sekret"}
+    state = {"To": "2022-03-15T00:00:00+00:00"}
+    rows, _ = read_all(stream, config, state=state, clock=FIXED_CLOCK)
+    expected = [u for u in server.data["users"] if u["updated_at"] >= state["To"]]
+    assert len(rows) == len(expected)
+
+
+def test_auth_failure_surfaces(server):
+    stream = shopify.stream("users")
+    config = {"url": server.base, "api_key": "wrong"}
+    with pytest.raises(Exception, match="401"):
+        read_all(stream, config, clock=FIXED_CLOCK)
+
+
+def test_marker_pagination(server):
+    rows, _ = read_all(
+        klaviyo.streams[0], {"url": server.base, "api_key": "klav-key"}
+    )
+    assert rows == server.data["members"]  # 30 rows over 4 pages
+
+
+def test_odata_pagination(server):
+    rows, _ = read_all(
+        storm.stream("orders"), {"url": server.base, "user": "u", "password": "p"}
+    )
+    assert rows == server.data["storm_orders"]
+
+
+def test_offset_limit_short_page_termination(server):
+    rows, _ = read_all(
+        sitoo.stream("users"), {"url": server.base, "user": "u", "password": "p"}
+    )
+    assert rows == server.data["sitoo_users"]  # 23 rows: 10+10+3
+
+
+# --- retry (S10) ----------------------------------------------------------
+def test_retry_429_backoff(server):
+    from go_integ_spark.sources.http import HttpRequest, PageFetcher, NextUrlPaginator
+
+    sleeps = []
+    fetcher = PageFetcher(
+        transport=urllib_transport(),
+        paginator=NextUrlPaginator(),
+        record_path="results",
+        retryer=Retryer(max_attempts=4, sleep=sleeps.append),
+    )
+    pages = list(fetcher.pages(HttpRequest(url=f"{server.base}/flaky")))
+    assert pages == [[{"name": "ok", "url": "u"}]]
+    assert len(sleeps) == 2  # two 429s, Retry-After: 0 honored
+
+
+def test_retry_gives_up():
+    from go_integ_spark.sources.http import HttpRequest, HttpResponse, Retryer, HttpStatusError
+
+    calls = []
+
+    def always_503(req):
+        calls.append(req)
+        return HttpResponse(status=503, headers={}, body=b"{}")
+
+    r = Retryer(max_attempts=3, sleep=lambda s: None)
+    with pytest.raises(HttpStatusError):
+        r.execute(always_503, HttpRequest(url="http://x/y"))
+    assert len(calls) == 3
+
+
+# --- lifecycle (R1-R3) ----------------------------------------------------
+def test_spec(server):
+    spec = Engine().spec(shopify)
+    assert spec["supportsIncremental"] is True
+    assert spec["connectionSpecification"]["required"] == ["url", "api_key"]
+
+
+def test_check_ok_and_fail(server):
+    eng = Engine(clock=FIXED_CLOCK)
+    ok, reason = eng.check(pokeapi, {"url": server.base})
+    assert ok and reason is None
+    ok, reason = eng.check(shopify, {"url": server.base, "api_key": "bad"})
+    assert not ok and "401" in reason
+
+
+def test_discover_catalog(server):
+    cat = Engine().discover(shopify)
+    entry = cat.to_airbyte()["streams"][0]
+    assert entry["name"] == "users"
+    assert entry["supported_sync_modes"] == ["full_refresh", "incremental"]
+    assert entry["default_cursor_field"] == ["updated_at"]
+    assert entry["source_defined_primary_key"] == [["id"]]
+    assert entry["json_schema"]["properties"]["id"] == {"type": "integer"}
+
+
+# --- read + protocols (K2/K3, T2 timing semantics) ------------------------
+def test_read_airbyte_merged_state_at_close(server):
+    eng = Engine(clock=FIXED_CLOCK)
+    buf = io.StringIO()
+    writer = AirbyteWriter(buf, clock=FIXED_CLOCK)
+    res = eng.read(
+        shopify,
+        {"url": server.base, "api_key": "sekret"},
+        states={},
+        writer=writer,
+    )
+    lines = [json.loads(x) for x in buf.getvalue().splitlines()]
+    types = [x["type"] for x in lines]
+    # records for both streams, exactly ONE merged STATE, at the end
+    assert types.count("STATE") == 1 and types[-1] == "STATE"
+    state = lines[-1]["state"]
+    assert set(state) == {"users", "orders"}
+    assert state["users"] == {"To": "2022-04-07T12:00:00+0000"}
+    rec = next(x for x in lines if x["type"] == "RECORD")
+    assert set(rec["record"]) == {"stream", "emitted_at", "data"}
+    assert rec["record"]["emitted_at"] == int(FIXED_CLOCK().timestamp() * 1000)
+    assert res.counts["users"] == len(server.data["users"])
+
+
+def test_read_singer_inline_state_and_schema_first(server):
+    eng = Engine(clock=FIXED_CLOCK)
+    buf = io.StringIO()
+    writer = SingerWriter(buf, clock=FIXED_CLOCK)
+    eng.read(
+        shopify,
+        {"url": server.base, "api_key": "sekret"},
+        states={},
+        writer=writer,
+        selected={"users"},
+    )
+    lines = [json.loads(x) for x in buf.getvalue().splitlines()]
+    assert lines[0]["type"] == "SCHEMA"
+    assert lines[0]["key_properties"] == ["id"]
+    # inline STATE per stream (not merged)
+    states = [x for x in lines if x["type"] == "STATE"]
+    assert states and states[0]["stream"] == "users"
+    rec = next(x for x in lines if x["type"] == "RECORD")
+    assert {"stream", "time_extracted", "record"} <= set(rec)
+
+
+def test_read_per_stream_error_capture(server):
+    eng = Engine(clock=FIXED_CLOCK)
+    buf = io.StringIO()
+    writer = AirbyteWriter(buf, clock=FIXED_CLOCK)
+    res = eng.read(
+        shopify, {"url": server.base, "api_key": "bad"}, states={}, writer=writer
+    )
+    assert set(res.errors) == {"users", "orders"}  # captured, not raised (R5)
+    logs = [
+        json.loads(x) for x in buf.getvalue().splitlines() if '"LOG"' in x
+    ]
+    assert logs and "401" in json.dumps(logs)
+
+
+# --- envelope parsing (proto.go:44-108) -----------------------------------
+def test_envelope_parse_and_global_state_fanout():
+    lines = [
+        '{"type":"SETTINGS","settings":{"format":"singer"}}',
+        '{"type":"CONFIG","config":{"url":"http://x","api_key":"k"}}',
+        '{"type":"STATE","state":{"":{"To":"2022-04-07T12:39:06+00:00"}}}',
+    ]
+    run = parse_envelope(lines, ["users", "orders"])
+    assert run.format == "singer"
+    assert run.config["url"] == "http://x"
+    # global state fanned out to every stream (proto.go:90-101)
+    assert run.states["users"] == run.states["orders"] == {"To": "2022-04-07T12:39:06+00:00"}
+
+
+def test_envelope_per_stream_state_and_catalog_selection():
+    lines = [
+        '{"type":"STATE","state":{"users":{"To":"2022-01-01"}}}',
+        '{"type":"CATALOG","catalog":{"streams":[{"stream":{"name":"users"}}]}}',
+    ]
+    run = parse_envelope(lines, ["users", "orders"])
+    assert run.states == {"users": {"To": "2022-01-01"}}
+    assert run.selected_streams == {"users"}
+
+
+def test_handle_command_dispatch(server):
+    eng = Engine(clock=FIXED_CLOCK)
+    run = parse_envelope(
+        ['{"type":"CONFIG","config":{"url":"%s"}}' % server.base], ["pokemon"]
+    )
+    out = eng.handle_to_string(pokeapi, "spec", run)
+    msg = json.loads(out)
+    assert msg["type"] == "SPEC"
+    out = eng.handle_to_string(pokeapi, "check", run)
+    assert json.loads(out)["connection_status"]["status"] == "SUCCEEDED"
+    out = eng.handle_to_string(pokeapi, "discover", run)
+    assert json.loads(out)["type"] == "CATALOG"
+    out = eng.handle_to_string(pokeapi, "read", run)
+    recs = [json.loads(x) for x in out.splitlines() if '"RECORD"' in x]
+    assert len(recs) == len(server.data["pokemon"])
