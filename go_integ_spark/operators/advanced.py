@@ -1,0 +1,228 @@
+"""Advanced operators: as-of join (Spark has no native one),
+exact percentiles, keep-latest PK dedup (CDC emulation), winnowing
+fingerprints, and the connector-layer incremental read wired into the
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_integ_spark.registry import register
+from go_integ_spark.tables import load_table
+
+
+def asof_join_union_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+) -> DataFrame:
+    """Generic as-of join via union + prefix-max window.
+
+    Spark lacks a native as-of join (pyspark guide: bucketize or
+    merge_asof per group). The union-window formulation is the
+    scale-correct shape: ONE shuffle on the key, no per-key pandas,
+    no range explosion — each left row picks up the running maximum
+    right-side timestamp at its sort position. State per partition is
+    O(1); works unchanged at 100 TB.
+    """
+    lt = left.select(key, ts, F.lit(1).alias("kind"), F.col(ts).alias("orig_ts"))
+    rt = right.select(key, ts, F.lit(0).alias("kind"), F.col(ts).alias("orig_ts"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = lt.unionByName(rt)
+    running = F.max(
+        F.when(F.col("kind") == 0, F.unix_micros(F.col(ts)))
+    ).over(w)
+    return tagged.withColumn("asof_us", running).filter(F.col("kind") == 1)
+
+
+@register(
+    "asof_join_purchase_click",
+    tags=("join", "asof", "window"),
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, 0 AS kind FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, event_id, 1 AS kind FROM events WHERE event_type = 'purchase'
+), w AS (
+    SELECT user_id, ts, event_id, kind,
+           max(CASE WHEN kind = 0 THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS click_us
+    FROM tagged
+)
+SELECT event_id, user_id, ts, CAST(click_us AS BIGINT) AS asof_click_us
+FROM w WHERE kind = 1
+""",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at
+    or before it (NULL if none). See asof_join_union_window for the
+    scale rationale; here inlined so the window order (ts, kind,
+    event_id) is total for cross-engine determinism.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.max(F.when(F.col("kind") == 0, F.unix_micros(F.col("ts")))).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("click_us", running)
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("click_us").cast("bigint").alias("asof_click_us"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). Exact percentile holds all group values
+    — fine per small group count; the 100 TB path with high-
+    cardinality groups is ``percentile_approx`` (t-digest, mergeable
+    map-side), which trades the oracle for bounded memory.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "dedup_keep_latest",
+    tags=("dedup", "cdc", "window"),
+    oracle="""
+SELECT user_id, event_id, ts, round(value, 4) AS value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+) = 1
+""",
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK keep-latest (CDC/SCD compaction): one row per key, newest
+    wins. The MERGE-emulation pattern from the guide (anti-join +
+    union + window) collapses to a single row_number when the full
+    history is present. One shuffle on the key; at 100 TB feed this
+    from a PK-bucketed table so even that shuffle disappears.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "connector_file_incremental_read",
+    tags=("connector", "incremental", "pushdown"),
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+""",
+)
+def connector_file_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's connector path inside the correctness gate: a
+    FileStream (S12) with a cursor (P3) reads events incrementally
+    from a state document — the same StreamSchema/state machinery the
+    HTTP connectors use, with the cursor predicate pushed into the
+    parquet scan by Catalyst instead of into a query string.
+    """
+    import datetime as dt
+
+    from go_integ_spark.schema.stream import StreamSchema
+    from go_integ_spark.sources.files import FileStream
+
+    fs = FileStream(
+        schema=StreamSchema.from_ddl(
+            "events",
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        ).iterated_by("ts"),
+        path=f"{sf_dir}/events.parquet",
+    )
+    state = {"To": dt.datetime(2024, 1, 20)}
+    # NB: uses the engine's incremental read; we only take the frame
+    # (the driver's comparator has no notion of the advanced state).
+    df, _new_state = fs.incremental_dataframe(spark, state)
+    return df.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS):
+    rolling k-gram hashes, minimum per sliding window of ``window``
+    hashes -> (doc_id, fingerprint) rows.
+
+    Entirely JVM-side: char k-grams via transform+sequence, hash via
+    xxhash64, window-min via transform+slice+array_min. Linear per
+    document, no shuffle until the final distinct.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
+        f" i -> xxhash64(substring(text, i, {k})))"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(hashes) - {window - 1}, 0)),"
+        f" i -> array_min(slice(hashes, i, {window})))"
+    )
+    return (
+        docs.select("doc_id", grams.alias("hashes"))
+        .filter(F.size("hashes") >= window)
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    )
+
+
+@register("text_winnow_fingerprint", tags=("text", "fingerprint", "dedup"), oracle=None)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per document (fingerprint count +
+    min fingerprint). xxhash64-based, so rows-only for the driver;
+    near-dup detection equivalence with Jaccard is pinned in
+    tests/test_dedup.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fingerprint"),
+    )

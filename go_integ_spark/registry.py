@@ -51,6 +51,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules so their registrations run."""
     from go_integ_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         events,
         multimodal,

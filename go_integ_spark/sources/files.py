@@ -29,11 +29,26 @@ class FileStream:
     options: dict[str, str] = field(default_factory=dict)
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql.types import LongType, TimestampType
+
         reader = spark.read.format(self.format).options(**self.options)
         if self.format in ("json", "csv"):
             reader = reader.schema(self.schema.struct)
         df = reader.load(self.path)
-        return df.select(*[f.name for f in self.schema.struct.fields])
+        cols = []
+        for f in self.schema.struct.fields:
+            actual = df.schema[f.name].dataType if f.name in df.columns else None
+            if isinstance(f.dataType, TimestampType) and isinstance(actual, LongType):
+                # TIMESTAMP(NANOS) parquet read as long under
+                # nanosAsLong — coerce to the declared micros timestamp.
+                cols.append(
+                    F.timestamp_micros(F.expr(f"{f.name} div 1000").cast("long")).alias(
+                        f.name
+                    )
+                )
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
 
     def incremental_dataframe(
         self, spark: SparkSession, state: dict | None, state_key: str = "To"
