@@ -74,46 +74,76 @@ WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 
 
 def word_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) — distinct word k-grams per document.
+    """(doc_id, sid) — distinct word k-grams per document, as 64-bit
+    xxhash64 shingle IDs.
 
-    The shingle string join uses an ASCII unit separator so word
-    boundaries stay unambiguous. transform+sequence is JVM-side; the
-    explode happens once and feeds every dedup variant.
+    Hashing at the source keeps every downstream shuffle/join key 8
+    bytes instead of a string — at 100 TB the shingle exchange is the
+    dominant data movement, so this is a ~10× shuffle-volume cut.
+    transform+sequence is JVM-side; the explode happens once and
+    feeds every dedup variant.
     """
     words = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.concat_ws(SEP, *[F.element_at(words, i + j + 1) for j in range(k)]),
+        lambda i: F.xxhash64(
+            F.concat_ws(SEP, *[F.element_at(words, i + j + 1) for j in range(k)])
+        ),
     )
     return (
-        docs.filter(F.size(words) >= k)
-        .select("doc_id", F.explode(grams).alias("shingle"))
+        _spread(docs)
+        .filter(F.size(words) >= k)
+        .select("doc_id", F.explode(grams).alias("sid"))
         .distinct()
     )
 
 
-def exact_jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, k: int = SHINGLE_K
-) -> DataFrame:
-    """Exact all-pairs Jaccard >= threshold via shingle self-join.
-
-    Quadratic worst case — the oracle/verification path. The join is
-    hash-partitioned on the shingle, so common shingles (the skew
-    risk) are spread across tasks by AQE skew-join splitting.
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition the corpus across the cluster before CPU-heavy
+    per-document work. Input partitioning follows file layout — a
+    handful of large files would otherwise serialize shingling onto a
+    few tasks. Partitioning by doc_id also pre-aligns the downstream
+    per-doc aggregations (distinct / signature groupBy reuse it).
     """
-    sh = word_shingles(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id")
+
+
+def _pairs_from_sorted_array(arr_col: str) -> "F.Column":
+    """All ordered pairs (a < b) from a sorted array column, generated
+    JVM-side: flatten(transform x transform). Replaces a self-join —
+    one shuffle (the groupBy building the array) instead of two join
+    shuffles, and pair enumeration never crosses a partition.
+    """
+    return F.flatten(
+        F.expr(
+            f"transform({arr_col}, (x, i) -> "
+            f"transform(slice({arr_col}, i + 2, size({arr_col}) - i - 1), "
+            f"y -> struct(x as a, y as b)))"
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+def cooccurrence_counts(sh: DataFrame, max_bucket: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, c): number of shared shingles per doc pair.
+
+    Bucket-and-enumerate: group by shingle, emit each bucket's pairs,
+    count per pair. A shingle shared by k docs costs k^2/2 pair rows
+    — ``max_bucket`` drops degenerate boilerplate buckets at extreme
+    scale (logged trade-off; None = exact).
+    """
+    buckets = sh.groupBy("sid").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    buckets = buckets.filter(F.size("ds") >= 2)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    return (
+        buckets.select(F.explode(_pairs_from_sorted_array("ds")).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _jaccard_from_counts(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
@@ -125,15 +155,30 @@ def exact_jaccard_pairs(
     )
 
 
+def exact_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, k: int = SHINGLE_K
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold.
+
+    Quadratic in bucket sizes in the worst case — the oracle/
+    verification path; the scale path is LSH (dedup_minhash_lsh),
+    which bounds candidate generation.
+    """
+    sh = word_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = cooccurrence_counts(sh)
+    return _jaccard_from_counts(inter, sizes, threshold)
+
+
 def minhash_signatures(shingles: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """One row per doc with columns h0..h{n-1}: min over
-    xxhash64(perm_id, shingle). A single aggregation — the 64 mins
-    are computed in the partial (map-side) aggregate, so the shuffle
+    xxhash64(perm_id, sid). A single aggregation — the 64 mins are
+    computed in the partial (map-side) aggregate, so the shuffle
     carries one row per doc, not per shingle.
     """
     return shingles.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("sid"))).alias(f"h{i}")
             for i in range(num_perm)
         ]
     )
@@ -149,35 +194,24 @@ def lsh_candidate_pairs(
     docs sharing (band, bucket). ``max_bucket`` drops degenerate
     boilerplate buckets (precision/recall trade at extreme scale).
     """
-    band_structs = F.array(
+    band_hashes = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                ).alias("bucket"),
-            )
+            # fold band id into the bucket hash; (band, bucket) key
+            # collapses to one 64-bit column
+            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
             for b in range(bands)
         ]
     )
-    buckets = signatures.select(
-        "doc_id", F.explode(band_structs).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = signatures.select("doc_id", F.explode(band_hashes).alias("bucket"))
+    grouped = buckets.groupBy("bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    grouped = grouped.filter(F.size("ds") >= 2)
     if max_bucket is not None:
-        counts = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("bn"))
-        buckets = buckets.join(
-            counts.filter(F.col("bn") <= max_bucket), ["band", "bucket"], "left_semi"
-        )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+        grouped = grouped.filter(F.size("ds") <= max_bucket)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(_pairs_from_sorted_array("ds")).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -236,27 +270,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sigs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Verification is candidate-bounded: shingle sets are gathered per
+    # doc once (8-byte sids), and the intersection is an array_intersect
+    # over the candidate pairs only — no all-pairs work anywhere.
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_list("sid").alias("sids"))
+    a = doc_sets.alias("a")
+    b = doc_sets.alias("b")
     inter = (
         cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(
-            b,
-            (F.col("b.doc_id") == F.col("doc_b"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("a.sids"), F.col("b.sids"))).alias("c"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return _jaccard_from_counts(inter, sizes, JACCARD_THRESHOLD)
 
 
 @register("dedup_simhash", tags=("dedup", "simhash"), oracle=None)
@@ -275,7 +304,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Jaccard ground truth.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.filter(F.length("text") > 0).select(
+    words = _spread(docs.filter(F.length("text") > 0)).select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
     )
     h = F.xxhash64(F.col("word"))
