@@ -1,29 +1,35 @@
 """Deduplication operators for large-scale training-data pipelines:
 
-- exact dedup          hash group-by on content          (1 shuffle)
-- n-gram Jaccard       shingle explode + self-join        (exact)
+- exact dedup          hash group-by on content           (1 shuffle)
+- n-gram Jaccard       shingle buckets + pair enumeration (exact)
 - MinHash + LSH        signature -> banded bucket join    (approx
                        candidates, exact verification)
 - SimHash              64-bit sketch + pigeonhole chunks  (hamming)
 
 Scale design (the part that matters at 100 TB):
 
-- Shingling explodes each doc into k-gram rows; everything downstream
-  is hash-partitioned on the shingle/bucket key, so the work is
-  distributed and no single task ever sees the full corpus.
-- The exact-Jaccard self-join is quadratic in the worst case; it is
-  kept as the *oracle path*. The scale path is MinHash/LSH: signature
-  computation is one aggregation (64 mins computed map-side), banding
-  emits b rows per doc, and the candidate join only touches docs that
-  collide in a band bucket — linear-ish in corpus size for realistic
-  near-dup densities. Candidates are then verified with exact Jaccard
-  so precision is 1.0 and (at the thresholds used) recall is ~1.0,
-  which is what makes the DuckDB oracle applicable to the LSH query.
+- Per-document shingle sets are computed ROW-LOCALLY
+  (``array_distinct`` over a JVM ``transform``), so building them
+  costs zero shuffles; only bucket aggregation and pair counting ever
+  exchange data. Shingles travel as 64-bit xxhash64 IDs (8-byte
+  shuffle keys, not strings).
+- MinHash signatures are also row-local: ``array_min(transform(...))``
+  per permutation — no per-shingle aggregation shuffle at all. The
+  only LSH shuffles are the band-bucket groupBy and the verification
+  join-back.
+- Pair generation is bucket-and-enumerate: group rows by bucket key,
+  enumerate each bucket's pairs JVM-side — one shuffle, versus two
+  for the classic self-join; pair enumeration never crosses a
+  partition boundary.
+- The exact-Jaccard path is quadratic in bucket sizes in the worst
+  case; it is the *oracle path*. The scale path is MinHash/LSH: only
+  band-colliding pairs reach verification — linear-ish in corpus size
+  for realistic near-dup densities, with precision 1.0 (exact
+  verification) and recall ~1.0 at the thresholds used, which is what
+  makes the DuckDB oracle applicable to the LSH query.
 - Mega-buckets (boilerplate shingles shared by millions of docs) are
-  the classic LSH skew bomb; AQE skew-join handles moderate skew and
-  ``lsh_candidate_pairs`` exposes a ``max_bucket`` guard that drops
-  degenerate buckets (documented precision/recall trade, logged not
-  silent).
+  the classic LSH skew bomb; ``max_bucket`` drops degenerate buckets
+  (documented precision/recall trade, logged not silent).
 
 All hashing is xxhash64 (JVM built-in, seeded per permutation via a
 leading literal column) — no Python in any hot path.
@@ -73,15 +79,25 @@ WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
 """
 
 
-def word_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, sid) — distinct word k-grams per document, as 64-bit
-    xxhash64 shingle IDs.
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition the corpus across the cluster before CPU-heavy
+    per-document work. Input partitioning follows file layout — a
+    handful of large files would otherwise serialize shingling onto a
+    few tasks.
+    """
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id")
 
-    Hashing at the source keeps every downstream shuffle/join key 8
-    bytes instead of a string — at 100 TB the shingle exchange is the
-    dominant data movement, so this is a ~10× shuffle-volume cut.
-    transform+sequence is JVM-side; the explode happens once and
-    feeds every dedup variant.
+
+def doc_shingle_sets(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sids, n) — the distinct word-k-gram set of each doc as
+    an array of 64-bit xxhash64 shingle IDs, plus its size.
+
+    Entirely row-local (split -> transform -> array_distinct): zero
+    shuffles to build, which is the core scale property — the classic
+    explode+distinct formulation shuffles the whole shingled corpus
+    once before any real work starts. Per-doc ``array_distinct`` is
+    equivalent to a global distinct on (doc_id, shingle).
     """
     words = F.split(F.col("text"), " ")
     grams = F.transform(
@@ -93,20 +109,19 @@ def word_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return (
         _spread(docs)
         .filter(F.size(words) >= k)
-        .select("doc_id", F.explode(grams).alias("sid"))
-        .distinct()
+        .select("doc_id", F.array_distinct(grams).alias("sids"))
+        .withColumn("n", F.size("sids"))
     )
 
 
-def _spread(docs: DataFrame) -> DataFrame:
-    """Repartition the corpus across the cluster before CPU-heavy
-    per-document work. Input partitioning follows file layout — a
-    handful of large files would otherwise serialize shingling onto a
-    few tasks. Partitioning by doc_id also pre-aligns the downstream
-    per-doc aggregations (distinct / signature groupBy reuse it).
+def word_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, n, sid) — exploded distinct shingle IDs (one row per
+    doc x shingle), with the doc's set size carried alongside so
+    downstream pair counting never needs a separate sizes join.
     """
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(n, "doc_id")
+    return doc_shingle_sets(docs, k).select(
+        "doc_id", "n", F.explode("sids").alias("sid")
+    )
 
 
 def _pairs_from_sorted_array(arr_col: str) -> "F.Column":
@@ -125,32 +140,38 @@ def _pairs_from_sorted_array(arr_col: str) -> "F.Column":
 
 
 def cooccurrence_counts(sh: DataFrame, max_bucket: int | None = None) -> DataFrame:
-    """(doc_a, doc_b, c): number of shared shingles per doc pair.
+    """(doc_a, n_a, doc_b, n_b, c): shared-shingle count per doc pair.
 
     Bucket-and-enumerate: group by shingle, emit each bucket's pairs,
-    count per pair. A shingle shared by k docs costs k^2/2 pair rows
-    — ``max_bucket`` drops degenerate boilerplate buckets at extreme
-    scale (logged trade-off; None = exact).
+    count per pair. Set sizes ride along inside the bucket structs
+    (functionally dependent on doc_id), so the Jaccard denominator
+    needs no extra join. A shingle shared by k docs costs k^2/2 pair
+    rows — ``max_bucket`` drops degenerate boilerplate buckets at
+    extreme scale (logged trade-off; None = exact).
     """
-    buckets = sh.groupBy("sid").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    buckets = sh.groupBy("sid").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
+    )
     buckets = buckets.filter(F.size("ds") >= 2)
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ds") <= max_bucket)
     return (
         buckets.select(F.explode(_pairs_from_sorted_array("ds")).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
 
 
-def _jaccard_from_counts(inter: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+def _jaccard_select(pairs: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b, jaccard) from rows carrying c / n_a / n_b."""
+    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= threshold)
+        pairs.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -164,23 +185,25 @@ def exact_jaccard_pairs(
     verification path; the scale path is LSH (dedup_minhash_lsh),
     which bounds candidate generation.
     """
-    sh = word_shingles(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = cooccurrence_counts(sh)
-    return _jaccard_from_counts(inter, sizes, threshold)
+    return _jaccard_select(cooccurrence_counts(word_shingles(docs, k)), threshold)
 
 
-def minhash_signatures(shingles: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """One row per doc with columns h0..h{n-1}: min over
-    xxhash64(perm_id, sid). A single aggregation — the 64 mins are
-    computed in the partial (map-side) aggregate, so the shuffle
-    carries one row per doc, not per shingle.
+def minhash_signatures(doc_sets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sids, n, h0..h{n-1}): min over xxhash64(perm_id, sid),
+    computed ROW-LOCALLY from the shingle-set array — zero shuffles.
+    Each permutation is one JVM array traversal; nothing exchanges
+    until LSH banding groups by bucket.
     """
-    return shingles.groupBy("doc_id").agg(
+    return doc_sets.select(
+        "doc_id",
+        "sids",
+        "n",
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("sid"))).alias(f"h{i}")
+            F.array_min(
+                F.transform(F.col("sids"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+            ).alias(f"h{i}")
             for i in range(num_perm)
-        ]
+        ],
     )
 
 
@@ -190,9 +213,10 @@ def lsh_candidate_pairs(
     rows: int = LSH_ROWS,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Banded LSH: hash each band of the signature to a bucket, join
-    docs sharing (band, bucket). ``max_bucket`` drops degenerate
-    boilerplate buckets (precision/recall trade at extreme scale).
+    """Banded LSH: hash each band of the signature to a bucket, pair
+    up docs sharing a bucket (bucket-and-enumerate, one shuffle).
+    ``max_bucket`` drops degenerate boilerplate buckets (precision/
+    recall trade at extreme scale).
     """
     band_hashes = F.array(
         *[
@@ -259,33 +283,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16x4) candidates, verified with exact Jaccard.
 
-    The scale path: only band-colliding pairs reach the verification
-    join. Precision is exact (verification); recall at j>=0.85 is
+    The scale path: signatures are row-local (no shuffle), only
+    band-colliding pairs reach the verification join, and verification
+    is an ``array_intersect`` over the two 8-byte shingle-ID arrays.
+    Precision is exact (verification); recall at j>=0.85 is
     1 - (1 - j^4)^16 ~ 0.999992, which is why this query shares the
     exact-Jaccard oracle. tests/test_dedup.py asserts LSH == exact on
     the test corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(docs)
-    sigs = minhash_signatures(sh)
-    cand = lsh_candidate_pairs(sigs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # Verification is candidate-bounded: shingle sets are gathered per
-    # doc once (8-byte sids), and the intersection is an array_intersect
-    # over the candidate pairs only — no all-pairs work anywhere.
-    doc_sets = sh.groupBy("doc_id").agg(F.collect_list("sid").alias("sids"))
+    doc_sets = doc_shingle_sets(docs).persist()
+    cand = lsh_candidate_pairs(minhash_signatures(doc_sets))
     a = doc_sets.alias("a")
     b = doc_sets.alias("b")
-    inter = (
+    pairs = (
         cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
         .join(b, F.col("b.doc_id") == F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             F.size(F.array_intersect(F.col("a.sids"), F.col("b.sids"))).alias("c"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
     )
-    return _jaccard_from_counts(inter, sizes, JACCARD_THRESHOLD)
+    return _jaccard_select(pairs, JACCARD_THRESHOLD)
 
 
 @register("dedup_simhash", tags=("dedup", "simhash"), oracle=None)
@@ -293,74 +315,64 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) near-dup pairs with hamming distance <= 6.
 
     Sketch: per doc, bit j of the simhash is the sign of
-    sum over distinct words of (bit j of xxhash64(word) ? +1 : -1).
-    Pair generation uses the pigeonhole principle: split 64 bits into
-    4 chunks of 16; any pair with hamming <= 6 shares at least one
-    exact chunk (6 < 4 chunks would need >= 1 clean chunk only when
-    hamming <= 3 per strict pigeonhole; with <= 6 we use 8 chunks of
-    8 bits). Chunk-equality is an equi-join — distributable — then
-    exact hamming verifies. No SQL oracle (xxhash64 is Spark-
-    specific); correctness is pinned by tests/test_dedup.py against
-    the Jaccard ground truth.
+    sum over distinct words of (bit j of xxhash64(word) ? +1 : -1) —
+    computed ROW-LOCALLY (hash array + 64 JVM filter passes + a
+    bit-fold), so sketching costs zero shuffles. Pair generation uses
+    the pigeonhole principle: 8 chunks of 8 bits — any pair with
+    hamming <= 7 shares at least one exact chunk. Chunk buckets are
+    grouped and enumerated (one shuffle), then exact hamming verifies.
+    No SQL oracle (xxhash64 is Spark-specific); correctness is pinned
+    by tests/test_dedup.py against the Jaccard ground truth.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = _spread(docs.filter(F.length("text") > 0)).select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word")
+    hs = F.transform(
+        F.array_distinct(F.split(F.col("text"), " ")), lambda w: F.xxhash64(w)
     )
-    h = F.xxhash64(F.col("word"))
-    # sum of +-1 per bit, then sign -> bit
-    sums = words.groupBy("doc_id").agg(
+    with_h = _spread(docs.filter(F.length("text") > 0)).select(
+        "doc_id", hs.alias("hs")
+    )
+    # bit j set iff strictly more set than unset bits among word hashes
+    bit_j = lambda j: (  # noqa: E731
+        F.size(
+            F.filter(
+                F.col("hs"),
+                lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        * 2
+        > F.size("hs")
+    )
+    # 1L << 63 wraps to Long.MIN_VALUE, so the sign bit needs no special case
+    simhash_col = None
+    for j in range(64):
+        term = F.when(bit_j(j), F.expr(f"shiftleft(1L, {j})")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash_col = term if simhash_col is None else simhash_col.bitwiseOR(term)
+    sim = with_h.select("doc_id", simhash_col.alias("simhash"))
+    # 8 chunks of 8 bits: hamming <= 7 guarantees one equal chunk.
+    chunk_keys = F.array(
         *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(64)
+            F.xxhash64(
+                F.lit(c),
+                F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255)),
+            )
+            for c in range(8)
         ]
     )
-    bit_terms = [
-        F.when(
-            F.col(f"b{j}") > 0,
-            # bit 63 is the sign bit in a Java long
-            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for j in range(64)
-    ]
-    sim = sums.select(
-        "doc_id",
-        sum(bit_terms[1:], bit_terms[0]).alias("simhash"),
+    buckets = (
+        sim.select(F.struct("doc_id", "simhash").alias("d"), F.explode(chunk_keys).alias("ck"))
+        .groupBy("ck")
+        .agg(F.sort_array(F.collect_list("d")).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    # 8 chunks of 8 bits: hamming <= 7 guarantees one equal chunk.
-    chunks = sim.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * 8)
-                        .bitwiseAND(F.lit(255))
-                        .alias("chunk"),
-                    )
-                    for c in range(8)
-                ]
-            )
-        ).alias("cc"),
-    ).select("doc_id", "simhash", F.col("cc.chunk_id").alias("chunk_id"), F.col("cc.chunk").alias("chunk"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        buckets.select(F.explode(_pairs_from_sorted_array("ds")).alias("p"))
         .filter(hamming <= 6)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
         .distinct()
