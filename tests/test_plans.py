@@ -1,0 +1,100 @@
+"""Plan-shape assertions: the scale properties the row-level oracle
+can't see. Each test pins a physical-plan guarantee an operator
+relies on at 100 TB — if a refactor silently breaks pushdown, drops a
+broadcast, or adds a shuffle, these fail before any cluster does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_integ_spark.plans import (
+    count_op,
+    executed_plan,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from go_integ_spark.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _df(registry, spark, name):
+    return registry[name].fn(spark, SF_DIR)
+
+
+def test_q1_filter_and_pruning_reach_scan(registry, spark):
+    df = _df(registry, spark, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # 7 needed columns, not the full 11-column lineitem schema
+    (schema,) = read_schemas(df)
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    # map-side partial aggregation before the exchange
+    assert "partial_sum" in executed_plan(df)
+
+
+def test_q6_all_predicates_pushed(registry, spark):
+    df = _df(registry, spark, "q6_forecast_revenue")
+    fs = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in fs, f"{col} not pushed to scan"
+
+
+def test_q5_broadcasts_fixed_dims(registry, spark):
+    df = _df(registry, spark, "q5_local_supplier_volume")
+    assert count_op(df, "BroadcastHashJoin") >= 2  # nation + region
+
+
+def test_q7_nation_filter_cuts_before_fact_join(registry, spark):
+    df = _df(registry, spark, "q7_volume_shipping")
+    assert count_op(df, "BroadcastHashJoin") >= 2
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_topk_uses_sort_limit_not_global_sort(registry, spark):
+    df = _df(registry, spark, "sort_limit_top_lineitems")
+    assert "TakeOrderedAndProject" in executed_plan(df)
+    assert count_op(df, "Exchange rangepartitioning") == 0
+
+
+def test_semi_anti_joins_planned_as_such(registry, spark):
+    semi = _df(registry, spark, "join_semi_customers_with_orders")
+    anti = _df(registry, spark, "join_anti_customers_without_orders")
+    assert "LeftSemi" in executed_plan(semi)
+    assert "LeftAnti" in executed_plan(anti)
+
+
+def test_q22_scalar_subquery_broadcasts(registry, spark):
+    df = _df(registry, spark, "q22_idle_customers")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_shingle_sets_single_shuffle(registry, spark):
+    """Shingle-set construction must stay row-local: exactly one
+    exchange (the deliberate corpus _spread), nothing per-shingle."""
+    from go_integ_spark.operators.dedup import doc_shingle_sets
+    from go_integ_spark.tables import load_table
+
+    df = doc_shingle_sets(load_table(spark, SF_DIR, "documents"))
+    assert shuffle_count(df) == 1
+
+
+def test_exact_dedup_partial_aggregates(registry, spark):
+    df = _df(registry, spark, "dedup_exact")
+    assert "partial_" in executed_plan(df)
+
+
+def test_incremental_cursor_pushdown(registry, spark):
+    """The incremental read's cursor predicate must reach the scan —
+    this is the Spark analogue of the reference's cursor-window
+    pushdown (shopify.go:46-53)."""
+    df = _df(registry, spark, "incremental_cursor_read")
+    assert pushed_filters(df), "cursor predicate not pushed to scan"
