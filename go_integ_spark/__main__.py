@@ -41,6 +41,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--state")
     ap.add_argument("--catalog")
     ap.add_argument("--format", default="airbyte")
+    ap.add_argument("--out", help="output file (default stdout)")
+    ap.add_argument(
+        "--compression",
+        default="none",
+        choices=["none", "gzip", "zstd"],
+        help="compress the NDJSON output (reference: zstd server "
+        "responses, proto.go:196-204)",
+    )
     args = ap.parse_args(argv)
 
     mod_name, _, attr = args.source.partition(":")
@@ -66,7 +74,19 @@ def main(argv: list[str] | None = None) -> int:
                 names.add(inner["name"])
         run.selected_streams = names or None
 
-    Engine().handle(source, args.cmd, run, sys.stdout)
+    if args.out or args.compression != "none":
+        from go_integ_spark.engine.compress import wrap_output
+
+        raw = open(args.out, "wb") if args.out else sys.stdout.buffer
+        out = wrap_output(raw, args.compression)
+        try:
+            Engine().handle(source, args.cmd, run, out)
+        finally:
+            out.close()
+            if args.out:
+                raw.close()
+    else:
+        Engine().handle(source, args.cmd, run, sys.stdout)
     return 0
 
 
