@@ -1,0 +1,63 @@
+"""Destination modes (T3) and PK merge (T5): append/overwrite,
+partitioned layout, merge-upsert keeping the max-cursor row per
+primary key across batches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from go_integ_spark.schema.stream import StreamSchema
+from go_integ_spark.sinks import latest_per_key, merge_upsert, write_table
+
+USERS = StreamSchema.from_ddl(
+    "users", "id long, name string, updated_at string", incremental=True
+).primary("id").iterated_by("updated_at")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, schema=USERS.struct)
+
+
+def test_append_and_overwrite(spark, tmp_path):
+    p = str(tmp_path / "t")
+    write_table(_df(spark, [(1, "a", "t1")]), p, mode="append")
+    write_table(_df(spark, [(2, "b", "t1")]), p, mode="append")
+    assert spark.read.parquet(p).count() == 2
+    write_table(_df(spark, [(3, "c", "t2")]), p, mode="overwrite")
+    assert [r["id"] for r in spark.read.parquet(p).collect()] == [3]
+
+
+def test_partitioned_layout_prunes(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", "t1"), (2, "b", "t2")])
+    write_table(df, p, mode="overwrite", partition_by=["updated_at"])
+    back = spark.read.parquet(p).filter(F.col("updated_at") == "t2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan  # pruning, not a data filter
+    assert back.count() == 1
+
+
+def test_latest_per_key_keeps_max_cursor(spark):
+    df = _df(
+        spark,
+        [(1, "old", "t1"), (1, "new", "t9"), (2, "only", "t5")],
+    )
+    got = {r["id"]: r["name"] for r in latest_per_key(df, ["id"], "updated_at").collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_merge_upsert_across_batches(spark, tmp_path):
+    p = str(tmp_path / "users")
+    merge_upsert(spark, _df(spark, [(1, "a", "t1"), (2, "b", "t1")]), p, USERS)
+    merge_upsert(spark, _df(spark, [(2, "b2", "t2"), (3, "c", "t2")]), p, USERS)
+    back = {r["id"]: (r["name"], r["updated_at"]) for r in spark.read.parquet(p).collect()}
+    assert back == {1: ("a", "t1"), 2: ("b2", "t2"), 3: ("c", "t2")}
+
+
+def test_merge_requires_pk(spark, tmp_path):
+    nopk = StreamSchema.from_ddl("x", "id long, v string")
+    with pytest.raises(ValueError):
+        merge_upsert(spark, _df(spark, []), str(tmp_path / "x"), nopk)
