@@ -226,3 +226,71 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fingerprint").alias("min_fingerprint"),
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo: str,
+    hi: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Point-in-interval join as an equi-join on time bins.
+
+    Spark plans a bare ``p.ts BETWEEN i.lo AND i.hi`` join as a
+    BroadcastNestedLoopJoin — quadratic, and a non-starter at scale.
+    Binning restores hash semantics: each interval is exploded to the
+    ``width/bin`` bins it overlaps, each point maps to exactly ONE
+    bin, the join is a plain shuffled equi-join on the bin id, and
+    the exact predicate filters inside the matched bin. Because a
+    point lives in one bin, no pair can match twice — no dedup pass.
+    ``bin_seconds`` should be ~ the typical interval width: wider
+    bins mean fewer interval copies but more false candidates.
+
+    Returns interval rows joined with matching point rows; callers
+    aggregate. Left-outer on the bin join keeps empty intervals.
+    """
+    p_bin = (F.unix_micros(F.col(point_ts)) / F.lit(bin_seconds * 1_000_000)).cast(
+        "long"
+    )
+    lo_bin = (F.unix_micros(F.col(lo)) / F.lit(bin_seconds * 1_000_000)).cast("long")
+    hi_bin = (F.unix_micros(F.col(hi)) / F.lit(bin_seconds * 1_000_000)).cast("long")
+    iv = intervals.withColumn("bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    pt = points.withColumn("bin", p_bin)
+    in_range = (F.col(point_ts) >= F.col(lo)) & (F.col(point_ts) <= F.col(hi))
+    return iv.join(pt, on="bin", how="left").withColumn(
+        "matched", F.when(in_range, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+@register(
+    "range_join_error_clicks",
+    tags=("join", "range", "interval"),
+    oracle="""
+SELECT e.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'click') c
+  ON c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+GROUP BY e.event_id
+""",
+)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unkeyed interval join: clicks within the 10 minutes before
+    each error, counted per error. See range_join_binned — the plan
+    is a hash equi-join on 10-minute bins (2 bins per interval), not
+    a nested loop; tests/test_plans.py pins that.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("lo"),
+        F.col("ts").alias("hi"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    joined = range_join_binned(clicks, errors, "cts", "lo", "hi", bin_seconds=600)
+    return joined.groupBy("event_id").agg(
+        F.sum("matched").cast("bigint").alias("n_clicks")
+    )

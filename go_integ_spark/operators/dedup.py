@@ -290,6 +290,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(docs)
 
 
+# The LSH query reuses doc_sets three times (signatures + both sides
+# of the verification join), so it persists it — but a returned-lazy
+# DataFrame can't unpersist after its own action. Holding exactly one
+# live handle (unpersisting the previous call's) bounds cache to one
+# corpus' shingle sets instead of leaking one per invocation in a
+# long-lived session.
+_doc_sets_cache: DataFrame | None = None
+
+
+def _cached_doc_sets(docs: DataFrame) -> DataFrame:
+    global _doc_sets_cache
+    if _doc_sets_cache is not None:
+        _doc_sets_cache.unpersist()
+    _doc_sets_cache = doc_shingle_sets(docs).persist()
+    return _doc_sets_cache
+
+
 @register("dedup_minhash_lsh", tags=("dedup", "lsh"), oracle=_JACCARD_ORACLE, bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16x4) candidates, verified with exact Jaccard.
@@ -303,7 +320,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the test corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    doc_sets = doc_shingle_sets(docs).persist()
+    doc_sets = _cached_doc_sets(docs)
     cand = lsh_candidate_pairs(minhash_signatures(doc_sets))
     a = doc_sets.alias("a")
     b = doc_sets.alias("b")

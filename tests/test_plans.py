@@ -83,6 +83,9 @@ def test_shingle_sets_single_shuffle(registry, spark):
     from go_integ_spark.operators.dedup import doc_shingle_sets
     from go_integ_spark.tables import load_table
 
+    # cold plan: a cached doc_sets from an earlier LSH run would be
+    # substituted here and its debug string double-counts exchanges
+    spark.catalog.clearCache()
     df = doc_shingle_sets(load_table(spark, SF_DIR, "documents"))
     assert shuffle_count(df) == 1
 
@@ -98,3 +101,12 @@ def test_incremental_cursor_pushdown(registry, spark):
     pushdown (shopify.go:46-53)."""
     df = _df(registry, spark, "incremental_cursor_read")
     assert pushed_filters(df), "cursor predicate not pushed to scan"
+
+
+def test_range_join_is_hash_not_nested_loop(registry, spark):
+    """The binned interval join must plan as an equi-join; the bare
+    BETWEEN formulation would be a BroadcastNestedLoopJoin."""
+    df = _df(registry, spark, "range_join_error_clicks")
+    plan = executed_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
