@@ -61,3 +61,32 @@ def parse_envelope(lines: IO[str] | list[str], stream_names: list[str]) -> RunIn
                 if names:
                     out.selected_streams = names
     return out
+
+
+class MaskedStr(str):
+    """Secret config value: behaves as the real string in code, but
+    serializes masked — a length-preserving ``x`` repeat (reference
+    MaskedString, utils.go:12-24).
+    """
+
+    def masked(self) -> str:
+        return "x" * len(self)
+
+
+def mask_config(config: dict, json_schema: dict | None = None) -> dict:
+    """Copy of ``config`` safe to echo in logs/spec output: values
+    are masked when they are ``MaskedStr`` or when the source's
+    config JSON-Schema marks the property secret (``writeOnly`` per
+    JSON-Schema, or the Airbyte ``airbyte_secret`` convention).
+    """
+    props = (json_schema or {}).get("properties", {})
+
+    def _mask(k: str, v):
+        if isinstance(v, MaskedStr):
+            return v.masked()
+        meta = props.get(k, {})
+        if isinstance(v, str) and (meta.get("writeOnly") or meta.get("airbyte_secret")):
+            return "x" * len(v)
+        return v
+
+    return {k: _mask(k, v) for k, v in config.items()}

@@ -582,3 +582,88 @@ def sort_limit_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice"), 2).alias("extendedprice"),
         )
     )
+
+
+@register(
+    "window_order_gaps",
+    tags=("window", "lag"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(epoch_us(o_orderdate)
+            - epoch_us(lag(o_orderdate) OVER w) AS BIGINT) AS gap_us,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wr AS BIGINT)
+           / count(*) OVER wr / 100.0 AS avg_price_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wr AS (PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag + a 30-day RANGE frame per customer: inter-order gap and a
+    trailing 30-day average order value. One shuffle on o_custkey
+    shared by both window specs (same partitioning + ordering);
+    range frames need the same sort the lag already paid for.
+    NB: DuckDB RANGE frames reject a tie-broken ORDER BY, so the
+    frame's window orders by o_orderdate alone — o_orderdate is
+    unique per customer in this data, making (o_orderdate,
+    o_orderkey) and (o_orderdate) the same order; the lag keeps the
+    explicit total order.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    # parquet surfaces o_orderdate as TIMESTAMP_NTZ; unix_micros wants
+    # TIMESTAMP — identical instants under the UTC session timezone
+    ts = F.col("o_orderdate").cast("timestamp")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # range frame over event-time: order by epoch micros, 30-day span
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_micros(ts))
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w)))
+        .cast("bigint")
+        .alias("gap_us"),
+        # integer cents: exact window sums, so the trailing average is
+        # bit-identical across engines (a float avg rounds .xx5
+        # boundaries differently per summation order)
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(wr)
+            / F.count(F.lit(1)).over(wr)
+            / 100.0
+        ).alias("avg_price_30d"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    tags=("agg", "groupingsets"),
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: per-status totals, per-priority totals, and the
+    grand total in ONE pass over orders (Expand + single aggregation
+    — not three scans unioned).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "total", "n")
+    )

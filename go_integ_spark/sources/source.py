@@ -88,13 +88,40 @@ class Projection:
     """Column-projection pushdown into the HTTP query (reference P1:
     ``fields=`` shopify.go:52 / klaviyo.go:33 / sitoo.go:51, OData
     ``$select=`` storm.go:47; field list from schema.go:72-74).
+
+    With ``expand_param`` set (P2, storm.go:49-55): struct-typed
+    fields are requested as server-side expansions —
+    ``$expand=Name($select=sub1,sub2)`` — and excluded from the flat
+    field list, mirroring the reference's JSON-Schema-object walk.
     """
 
     param: str = "fields"
     joiner: str = ","
+    expand_param: str | None = None
 
     def params(self, fields: list[str]) -> dict[str, str]:
         return {self.param: self.joiner.join(fields)}
+
+    def params_for(self, struct, fields: list[str]) -> dict[str, str]:
+        if self.expand_param is None:
+            return self.params(fields)
+        from pyspark.sql.types import StructType
+
+        nested = {
+            f.name: f.dataType
+            for f in struct.fields
+            if isinstance(f.dataType, StructType)
+        }
+        flat = [f for f in fields if f not in nested]
+        out = {self.param: self.joiner.join(flat)}
+        expansions = [
+            f"{name}($select={','.join(sorted(dt.fieldNames()))})"
+            for name, dt in sorted(nested.items())
+            if name in fields
+        ]
+        if expansions:
+            out[self.expand_param] = ",".join(expansions)
+        return out
 
 
 # (config, state, projected_fields) -> (pages iterator, new_state)
@@ -136,7 +163,7 @@ class HttpStream:
         if hasattr(paginator, "first_params"):
             params.update(paginator.first_params())
         if self.projection is not None:
-            params.update(self.projection.params(projected))
+            params.update(self.projection.params_for(self.schema.struct, projected))
         new_state: dict | None = None
         if self.cursor is not None:
             params.update(self.cursor.params(state, clock))

@@ -84,6 +84,13 @@ def make_fixtures(base: str) -> dict:
     def storm_route(q, h):
         skip = int(q.get("skip", ["0"])[0])
         page = storm_orders[skip : skip + 6]
+        # OData $expand: attach the nested object only when requested
+        # (mirrors storm.go:49-55 server-side denormalization)
+        if "Customer($select=Id,Name)" in q.get("$expand", [""])[0]:
+            page = [
+                {**r, "Customer": {"Id": r["Id"] * 10, "Name": f"cust{r['Id']}"}}
+                for r in page
+            ]
         body = {"value": page}
         if skip + 6 < len(storm_orders):
             body["@odata.nextLink"] = f"{base}/Orders?skip={skip + 6}"

@@ -243,3 +243,29 @@ def test_handle_command_dispatch(server):
     out = eng.handle_to_string(pokeapi, "read", run)
     recs = [json.loads(x) for x in out.splitlines() if '"RECORD"' in x]
     assert len(recs) == len(server.data["pokemon"])
+
+
+def test_nested_expand_projection(server):
+    """P2 (storm.go:49-55): struct-typed fields become $expand=
+    Name($select=...) and leave the flat $select list; the server
+    returns the nested object which lands as a nested dict."""
+    from go_integ_spark.examples.connectors import _storm_auth
+    from go_integ_spark.sources.http import ODataPaginator
+    from go_integ_spark.sources.source import HttpStream, Projection
+    from go_integ_spark.schema.stream import StreamSchema
+
+    stream = HttpStream(
+        schema=StreamSchema.from_ddl(
+            "orders_expanded",
+            "Id long, OrderNo double, Customer struct<Id:long,Name:string>",
+        ),
+        path="/Orders",
+        record_path="value",
+        paginator=ODataPaginator,
+        projection=Projection(param="$select", expand_param="$expand"),
+        auth=_storm_auth,
+    )
+    rows, _ = read_all(stream, {"url": server.base, "user": "u", "password": "p"})
+    assert len(rows) == 15
+    assert rows[0]["Customer"] == {"Id": 0, "Name": "cust0"}
+    assert rows[3]["Customer"]["Id"] == 30

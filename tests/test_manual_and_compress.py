@@ -82,3 +82,27 @@ def test_zstd_gated_clearly():
         out.write("x\n")
         out.close()
         assert read_compressed(io.BytesIO(raw.getvalue()), "zstd").read() == "x\n"
+
+
+# --- F1: secret masking (reference MaskedString, utils.go:12-24) ----------
+def test_masked_str_and_config_masking():
+    import json
+
+    from go_integ_spark.engine.envelope import MaskedStr, mask_config
+
+    s = MaskedStr("hunter22")
+    assert s == "hunter22"  # usable as the real value in code
+    assert s.masked() == "x" * 8  # len-preserving, like the reference
+    schema = {
+        "properties": {
+            "api_key": {"type": "string", "airbyte_secret": True},
+            "token": {"type": "string", "writeOnly": True},
+            "url": {"type": "string"},
+        }
+    }
+    cfg = {"api_key": "secret99", "token": "t0k3n", "url": "https://x", "n": 3}
+    safe = mask_config(cfg, schema)
+    assert safe == {"api_key": "xxxxxxxx", "token": "xxxxx", "url": "https://x", "n": 3}
+    # MaskedStr masks regardless of schema
+    assert mask_config({"p": MaskedStr("abc")})["p"] == "xxx"
+    assert "secret99" not in json.dumps(safe)
