@@ -181,15 +181,22 @@ def _jaccard_select(pairs: DataFrame, threshold: float) -> DataFrame:
 
 
 def exact_jaccard_pairs(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, k: int = SHINGLE_K
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    k: int = SHINGLE_K,
+    doc_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard >= threshold.
 
     Quadratic in bucket sizes in the worst case — the oracle/
     verification path; the scale path is LSH (dedup_minhash_lsh),
-    which bounds candidate generation.
+    which bounds candidate generation. ``doc_sets`` lets callers
+    supply a precomputed/cached shingle-set frame (must match ``k``).
     """
-    return _jaccard_select(cooccurrence_counts(word_shingles(docs, k)), threshold)
+    if doc_sets is None:
+        doc_sets = doc_shingle_sets(docs, k)
+    sh = doc_sets.select("doc_id", "n", F.explode("sids").alias("sid"))
+    return _jaccard_select(cooccurrence_counts(sh), threshold)
 
 
 def minhash_signatures(doc_sets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
@@ -285,26 +292,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_ngram_jaccard", tags=("dedup", "join"), oracle=_JACCARD_ORACLE, bench=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    """Exact word-5-gram Jaccard near-dup pairs (threshold 0.5).
+    Shares the session's cached shingle sets with the LSH query —
+    the corpus is shingled once per session, not once per query."""
     docs = load_table(spark, sf_dir, "documents")
-    return exact_jaccard_pairs(docs)
+    return exact_jaccard_pairs(docs, doc_sets=_cached_doc_sets(docs))
 
 
-# The LSH query reuses doc_sets three times (signatures + both sides
-# of the verification join), so it persists it — but a returned-lazy
-# DataFrame can't unpersist after its own action. Holding exactly one
-# live handle (unpersisting the previous call's) bounds cache to one
-# corpus' shingle sets instead of leaking one per invocation in a
-# long-lived session.
-_doc_sets_cache: DataFrame | None = None
+# doc_shingle_sets is the expensive row-local stage every shingle-
+# based dedup variant starts from, and one run reuses it several
+# times (LSH: signatures + both verification sides; a session often
+# runs several dedup queries on the same corpus back to back). A
+# returned-lazy DataFrame can't unpersist after its own action, so:
+# hold exactly ONE live persisted handle, keyed by the input plan's
+# semantic hash — same corpus reuses it, a new corpus evicts it.
+# Bounded by construction; assumes the backing files are immutable
+# for the life of the cache (true for the analytics tables).
+_doc_sets_cache: tuple[int, DataFrame] | None = None
 
 
 def _cached_doc_sets(docs: DataFrame) -> DataFrame:
     global _doc_sets_cache
+    key = docs.semanticHash()
     if _doc_sets_cache is not None:
-        _doc_sets_cache.unpersist()
-    _doc_sets_cache = doc_shingle_sets(docs).persist()
-    return _doc_sets_cache
+        cached_key, cached = _doc_sets_cache
+        if cached_key == key:
+            return cached
+        cached.unpersist()
+    sets_ = doc_shingle_sets(docs).persist()
+    _doc_sets_cache = (key, sets_)
+    return sets_
 
 
 @register("dedup_minhash_lsh", tags=("dedup", "lsh"), oracle=_JACCARD_ORACLE, bench=True)
