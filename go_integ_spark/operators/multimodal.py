@@ -145,3 +145,109 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+THUMB_SIZE = 16  # stub thumbnail edge
+
+
+def resize_images(df: DataFrame) -> DataFrame:
+    """Image resize through mapInPandas. The resize kernel is a STUB
+    (no codecs in this container): it byte-samples the payload down
+    to THUMB_SIZE^2 bytes deterministically — swap in PIL's
+    ``Image.resize`` without touching the Spark plan. Only image-type
+    rows are decoded; the filter prunes other modalities before any
+    Python runs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+
+            def thumb(p) -> bytes:
+                b = bytes(p or b"")
+                if not b:
+                    return b""
+                step = max(1, len(b) // (THUMB_SIZE * THUMB_SIZE))
+                return b[::step][: THUMB_SIZE * THUMB_SIZE]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": THUMB_SIZE,
+                    "height": THUMB_SIZE,
+                    "thumb": payloads.map(thumb),
+                }
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+FRAME_COUNT = 4  # frames sampled per video
+
+
+def sample_frames(df: DataFrame) -> DataFrame:
+    """Video frame sampling through mapInPandas: each video payload
+    fans out to FRAME_COUNT (doc_id, frame_no, frame) rows — a 1-to-N
+    pandas UDF, the batch shape a real ffmpeg-backed sampler needs.
+    The frame extraction itself is a STUB: equal byte slices stand in
+    for decoded keyframes.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p or b"")
+                chunk = max(1, len(b) // FRAME_COUNT)
+                for i in range(FRAME_COUNT):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(b[i * chunk : (i + 1) * chunk])
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.filter(F.col("media_type") == "video").mapInPandas(
+        batches, FRAMES_SCHEMA
+    )
+
+
+@register("multimodal_resize_thumbs", tags=("multimodal", "pandas_udf"), oracle=None)
+def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail metadata per image doc (stub resize kernel, real
+    mapInPandas plumbing). tests/test_multimodal.py pins shape +
+    determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(synthesize_media(docs))
+    return resized.select(
+        "doc_id", "width", "height", F.octet_length("thumb").alias("thumb_bytes")
+    )
+
+
+@register("multimodal_frame_sample", tags=("multimodal", "pandas_udf"), oracle=None)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video frame fan-out summary (stub sampler kernel, real
+    1-to-N mapInPandas shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_media(docs))
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("sampled_bytes"),
+    )
