@@ -1,0 +1,174 @@
+"""Dataset-curation operators for training-data pipelines (no
+counterpart in the reference — part of the beyond-reference analytics
+layer, SURVEY.md §7 step 8):
+
+- deterministic stratified sampling  content-hash bucket per stratum
+- train/test contamination check     n-gram overlap against a held-out
+                                     split
+- corpus token statistics            per-stratum token distributions
+
+Scale design:
+
+- Sampling is a pure row-local filter on a hash bucket — no shuffle,
+  no RNG state, reproducible across runs/engines/cluster sizes, and
+  it composes with partition pruning (the filter reaches the scan).
+  This is how you cut a 100 TB corpus to a fixed-rate sample without
+  materializing anything.
+- The contamination join exchanges only 8-byte shingle IDs, never
+  text; the train side is deduplicated to distinct IDs before the
+  join, so the shuffle is bounded by vocabulary, not corpus size.
+- Token stats use exact percentiles (oracle-matched); the 100 TB path
+  swaps in ``percentile_approx`` (t-digest, mergeable map-side) —
+  same note as ``agg_percentiles``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_integ_spark.operators.dedup import SHINGLE_K, _cached_doc_sets
+from go_integ_spark.registry import register
+from go_integ_spark.tables import load_table
+
+# Per-language sampling rate (percent): downsample the dominant
+# language, keep the tail — the standard re-balancing move for
+# multilingual training corpora.
+SAMPLE_RATES = {"en": 20}
+DEFAULT_RATE = 60
+
+
+def hash_bucket(col: F.Column) -> F.Column:
+    """Deterministic [0, 100) bucket from md5 — engine-portable
+    (DuckDB computes the identical bucket, see the oracles below).
+    15 hex chars < 2^60, so the conv() result fits a signed long.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % 100
+
+
+@register(
+    "sample_stratified",
+    tags=("curation", "sampling"),
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN {SAMPLE_RATES["en"]} ELSE {DEFAULT_RATE} END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sample: keep a doc iff its id-hash
+    bucket falls under its language's rate. Row-local filter, zero
+    shuffles, same sample on any cluster layout — unlike
+    ``df.sample()``, whose output depends on partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(SAMPLE_RATES["en"])).otherwise(
+        F.lit(DEFAULT_RATE)
+    )
+    return docs.filter(
+        hash_bucket(F.col("doc_id").cast("string")) < rate
+    ).select("doc_id", "lang")
+
+
+# Shared CTE prefix: distinct word-k-gram shingles per doc (string
+# form for DuckDB; Spark uses xxhash64 IDs — counts agree because the
+# final output carries only counts, same collision-freeness assumption
+# as the dedup oracles).
+_SHINGLE_EXPR = " || chr(31) || ".join(f"w[i + {j}]" for j in range(SHINGLE_K))
+_SH_CTE = f"""
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pos AS (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) AS i
+    FROM words WHERE len(w) >= {SHINGLE_K}
+), sh AS (
+    SELECT DISTINCT doc_id, {_SHINGLE_EXPR} AS shingle FROM pos
+)
+"""
+
+
+@register(
+    "contamination_ngram_overlap",
+    tags=("curation", "contamination", "join"),
+    oracle=_SH_CTE
+    + """
+, test_sh AS (
+    SELECT doc_id, shingle FROM sh WHERE doc_id % 10 = 0
+), train_sids AS (
+    SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(tr.shingle) AS BIGINT) AS n_contaminated,
+       round(count(tr.shingle)::DOUBLE / count(*), 4) AS contamination_rate
+FROM test_sh t
+LEFT JOIN train_sids tr ON t.shingle = tr.shingle
+GROUP BY t.doc_id
+""",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: for each held-out doc (doc_id % 10 ==
+    0), the fraction of its distinct 5-gram shingles that appear
+    anywhere in the train split. Reuses the session's cached shingle
+    sets (built once per corpus, operators/dedup.py); the join ships
+    8-byte shingle IDs against a distinct-deduplicated train
+    vocabulary — corpus text never crosses the wire.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = _cached_doc_sets(docs)
+    sh = sets_.select("doc_id", F.explode("sids").alias("sid"))
+    test_sh = sh.filter(F.col("doc_id") % 10 == 0)
+    train_sids = (
+        sh.filter(F.col("doc_id") % 10 != 0).select("sid").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        test_sh.join(train_sids, "sid", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "corpus_token_stats",
+    tags=("curation", "agg", "percentile"),
+    oracle=r"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS total_tokens,
+       round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens,
+       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5), 4)
+           AS p50_tokens,
+       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.95), 4)
+           AS p95_tokens
+FROM documents
+GROUP BY lang, source
+""",
+)
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: doc and token counts plus token-
+    count percentiles per (lang, source) stratum — the table you cut
+    sampling rates from. One map-side-combined aggregation; token
+    counting is row-local regexp (JVM, codegen).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    return (
+        docs.select("lang", "source", n_tokens.alias("nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("nt"), 4).alias("avg_tokens"),
+            F.round(F.percentile("nt", F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile("nt", F.lit(0.95)), 4).alias("p95_tokens"),
+        )
+    )

@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import all operator modules so their registrations run."""
     from go_integ_spark.operators import (  # noqa: F401
         advanced,
+        curation,
         dedup,
         events,
         multimodal,
