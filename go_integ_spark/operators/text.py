@@ -209,3 +209,78 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(normalized).alias("fingerprint"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+# PII patterns kept to regex features Java regex and DuckDB RE2 agree
+# on (no backrefs, no lookaround): emails and long digit runs
+# (account/phone-shaped identifiers).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGIT_RUN = r"[0-9]{6,}"
+_PII_ANY = f"({PII_EMAIL})|({PII_DIGIT_RUN})"
+
+
+@register(
+    "text_pii_redact",
+    tags=("text", "pii"),
+    oracle=rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_DIGIT_RUN}')) AS BIGINT)
+           AS n_digit_runs,
+       md5(regexp_replace(text, '{_PII_ANY}', '<PII>', 'g')) AS redacted_md5
+FROM documents
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count email/digit-run matches per doc and emit the
+    md5 of the redacted text (hash, not text, so the driver compare
+    stays narrow). Row-local regexp — codegen, zero shuffles, linear
+    at 100 TB. tests/test_text_pii.py proves the match/replace
+    semantics on strings that actually contain PII; this corpus is
+    synthetic word-soup, so counts here are mostly zero.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_DIGIT_RUN), 0))
+        .cast("bigint")
+        .alias("n_digit_runs"),
+        F.md5(F.regexp_replace(F.col("text"), _PII_ANY, "<PII>")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    tags=("text", "quality"),
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS n_distinct_words,
+       round(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS repetition_ratio
+FROM documents
+WHERE len(string_split(text, ' ')) > 0
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: 1 - distinct/total words. High
+    ratio = boilerplate/spam-shaped doc, the standard cheap filter
+    before expensive dedup. Row-local array ops, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    nd = F.size(F.array_distinct(words))
+    return docs.filter(n > 0).select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        nd.cast("bigint").alias("n_distinct_words"),
+        F.round(1.0 - nd.cast("double") / n, 4).alias("repetition_ratio"),
+    )
