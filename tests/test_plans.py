@@ -110,3 +110,23 @@ def test_range_join_is_hash_not_nested_loop(registry, spark):
     plan = executed_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sample_stratified_is_shuffle_free_and_pruned(registry, spark):
+    df = _df(registry, spark, "sample_stratified")
+    assert shuffle_count(df) == 0  # pure row-local hash filter
+    (schema,) = read_schemas(df)
+    assert "doc_id" in schema and "lang" in schema
+    assert "text" not in schema  # never reads document bodies
+
+
+def test_corpus_token_stats_single_agg_shuffle(registry, spark):
+    df = _df(registry, spark, "corpus_token_stats")
+    assert shuffle_count(df) == 1
+    (schema,) = read_schemas(df)
+    assert "doc_id" not in schema  # only text + group keys
+
+
+def test_pii_redact_shuffle_free(registry, spark):
+    df = _df(registry, spark, "text_pii_redact")
+    assert shuffle_count(df) == 0
