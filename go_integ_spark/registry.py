@@ -61,5 +61,6 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         tpch_ext,
     )
+    from go_integ_spark.protocols import distributed  # noqa: F401
 
     return REGISTRY
