@@ -84,6 +84,7 @@ _SINK_TS = 1700000000000  # fixed stamp so the oracle is deterministic
 @register(
     "sink_airbyte_envelope",
     tags=("sink", "protocol"),
+    bench=True,  # the reference's primary function: envelope emission throughput
     oracle=f"""
 SELECT to_json({{type: 'RECORD', record: {{stream: 'orders',
            emitted_at: {_SINK_TS},
