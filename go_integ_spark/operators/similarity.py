@@ -239,3 +239,96 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s"), 4).alias("cos_sim"),
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+KMEANS_K = 10  # matches the synthetic label cardinality
+KMEANS_ITERS = 5
+
+
+def kmeans_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(vec_id, embedding, cid, dist2): nearest centroid per vector.
+
+    Centroids ride into the plan as a broadcast-sized literal array
+    (K x dim floats); the argmin is one JVM ``array_min`` over
+    per-centroid squared distances — row-local, zero shuffles. This is
+    the assign step's 100 TB shape: the corpus never moves, only the
+    tiny centroid set does.
+    """
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    dists = F.transform(
+        cent,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), s["c"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(dists)  # struct ordering: dist2 first, cid tie-break
+    return vectors.select(
+        "vec_id",
+        "embedding",
+        best["cid"].alias("cid"),
+        best["dist2"].alias("dist2"),
+    )
+
+
+def kmeans_update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """New centroids: element-wise mean per cluster via posexplode +
+    (cid, pos) grouping — one shuffle of (8B, 8B, 8B) rows, dimension-
+    parallel, no array ever materializes per-group on one task.
+    Collects only K x dim floats to the driver (Lloyd's iteration
+    state, inherently driver-sized).
+    """
+    rows = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.col("pm.m").alias("c"))
+        .collect()
+    )
+    return sorted((r["cid"], list(r["c"])) for r in rows)
+
+
+@register("embedding_kmeans", tags=("similarity", "clustering", "iterative"), oracle=None)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, DataFrame-native:
+    deterministic init (the first K vec_ids), fixed iteration count,
+    broadcast-literal assign step, dimension-parallel update step.
+    Iterative => no SQL oracle (rows-only gate); tests pin
+    determinism, assignment optimality, and that clusters recover the
+    synthetic labels. Output: one row per cluster with size and
+    within-cluster sum of squares.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < KMEANS_K).collect()
+    ]
+    centroids = [(i, vec) for i, (_, vec) in enumerate(sorted(centroids))]
+    for _ in range(KMEANS_ITERS):
+        assigned = kmeans_assign(emb, centroids)
+        centroids = kmeans_update(assigned)
+    final = kmeans_assign(emb, centroids)
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("dist2"), 4).alias("wcss"),
+        )
+        .orderBy("cid")
+    )
