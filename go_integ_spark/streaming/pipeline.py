@@ -137,14 +137,14 @@ def incremental_to_protocol(
     name = schema.name
 
     def emit_batch(batch: DataFrame, epoch_id: int) -> None:
-        envelope = F.concat(
-            F.lit('{"type":"RECORD","record":{"stream":"' + name + '","emitted_at":'),
-            F.unix_millis(F.current_timestamp()).cast("string"),
-            F.lit(',"data":'),
-            F.to_json(F.struct(*[F.col(f.name) for f in batch.schema.fields])),
-            F.lit("}}"),
-        )
-        batch.select(envelope.alias("value")).write.mode("append").text(
+        import time as _time
+
+        from go_integ_spark.protocols.distributed import airbyte_envelope
+
+        # one stamp per micro-batch (reference stamps per flush buffer,
+        # stream_proto.go:20-27 — same observable semantics)
+        lines = airbyte_envelope(batch, name, int(_time.time() * 1000))
+        lines.withColumnRenamed("line", "value").write.mode("append").text(
             f"{out_dir}/records"
         )
         if cursor is not None:
