@@ -61,3 +61,37 @@ def test_merge_requires_pk(spark, tmp_path):
     nopk = StreamSchema.from_ddl("x", "id long, v string")
     with pytest.raises(ValueError):
         merge_upsert(spark, _df(spark, []), str(tmp_path / "x"), nopk)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The bucketing payoff: two tables bucketed on the join key
+    co-locate, so the join plans with ZERO exchanges — at 100 TB this
+    is the difference between a network-bound and a local join.
+    """
+    orders = spark.createDataFrame(
+        [(i % 50, i, f"s{i % 3}") for i in range(500)],
+        "custkey long, orderkey long, status string",
+    )
+    cust = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(50)], "custkey long, name string"
+    )
+    write_table(orders, str(tmp_path / "o"), mode="overwrite",
+                bucket_by=(8, ["custkey"]), table_name="b_orders")
+    write_table(cust, str(tmp_path / "c"), mode="overwrite",
+                bucket_by=(8, ["custkey"]), table_name="b_cust")
+    try:
+        # force SMJ so the assertion is about bucketing, not size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined2 = (
+            spark.table("b_orders")
+            .join(spark.table("b_cust"), "custkey")
+            .groupBy("custkey", "name")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2, plan2
+        assert joined2.count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
