@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): invariants fuzzed over
+generated inputs rather than hand-picked fixtures — the layer the
+reference's static-analysis-only CI never had (SURVEY.md §5).
+
+No Spark session here: these target the pure-Python surfaces
+(parsers, envelope, masking), so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from go_integ_spark.engine.envelope import mask_config
+from go_integ_spark.protocols.airbyte import AirbyteWriter
+from go_integ_spark.schema.stream import StreamSchema
+from go_integ_spark.sources.parsers import parse_jsonl
+
+# JSON-safe scalars/objects (no NaN — JSON round-trip is the contract)
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.text(max_size=40),
+)
+records = st.dictionaries(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+        min_size=1,
+        max_size=10,
+    ),
+    scalars,
+    max_size=6,
+)
+
+
+@given(st.lists(records, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_jsonl_round_trip(rows):
+    """parse_jsonl(serialize(rows)) == rows for any JSON-able rows,
+    regardless of blank/whitespace interleaving."""
+    blob = "\n\n".join(json.dumps(r) for r in rows) + "\n  \n"
+    assert parse_jsonl(blob) == rows
+    assert parse_jsonl(blob.encode()) == rows
+
+
+@given(st.lists(records, min_size=1, max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_airbyte_record_envelope_round_trip(rows):
+    """Every emitted RECORD line is valid NDJSON whose data payload
+    round-trips exactly; one line per record, in order."""
+    import datetime as dt
+
+    out = io.StringIO()
+    w = AirbyteWriter(
+        out, clock=lambda: dt.datetime(2022, 1, 1, tzinfo=dt.timezone.utc)
+    )
+    w.open_stream(StreamSchema.from_ddl("s", "x string")).emit_records(rows)
+    lines = [json.loads(line) for line in out.getvalue().splitlines() if line]
+    assert len(lines) == len(rows)
+    for msg, rec in zip(lines, rows):
+        assert msg["type"] == "RECORD"
+        assert msg["record"]["stream"] == "s"
+        assert msg["record"]["data"] == rec
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["api_key", "password", "token", "url", "user"]),
+        st.text(min_size=0, max_size=30),
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_mask_config_is_length_preserving_and_non_leaking(cfg):
+    """Masked secrets keep their length (utils.go:12-24 semantics)
+    and never leak the original value; non-secret keys pass through."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "api_key": {"type": "string", "airbyte_secret": True},
+            "password": {"type": "string", "writeOnly": True},
+            "token": {"type": "string", "airbyte_secret": True},
+            "url": {"type": "string"},
+            "user": {"type": "string"},
+        },
+    }
+    masked = mask_config(cfg, schema)
+    for k, v in cfg.items():
+        if k in ("api_key", "password", "token"):
+            assert len(str(masked[k])) == len(v)
+            assert v == "" or set(str(masked[k])) <= {"x"}
+        else:
+            assert masked[k] == v
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd")), max_size=20
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_xml_declared_array_collects_all_items(values):
+    """A path declared as an array collects every repeated element in
+    document order — including the 0/1-element cases where undeclared
+    repeats would silently overwrite (xml.go:115-124 semantics).
+    Leaf text is NOT truncated (the reference's 30-byte quirk is
+    deliberately fixed, SURVEY.md §2.1 S9)."""
+    from go_integ_spark.sources.parsers import parse_xml
+
+    body = "".join(f"<item>{v}</item>" for v in values)
+    doc = f"<root><items>{body}</items></root>"
+    out = parse_xml(doc, arrays=["items.item"])
+    items = out["items"].get("item", []) if isinstance(out["items"], dict) else []
+    assert items == [v.strip() for v in values]
