@@ -471,3 +471,83 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw_sim") >= 0.45)
         .select("vec_a", "vec_b", F.round(F.col("raw_sim"), 4).alias("cos_sim"))
     )
+
+
+CC_MAX_ITERS = 15  # label propagation rounds; >= near-dup graph diameter
+
+
+def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """(node, component): min-doc-id label propagation over an
+    undirected edge list. Each round is ONE shuffle (groupBy node
+    after an edge join); rounds needed = graph diameter, which for
+    near-dup graphs is tiny (dup clusters are dense cliques-ish).
+    Convergence is checked with a count per round — the driver holds
+    two longs, never the graph. At 100 TB this is the standard
+    alternating label-propagation CC; for adversarial long-chain
+    graphs swap in large-star/small-star (same building blocks).
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        both.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            both.join(labels, both.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select("node", F.least("label", F.coalesce("nbr", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+@register(
+    "dedup_clusters",
+    tags=("dedup", "graph", "iterative"),
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE.strip()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup groups: connected components over the
+    exact-Jaccard pair graph, component id = smallest doc_id (the
+    canonical keeper). The step every real dedup pipeline needs after
+    pair mining — you drop ``doc_id != cluster_id`` rows. Iterative,
+    but still SQL-expressible via a recursive CTE, so it keeps a full
+    value-level oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, doc_sets=_cached_doc_sets(docs))
+    return connected_components(pairs.select("doc_a", "doc_b")).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

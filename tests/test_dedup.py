@@ -100,3 +100,19 @@ def test_shingle_sets_match_python_reference(spark):
             continue
         sids, n = got[row["doc_id"]]
         assert n == len(grams) == len(sids)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (worst diameter case) plus a 2-clique: every
+    node labels with its component's min; separate components stay
+    separate."""
+    from go_integ_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
