@@ -284,3 +284,65 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.cast("bigint").alias("n_distinct_words"),
         F.round(1.0 - nd.cast("double") / n, 4).alias("repetition_ratio"),
     )
+
+
+TFIDF_TOP_N = 5
+
+
+@register(
+    "text_tfidf_topk",
+    tags=("text", "tfidf", "window"),
+    oracle=f"""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+    SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+    SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word
+), n AS (
+    SELECT count(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.word,
+           round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf
+FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, word ASC
+) <= {TFIDF_TOP_N}
+""",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{N} most characteristic terms per document by tf-idf.
+
+    Scale shape: term frequencies partial-aggregate map-side before
+    one shuffle on (doc_id, word); document frequencies aggregate to
+    vocabulary size and broadcast back onto the tf rows (the
+    vocabulary is always tiny next to the corpus), so the scoring
+    join moves no corpus-sized data. Ranking is on the ROUNDED score
+    (desc, then word asc) in both engines, so cross-engine float
+    noise below 1e-4 cannot reorder the cut.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_N)
+        .select("doc_id", "word", "tfidf")
+    )
