@@ -179,3 +179,78 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "events_funnel",
+    tags=("events", "funnel", "agg"),
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.t_view,
+       c.t_click,
+       p.t_purchase,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS funnel_stage
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel per user: first view,
+    first click strictly after it, first purchase strictly after
+    that; stage = how deep the user got.
+
+    Scale shape: each stage is one pre-filtered min-aggregation (the
+    event-type filter reaches the scan) joined on user_id; all three
+    stage frames share the user_id partitioning, so AQE coalesces the
+    join exchanges, and no window ever sees a user's full history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("bigint")
+            .alias("funnel_stage"),
+        )
+    )
