@@ -62,5 +62,6 @@ def load_all() -> dict[str, QuerySpec]:
         tpch_ext,
     )
     from go_integ_spark.protocols import distributed  # noqa: F401
+    from go_integ_spark.streaming import queries  # noqa: F401
 
     return REGISTRY
