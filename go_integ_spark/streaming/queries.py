@@ -65,3 +65,42 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("w.start").alias("hour_start"), "event_type", "n"
     )
+
+
+@register(
+    "streaming_pk_dedup",
+    tags=("streaming", "dedup"),
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def streaming_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicates`` driven to completion: the state
+    store must surface every distinct key exactly once, whatever the
+    file/batch arrival order — so projecting the key columns equals
+    batch DISTINCT, value-exactly. (Non-key columns are first-arrival
+    nondeterministic and deliberately not returned.)
+
+    At scale this is the exactly-once ingestion guard (T5): unbounded
+    key state unless bounded by ``withWatermark`` — the watermarked
+    variant is ``streaming/pipeline.py::pk_dedup_stream``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="sg_stream_dedup_") + "/events"
+    ev.write.mode("overwrite").parquet(path)
+
+    deduped = (
+        read_stream(spark, path, ev.schema)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = f"spd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
