@@ -254,3 +254,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_stage"),
         )
     )
+
+
+@register(
+    "events_cohort_retention",
+    tags=("events", "cohort", "agg"),
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(datediff('day', f.cohort_week,
+                     CAST(date_trunc('week', e.ts) AS DATE)) / 7
+            AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e
+JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event; n_active = distinct users from that cohort active k
+    weeks later. Week math runs on date_trunc'd dates (exact 7-day
+    multiples), so the offset is integer-exact in both engines.
+
+    Scale shape: the firsts frame is one user-keyed aggregation; the
+    cohort join re-partitions on user_id (same key), so AQE reuses
+    the partitioning; the final distinct-count aggregates
+    (cohort, offset, user) then (cohort, offset) — both map-side
+    combined.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.to_date(F.date_trunc("week", F.col("ts"))), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
