@@ -369,3 +369,47 @@ def connector_http_paginated_read(spark: SparkSession, sf_dir: str) -> DataFrame
         [(r["o_orderkey"], r["o_custkey"], r["o_orderstatus"], r["o_orderpriority"]) for r in fetched],
         schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_orderpriority string",
     )
+
+
+BASKET_MIN_SUPPORT = 2
+
+
+@register(
+    "basket_part_pairs",
+    tags=("basket", "pairs", "agg"),
+    oracle=f"""
+WITH pp AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM pp a
+JOIN pp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {BASKET_MIN_SUPPORT}
+""",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in
+    >= {support} orders. Same bucket-and-enumerate shape as the dedup
+    pair miner (operators/dedup.py::_pairs_from_sorted_array): group
+    lineitems by order, enumerate each basket's pairs JVM-side — one
+    shuffle on the basket key instead of a distinct + self-join
+    (three shuffles), and pair fan-out is bounded by basket size
+    squared, never by part popularity.
+    """
+    from go_integ_spark.operators.dedup import _pairs_from_sorted_array
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    return (
+        baskets.select(F.explode(_pairs_from_sorted_array("ds")).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+    )
