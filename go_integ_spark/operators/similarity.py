@@ -158,7 +158,54 @@ def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk", tags=("similarity", "ivf", "vector"), oracle=None)
+@register(
+    "ann_ivf_topk",
+    tags=("similarity", "ivf", "vector"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    WHERE vec_id % {IVF_CENTROID_EVERY} = 0
+), assigned AS (
+    SELECT vec_id, e, cent_id AS cell_id FROM (
+        SELECT v.vec_id, v.e, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS arn
+        FROM v CROSS JOIN cent c
+    ) WHERE arn = 1
+), probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT a.vec_id AS query_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.cent_id
+               ) AS prn
+        FROM assigned a CROSS JOIN cent c
+        WHERE a.vec_id < {N_QUERIES}
+    ) WHERE prn <= {IVF_NPROBE}
+), q AS (
+    SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+), scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qe, a.e) AS s
+    FROM probes p
+    JOIN assigned a ON a.cell_id = p.cell_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(s, 4) AS cos_sim, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, neighbor_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {TOP_K}
+""",
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -166,8 +213,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in for k-means, which would be run offline at scale).
     Assignment = broadcast argmin over centroids (map-side only).
     Each query probes its IVF_NPROBE nearest cells and searches them
-    exactly. Approximate by construction (no SQL oracle; recall vs
-    brute force is asserted in tests/test_similarity.py).
+    exactly. Approximate relative to brute force by construction, but
+    the deterministic centroid rule makes the whole assign->probe->
+    search pipeline SQL-expressible, so it carries a full value-level
+    DuckDB oracle (recall vs brute force is additionally asserted in
+    tests/test_similarity.py).
 
     At 100 TB the corpus would be written partitioned by cell_id so a
     probe prunes file partitions — the scan itself skips 1 - nprobe/K
