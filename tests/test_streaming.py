@@ -193,3 +193,66 @@ def test_incremental_to_protocol_sink(spark, events_path, tmp_path):
     assert states
     last_state = json.loads(states[-1].read_text())
     assert last_state["state"]["events"]["To"] >= "2024-01-30"
+
+
+def test_watermark_drops_late_data_append_mode(spark, tmp_path):
+    """Append-mode windowed agg with a 30-min watermark, driven batch
+    by batch (maxFilesPerTrigger=1, mtime-ordered files):
+
+    - batch 1: 10:05, 10:45, 11:55  -> watermark after batch = 11:25
+    - batch 2: 10:15 (LATE: its [10:00,11:00) window is already past
+      the watermark -> dropped), 12:10 (open window, never finalized)
+
+    Final append output must be exactly one finalized window
+    [10:00,11:00) with count 2 — late row excluded, open windows
+    withheld. This is the semantics the batch oracle can't see.
+    """
+    import datetime as dt
+    import os
+    import time
+    import uuid
+
+    d = str(tmp_path / "wm_events")
+    os.makedirs(d)
+    schema = "user_id long, ts timestamp"
+
+    def write_file(idx, rows):
+        # the file source watches d non-recursively: write elsewhere,
+        # move the part-file in, and order batches by mtime
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        staging = f"{d}_staging{idx}"
+        df.write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        dest = os.path.join(d, f"batch{idx}.parquet")
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (idx * 1000, idx * 1000))
+
+    T = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    write_file(1, [(1, T(10, 5)), (2, T(10, 45)), (3, T(11, 55))])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 -> watermark = 11:25
+        write_file(2, [(4, T(10, 15)), (5, T(12, 10))])
+        q.processAllAvailable()  # batch 2: 10:15 late-dropped, window emitted
+    finally:
+        q.stop()
+    out = [
+        (r["w"]["start"], r["n"]) for r in spark.table(name).collect()
+    ]
+    assert out == [(T(10, 0), 2)], out
