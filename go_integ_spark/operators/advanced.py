@@ -413,3 +413,87 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
     )
+
+
+# In-process paginated servers for the distributed-read gate query,
+# one per sf_dir, kept alive for the session (the DataSource read is
+# lazy: executors fetch when the driver collects, so the server must
+# outlive this function). Daemon threads die with the process.
+_GATE_SERVERS: dict[str, int] = {}
+
+
+def _orders_gate_server(sf_dir: str) -> int:
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import pyarrow.parquet as pq
+
+    if sf_dir in _GATE_SERVERS:
+        return _GATE_SERVERS[sf_dir]
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    rows = pq.read_table(f"{sf_dir}/orders.parquet", columns=cols).to_pylist()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            start = int(q.get("start", ["0"])[0])
+            num = int(q.get("num", ["1000"])[0])
+            body = _json.dumps({"records": rows[start : start + num]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    _GATE_SERVERS[sf_dir] = srv.server_port
+    return srv.server_port
+
+
+def _gate_paginator():
+    # module-level: the stream pickles to executors
+    from go_integ_spark.sources.http import OffsetLimitPaginator
+
+    return OffsetLimitPaginator(offset_param="start", limit_param="num", page_size=500)
+
+
+@register(
+    "connector_datasource_distributed_read",
+    tags=("connector", "datasource", "distributed"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+""",
+)
+def connector_datasource_distributed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of the HTTP extract inside the correctness
+    gate: the same paginated orders API, but read through the Python
+    DataSource — 8 input partitions fetch interleaved offset strides
+    IN EXECUTORS (sources/datasource.py), and the union of all
+    pagination chains must still hash-match DuckDB reading the
+    parquet. Proves the distributed fan-out loses/duplicates nothing.
+    """
+    from go_integ_spark.schema.stream import StreamSchema
+    from go_integ_spark.sources.datasource import stream_dataframe
+    from go_integ_spark.sources.source import HttpStream
+
+    port = _orders_gate_server(sf_dir)
+    stream = HttpStream(
+        schema=StreamSchema.from_ddl(
+            "orders",
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_orderstatus string, o_orderpriority string",
+        ),
+        path="/orders",
+        record_path="records",
+        paginator=_gate_paginator,
+    )
+    df, _ = stream_dataframe(
+        spark, stream, {"url": f"http://127.0.0.1:{port}"}, None, num_partitions=8
+    )
+    return df
