@@ -372,6 +372,50 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "window_spend_quartiles",
+    tags=("window",),
+    oracle="""
+SELECT c_mktsegment, c_custkey, spend,
+       CAST(ntile(4) OVER w AS INT)              AS quartile,
+       round(percent_rank() OVER w, 6)           AS pct_rank
+FROM (
+    SELECT c_mktsegment, c_custkey,
+           round(sum(o_totalprice), 2) AS spend
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, c_custkey
+)
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey)
+""",
+)
+def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile (ntile) + percent_rank of per-customer spend within
+    each market segment. Two shuffles total: the per-customer agg on
+    c_custkey, then one window exchange on c_mktsegment. Segment
+    cardinality is fixed (5), so at 100 TB the window partitions are
+    huge — ntile over such a partition sorts it on one executor; the
+    scale fix is a coarser pre-bucketing (approx percentiles) or
+    salted two-pass ranks, which is why the oracle query keeps the
+    total (spend DESC, c_custkey) order: determinism survives either
+    physical strategy.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("spend").desc(), F.col("c_custkey"))
+    return spend.select(
+        "c_mktsegment",
+        "c_custkey",
+        "spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Grouping sets / rollup / cube
 # --------------------------------------------------------------------------
