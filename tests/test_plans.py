@@ -130,3 +130,15 @@ def test_corpus_token_stats_single_agg_shuffle(registry, spark):
 def test_pii_redact_shuffle_free(registry, spark):
     df = _df(registry, spark, "text_pii_redact")
     assert shuffle_count(df) == 0
+
+
+def test_spend_quartiles_two_exchanges(registry, spark):
+    """customer side broadcasts (no join shuffle); the only exchanges
+    are the per-customer agg and the segment window, and the spend sum
+    gets a map-side partial pass before its exchange."""
+    df = _df(registry, spark, "window_spend_quartiles")
+    plan = executed_plan(df)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert shuffle_count(df) == 2
+    assert "Window" in plan
+    assert "partial_sum" in plan
