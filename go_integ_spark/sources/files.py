@@ -31,6 +31,10 @@ class FileStream:
     def dataframe(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql.types import LongType, TimestampType
 
+        if self.format == "parquet":
+            # TIMESTAMP(NANOS) parquet is unreadable without this conf;
+            # set it at runtime so callers with a vanilla session work.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         reader = spark.read.format(self.format).options(**self.options)
         if self.format in ("json", "csv"):
             reader = reader.schema(self.schema.struct)

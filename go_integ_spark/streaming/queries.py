@@ -4,7 +4,13 @@ A Structured Streaming job driven to completion with ``availableNow``
 must produce exactly the batch answer — so unlike most streaming
 code, these get a full value-level DuckDB oracle, proving the
 streaming operators (file source, event-time tumbling window, state
-store aggregation, memory sink) are lossless end-to-end.
+store aggregation, applyInPandasWithState, memory sink) are lossless
+end-to-end.
+
+Gate-cost note: the file source needs a directory it can list, so we
+materialize events once per (sf_dir) into a temp dir and memoize the
+path — the driver's time-budgeted sweep then pays the write once, not
+once per streaming query.
 """
 
 from __future__ import annotations
@@ -18,6 +24,35 @@ from pyspark.sql import functions as F
 from go_integ_spark.registry import register
 from go_integ_spark.streaming.pipeline import read_stream
 from go_integ_spark.tables import load_table
+
+# sf_dir -> (materialized parquet path, schema). Shared by every
+# streaming gate query in this process.
+_STREAM_SRC: dict[str, tuple[str, object]] = {}
+
+
+def _events_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    cached = _STREAM_SRC.get(sf_dir)
+    if cached is not None:
+        return cached
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="sg_stream_gate_") + "/events"
+    ev.write.mode("overwrite").parquet(path)
+    _STREAM_SRC[sf_dir] = (path, ev.schema)
+    return _STREAM_SRC[sf_dir]
+
+
+def _run_to_memory(df: DataFrame, output_mode: str, prefix: str) -> DataFrame:
+    spark = df.sparkSession
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 @register(
@@ -44,25 +79,13 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark horizon, and the memory sink becomes a table/topic
     write.
     """
-    ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="sg_stream_gate_") + "/events"
-    ev.write.mode("overwrite").parquet(path)
-
+    path, schema = _events_stream_source(spark, sf_dir)
     agg = (
-        read_stream(spark, path, ev.schema)
+        read_stream(spark, path, schema)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    name = f"shc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_memory(agg, "complete", "shc").select(
         F.col("w.start").alias("hour_start"), "event_type", "n"
     )
 
@@ -85,22 +108,102 @@ def streaming_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key state unless bounded by ``withWatermark`` — the watermarked
     variant is ``streaming/pipeline.py::pk_dedup_stream``.
     """
-    ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="sg_stream_dedup_") + "/events"
-    ev.write.mode("overwrite").parquet(path)
-
+    path, schema = _events_stream_source(spark, sf_dir)
     deduped = (
-        read_stream(spark, path, ev.schema)
+        read_stream(spark, path, schema)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    name = f"spd_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _run_to_memory(deduped, "append", "spd")
+
+
+@register(
+    "streaming_session_window",
+    tags=("streaming", "session", "event_time"),
+    oracle="""
+WITH gaps AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+    SELECT user_id, ts,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM gaps
+)
+SELECT user_id,
+       min(ts)                  AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization run by the streaming
+    engine (30-minute inactivity gap) — the incremental-state twin of
+    the batch ``events_sessionize`` operator. A session's window is
+    [first_ts, last_ts + gap) with an exclusive end, so two events
+    exactly ``gap`` apart are in DIFFERENT sessions — the oracle's
+    lag-based session assignment uses ``>= gap`` accordingly.
+
+    Scale shape: session state is keyed by user_id (hash-partitioned
+    across executors) and merged incrementally; with a watermark the
+    state store evicts closed sessions, so state is bounded by open
+    sessions only — no executor ever sorts a user's full history.
+    """
+    path, schema = _events_stream_source(spark, sf_dir)
+    agg = (
+        read_stream(spark, path, schema)
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sess"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(agg, "complete", "ssw").select(
+        "user_id",
+        F.col("sess.start").alias("session_start"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_running_max_cursor",
+    tags=("streaming", "stateful", "cursor"),
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_total,
+       max(ts)                  AS max_ts,
+       round(sum(value), 2)     AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_running_max_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven to
+    completion: per-user cursor high-water mark + running totals —
+    the per-key generalization of the reference's single per-stream
+    cursor document (protocol.go:15). The final state per key must
+    equal the batch aggregate.
+
+    The update-mode memory sink receives one row per key per
+    micro-batch; n_total/max_ts/total_value are all monotone
+    non-decreasing per key (value >= 0 in this corpus), so max() per
+    key recovers the final state regardless of how availableNow
+    splits batches.
+    """
+    from go_integ_spark.streaming.stateful import running_max_cursor
+
+    path, schema = _events_stream_source(spark, sf_dir)
+    updates = running_max_cursor(read_stream(spark, path, schema))
+    out = _run_to_memory(updates, "update", "rmc")
+    return out.groupBy("user_id").agg(
+        F.max("n_total").alias("n_total"),
+        F.max("max_ts").alias("max_ts"),
+        F.round(F.max("total_value"), 2).alias("total_value"),
+    )

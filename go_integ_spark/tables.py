@@ -32,6 +32,11 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # events.parquet stores TIMESTAMP(NANOS); a vanilla session (no
+    # session.py confs) throws PARQUET_TYPE_ILLEGAL on read. The conf
+    # is runtime-settable, so set it here rather than relying on the
+    # caller's session build.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) on disk; with nanosAsLong it arrives
