@@ -390,14 +390,21 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey)
 )
 def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile (ntile) + percent_rank of per-customer spend within
-    each market segment. Two shuffles total: the per-customer agg on
-    c_custkey, then one window exchange on c_mktsegment. Segment
-    cardinality is fixed (5), so at 100 TB the window partitions are
-    huge — ntile over such a partition sorts it on one executor; the
-    scale fix is a coarser pre-bucketing (approx percentiles) or
-    salted two-pass ranks, which is why the oracle query keeps the
-    total (spend DESC, c_custkey) order: determinism survives either
-    physical strategy.
+    each market segment, computed with a SCALE-SAFE two-pass rank:
+    segment cardinality is fixed (5), so a plain
+    ``Window.partitionBy(c_mktsegment)`` would sort ~1/5 of all
+    customers on one executor at 100 TB.
+
+    Instead: (1) collect per-segment approximate spend quantiles as
+    literal cut points (driver holds segments × slices doubles);
+    (2) bin every row to a contiguous slice of its segment's ranking
+    and row_number within each (segment, slice) — small, distributed
+    sorts; (3) broadcast the tiny per-slice row counts back as
+    cumulative offsets, so ``global rank = local row_number +
+    offset``; (4) derive ntile(4) and percent_rank arithmetically
+    from (rank, segment total) map-side. No executor ever sorts more
+    than one slice; the only broadcast is O(slices × segments)
+    counters.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -406,13 +413,75 @@ def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "c_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(F.col("spend").desc(), F.col("c_custkey"))
-    return spend.select(
+
+    # Pass 1: per-segment approximate spend quantiles -> fixed cut
+    # points collected to the driver (segments × slices values, tiny).
+    # Binning against *literal* cut points is a pure function of the
+    # row, so the counts job and the final job can never disagree on a
+    # row's slice (a sampled repartitionByRange could, across jobs).
+    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / n_slices for i in range(1, n_slices)]
+    cut_rows = (
+        spend.groupBy("c_mktsegment")
+        .agg(F.percentile_approx("spend", probs).alias("cuts"))
+        .collect()
+    )
+    cuts_items: list = []
+    for row in cut_rows:
+        cuts_items.append(F.lit(row["c_mktsegment"]))
+        cuts_items.append(F.array(*[F.lit(float(c)) for c in row["cuts"]]))
+    cuts_map = F.create_map(*cuts_items)
+
+    # slice_id = number of cut points >= spend: monotone along the
+    # (spend DESC, custkey) window order, equal spends share a slice.
+    sliced = spend.withColumn(
+        "slice_id",
+        F.size(
+            F.filter(
+                cuts_map[F.col("c_mktsegment")], lambda c: c >= F.col("spend")
+            )
+        ),
+    )
+
+    w_local = Window.partitionBy("c_mktsegment", "slice_id").orderBy(
+        F.col("spend").desc(), F.col("c_custkey")
+    )
+    local = sliced.withColumn("lrn", F.row_number().over(w_local))
+
+    counts = local.groupBy("c_mktsegment", "slice_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("slice_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "c_mktsegment",
+        "slice_id",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("rank_off"),
+        F.sum("cnt").over(Window.partitionBy("c_mktsegment")).alias("n_seg"),
+    )
+
+    r = F.col("lrn") + F.col("rank_off")
+    n = F.col("n_seg")
+    # ntile(4): first (n % 4) buckets get ceil(n/4) rows, the rest
+    # floor(n/4) — same assignment the window function makes over the
+    # identical total order.
+    big = F.floor(n / 4) + 1
+    rem = n % 4
+    in_big = r <= rem * big
+    quartile = F.when(in_big, F.ceil(r / big)).otherwise(
+        rem + F.ceil((r - rem * big) / F.floor(n / 4))
+    )
+    pct = F.when(n > 1, (r - 1) / (n - 1)).otherwise(F.lit(0.0))
+
+    return local.join(F.broadcast(offsets), ["c_mktsegment", "slice_id"]).select(
         "c_mktsegment",
         "c_custkey",
         "spend",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        quartile.cast("int").alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
     )
 
 

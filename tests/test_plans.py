@@ -132,13 +132,19 @@ def test_pii_redact_shuffle_free(registry, spark):
     assert shuffle_count(df) == 0
 
 
-def test_spend_quartiles_two_exchanges(registry, spark):
-    """customer side broadcasts (no join shuffle); the only exchanges
-    are the per-customer agg and the segment window, and the spend sum
-    gets a map-side partial pass before its exchange."""
+def test_spend_quartiles_two_pass_rank(registry, spark):
+    """The scale-safe shape: the row_number rank window is partitioned
+    by (segment, slice_id) — never by the 5-value segment alone over
+    the data — and the per-slice offsets arrive via broadcast join.
+    The spend sum still gets a map-side partial pass.
+    """
+    import re
+
     df = _df(registry, spark, "window_spend_quartiles")
     plan = executed_plan(df)
-    assert count_op(df, "BroadcastHashJoin") >= 1
-    assert shuffle_count(df) == 2
-    assert "Window" in plan
+    m = re.search(r"row_number\(\) windowspecdefinition\(([^(]*?) DESC", plan)
+    assert m is not None, "rank window missing"
+    assert "slice_id" in m.group(1), "rank window must be sliced, not per-segment"
+    # customer-join broadcast at test scale + the offsets broadcast
+    assert count_op(df, "BroadcastHashJoin") >= 2
     assert "partial_sum" in plan
