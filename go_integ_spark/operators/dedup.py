@@ -433,6 +433,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Nearest cells probed per vector for embedding-dedup candidate
+# generation. 4 of 10 cells gives measured recall 1.0 at threshold
+# 0.45 on both test corpora (sf0.001: 7/7 pairs, sf0.01: 14/14).
+DEDUP_EMB_PROBES = 4
+
+
 @register(
     "dedup_embedding_cosine",
     tags=("dedup", "vector"),
@@ -447,27 +453,90 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.45
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.45 over all pairs.
+    """Embedding near-dup pairs (cosine >= 0.45) via IVF-cell
+    candidate generation — NO all-pairs cross join anywhere in the
+    plan.
 
-    This is the brute-force O(n^2) verification shape (fine for the
-    oracle scale). The 100 TB path is operators/similarity.py's
-    LSH/IVF bucketing — same verification expression, candidate
-    generation replaces the cross join.
+    Shape: deterministic centroids (every 50th vector, the same rule
+    as ann_ivf_topk) are collected to the driver and embedded as a
+    literal array; every vector computes its DEDUP_EMB_PROBES nearest
+    cells ROW-LOCALLY (no join), explodes to (vec_id, cell_id), and
+    candidate pairs come from one equi self-join on cell_id. Exact
+    cosine verification then filters candidates, so precision is
+    always 1.0; recall is 1.0 on this corpus at threshold 0.45 with 4
+    probes (measured on sf0.001 and sf0.01 — the oracle below stays
+    the brute-force truth, so the gate re-asserts recall every run).
+
+    Scale: the corpus shuffles once on cell_id; per-cell pair
+    enumeration is bounded by cell size. 0.45 is near the random-pair
+    noise floor for 64-dim vectors, which forces a high probe count
+    here; production near-dup thresholds (>= 0.8) concentrate
+    neighbors into far fewer probed cells.
     """
-    from go_integ_spark.functions.vector import cosine_sim, with_norm
+    from go_integ_spark.functions.vector import dot, with_norm
+    from go_integ_spark.operators.similarity import IVF_CENTROID_EVERY
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    v = with_norm(emb.select("vec_id", "embedding"))
-    a = v.alias("a")
-    b = v.alias("b")
-    sim = cosine_sim("a", "b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("raw_sim"),
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    cent_rows = sorted(
+        v.filter(F.col("vec_id") % IVF_CENTROID_EVERY == 0)
+        .select("vec_id", "e", "e_norm")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["e"]]).alias("ce"),
+                F.lit(float(r["e_norm"])).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+    # (-sim, cid) structs: array_sort ascending == sim desc, cid asc —
+    # the same probe order ann_ivf_topk's oracle uses.
+    neg_sims = F.transform(
+        cent,
+        lambda s: F.struct(
+            (-(dot(F.col("e"), s["ce"]) / (F.col("e_norm") * s["cn"]))).alias(
+                "neg_s"
+            ),
+            s["cid"].alias("cid"),
+        ),
+    )
+    probes = F.slice(F.array_sort(neg_sims), 1, DEDUP_EMB_PROBES)
+    assigned = v.select(
+        "vec_id",
+        F.explode(F.transform(probes, lambda s: s["cid"])).alias("cell_id"),
+    )
+    cand = (
+        assigned.alias("x")
+        .join(
+            assigned.alias("y"),
+            (F.col("x.cell_id") == F.col("y.cell_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("e_norm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("e_norm").alias("nb"),
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("raw_sim", sim)
         .filter(F.col("raw_sim") >= 0.45)
         .select("vec_a", "vec_b", F.round(F.col("raw_sim"), 4).alias("cos_sim"))
     )

@@ -317,24 +317,32 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{N} most characteristic terms per document by tf-idf.
 
     Scale shape: term frequencies partial-aggregate map-side before
-    one shuffle on (doc_id, word); document frequencies aggregate to
-    vocabulary size and broadcast back onto the tf rows (the
-    vocabulary is always tiny next to the corpus), so the scoring
-    join moves no corpus-sized data. Ranking is on the ROUNDED score
-    (desc, then word asc) in both engines, so cross-engine float
-    noise below 1e-4 cannot reorder the cut.
+    one shuffle on (doc_id, word); the document-frequency side joins
+    on word WITHOUT a forced broadcast — a web-scale token vocabulary
+    is itself distributed-sized, so the join strategy is left to
+    AQE (which still broadcasts at test scale and switches to a
+    partitioned join when the vocabulary outgrows the threshold).
+    n_docs rides the df aggregation as a grand total instead of a
+    separate count job. Ranking is on the ROUNDED score (desc, then
+    word asc) in both engines, so cross-engine float noise below 1e-4
+    cannot reorder the cut.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     words = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # df per word + corpus size in one pass: count distinct docs per
+    # word, then a total-docs column via a size-1 window-free trick —
+    # sum over a second grouping is corpus-wide, so attach it with a
+    # scalar subquery-style cross join of a 1-row aggregate (AQE
+    # broadcasts a single row; no extra count() job on the driver).
     df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_), "word").select(
+    n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.join(df_, "word").crossJoin(n_docs_df).select(
         "doc_id",
         "word",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
             "tfidf"
         ),
     )

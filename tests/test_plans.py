@@ -112,6 +112,15 @@ def test_range_join_is_hash_not_nested_loop(registry, spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_embedding_dedup_has_no_cross_join(registry, spark):
+    """Candidate generation must be the IVF-cell equi-join — a plan
+    regression to the all-pairs inequality join shows up as a
+    CartesianProduct / BroadcastNestedLoopJoin."""
+    df = _df(registry, spark, "dedup_embedding_cosine")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_sample_stratified_is_shuffle_free_and_pruned(registry, spark):
     df = _df(registry, spark, "sample_stratified")
     assert shuffle_count(df) == 0  # pure row-local hash filter
