@@ -127,12 +127,32 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features", tags=("multimodal", "pandas_udf"), oracle=None)
+@register(
+    "multimodal_decode_features",
+    tags=("multimodal", "pandas_udf"),
+    oracle="""
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END AS media_type,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE round(
+                len(list_filter(
+                    list_transform(split(text, ''), c -> unicode(c)),
+                    b -> b % 8 = 0
+                )) / CAST(length(text) AS DOUBLE), 6)
+       END AS f0
+FROM documents
+""",
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode + feature extraction through the real
-    mapInPandas plumbing, then a feature aggregate per media_type.
-    No SQL oracle (the decode stub is not SQL-expressible);
-    tests/test_multimodal.py pins the deterministic output.
+    mapInPandas plumbing. The stub's first histogram bucket (bytes
+    with b % 8 == 0, normalized) IS deterministic byte math, and the
+    corpus is pure ASCII (bytes == codepoints), so the kernel gets a
+    full value-level DuckDB oracle despite running in Python;
+    tests/test_multimodal.py additionally pins the whole vector.
     """
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_media(synthesize_media(docs))
@@ -229,11 +249,29 @@ def sample_frames(df: DataFrame) -> DataFrame:
     )
 
 
-@register("multimodal_resize_thumbs", tags=("multimodal", "pandas_udf"), oracle=None)
+@register(
+    "multimodal_resize_thumbs",
+    tags=("multimodal", "pandas_udf"),
+    oracle=f"""
+SELECT doc_id,
+       CAST({THUMB_SIZE} AS BIGINT) AS width,
+       CAST({THUMB_SIZE} AS BIGINT) AS height,
+       CAST(CASE WHEN length(text) = 0 THEN 0
+            ELSE least({THUMB_SIZE * THUMB_SIZE},
+                       CAST(ceil(length(text) /
+                            CAST(greatest(1, length(text) // {THUMB_SIZE * THUMB_SIZE})
+                                 AS DOUBLE)) AS BIGINT))
+       END AS INT) AS thumb_bytes
+FROM documents
+WHERE doc_id % 3 = 0
+""",
+)
 def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail metadata per image doc (stub resize kernel, real
-    mapInPandas plumbing). tests/test_multimodal.py pins shape +
-    determinism."""
+    mapInPandas plumbing). The byte-sampling stub's output size is
+    closed-form (ceil(len/step) capped at thumb area), so this query
+    carries a value-level oracle; tests/test_multimodal.py pins the
+    thumb bytes themselves."""
     docs = load_table(spark, sf_dir, "documents")
     resized = resize_images(synthesize_media(docs))
     return resized.select(
@@ -241,10 +279,24 @@ def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", tags=("multimodal", "pandas_udf"), oracle=None)
+@register(
+    "multimodal_frame_sample",
+    tags=("multimodal", "pandas_udf"),
+    oracle=f"""
+SELECT doc_id,
+       CAST({FRAME_COUNT} AS BIGINT) AS n_frames,
+       CAST(CASE WHEN length(text) >= {FRAME_COUNT}
+                 THEN {FRAME_COUNT} * (length(text) // {FRAME_COUNT})
+                 ELSE length(text) END AS BIGINT) AS sampled_bytes
+FROM documents
+WHERE doc_id % 3 = 2
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video frame fan-out summary (stub sampler kernel, real
-    1-to-N mapInPandas shape)."""
+    1-to-N mapInPandas shape). The equal-byte-slice stub's total
+    sampled bytes is closed-form in the payload length, giving the
+    fan-out a value-level oracle."""
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(synthesize_media(docs))
     return frames.groupBy("doc_id").agg(
