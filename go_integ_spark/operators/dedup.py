@@ -48,7 +48,12 @@ SHINGLE_K = 5  # word-level k-grams (5-gram shingles, standard for
 # docs from colliding on boilerplate phrases, which is what bounds the
 # candidate-pair count at scale)
 NUM_PERM = 64  # minhash permutations
-LSH_BANDS = 16  # 16 bands x 4 rows: s-curve threshold ~0.5
+# 32 bands x 2 rows puts the s-curve threshold at (1/32)^(1/2) ~ 0.18,
+# well below the 0.5 detection threshold: candidate recall at j=0.5 is
+# 1-(1-0.5^2)^32 ~ 0.9999 (16x4 gave only ~0.64 at j=0.5 — a
+# borderline pair would have broken LSH == exact). The price is more
+# low-jaccard candidates; exact verification keeps precision 1.0.
+LSH_BANDS = 32
 LSH_ROWS = NUM_PERM // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
 SEP = "\x1f"
@@ -330,15 +335,16 @@ def _cached_doc_sets(docs: DataFrame) -> DataFrame:
 
 @register("dedup_minhash_lsh", tags=("dedup", "lsh"), oracle=_JACCARD_ORACLE, bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(16x4) candidates, verified with exact Jaccard.
+    """MinHash(64) + LSH(32x2) candidates, verified with exact Jaccard.
 
     The scale path: signatures are row-local (no shuffle), only
     band-colliding pairs reach the verification join, and verification
     is an ``array_intersect`` over the two 8-byte shingle-ID arrays.
-    Precision is exact (verification); recall at j>=0.85 is
-    1 - (1 - j^4)^16 ~ 0.999992, which is why this query shares the
-    exact-Jaccard oracle. tests/test_dedup.py asserts LSH == exact on
-    the test corpus.
+    Precision is exact (verification); candidate recall at the j=0.5
+    detection threshold is 1 - (1 - 0.5^2)^32 ~ 0.9999 (and ~1 - 5e-18
+    at j>=0.85), which is why this query can share the exact-Jaccard
+    oracle. tests/test_dedup.py asserts LSH == exact on the test
+    corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
     doc_sets = _cached_doc_sets(docs)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import datetime as dt
 import json
+import threading
 from collections.abc import Callable
 from typing import IO, Any
 
@@ -45,12 +46,17 @@ class ProtocolWriter:
     def __init__(self, out: IO[str], clock: Clock = utc_now):
         self.out = out
         self.clock = clock
+        self._lock = threading.Lock()
 
     def encode(self, msg: dict) -> None:
         # reference Protocol.Encode (protocol.go:20-33): one JSON doc
-        # per line, writes serialized under a mutex; CPython file
-        # writes of a single str are atomic enough for our thread use.
-        self.out.write(json.dumps(msg, separators=(",", ":"), default=_default) + "\n")
+        # per line, writes serialized under a mutex. Engine.read emits
+        # from up to `concurrency` threads and TextIOWrapper writes
+        # are not guaranteed atomic past the internal buffer, so the
+        # reference's wMtx semantics apply here too.
+        line = json.dumps(msg, separators=(",", ":"), default=_default) + "\n"
+        with self._lock:
+            self.out.write(line)
 
     def emit(self, typ: str, v: Any) -> None:
         # reference emit(): {"type": T, lower(T): payload}

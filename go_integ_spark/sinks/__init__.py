@@ -101,11 +101,27 @@ def merge_upsert(
     if not pk:
         raise ValueError(f"stream {schema.name!r} declares no primary key")
     cursor = schema.cursor_field()
+    # Only a genuinely-missing table means "first write". Any other
+    # read failure (corrupt footer, schema drift, transient IO) must
+    # abort BEFORE the destructive overwrite below — swallowing it
+    # would silently replace the whole table with one batch.
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     try:
-        existing = spark.read.format(format).load(path).select(incoming.columns)
-        unioned = existing.unionByName(incoming)
-    except Exception:  # first write: no table yet
-        unioned = incoming
+        existing = spark.read.format(format).load(path)
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+            unioned = incoming
+        else:
+            raise
+    else:
+        missing = [c for c in incoming.columns if c not in existing.columns]
+        if missing:
+            raise ValueError(
+                f"merge_upsert schema drift: existing table at {path!r} "
+                f"lacks incoming columns {missing}"
+            )
+        unioned = existing.select(incoming.columns).unionByName(incoming)
     merged = latest_per_key(unioned, pk, cursor)
     # write to a staging layout then atomically repoint would be the
     # lakehouse move; plain parquet needs the overwrite to re-read

@@ -71,6 +71,11 @@ class HttpStreamReader(DataSourceReader):
         self.config = json.loads(options.get("config", "{}"))
         self.state = json.loads(options["state"]) if options.get("state") else None
         self.num_partitions = int(options.get("num_partitions", "1"))
+        self.transport = (
+            pickle.loads(base64.b64decode(options["transport"]))
+            if options.get("transport")
+            else None
+        )
         # Catalyst-pruned schema -> the projection pushed to the server.
         self.fields = [f.name for f in schema.fields]
 
@@ -88,7 +93,9 @@ class HttpStreamReader(DataSourceReader):
         stream = self.stream
         if partition.num > 1:
             stream = _with_stride(stream, partition.index, partition.num)
-        pages, _ = stream.read(self.config, self.state, fields=self.fields)
+        pages, _ = stream.read(
+            self.config, self.state, transport=self.transport, fields=self.fields
+        )
         names = self.fields
         for page in pages:
             for rec in page:
@@ -152,13 +159,26 @@ def stream_dataframe(spark, stream: HttpStream, config: dict, state, transport=N
     """Register + read an HttpStream as a DataFrame via the Python
     DataSource. Returns (df, new_state) — new_state computed from the
     cursor spec (the executor-side read uses the same window).
-    Note: ``transport`` must be picklable or None (executors rebuild
-    the default urllib transport).
+
+    ``transport`` (stub, auth-wrapping, throttled client) is pickled
+    into the DataSource options so executors actually use it; a
+    non-picklable transport raises here rather than being silently
+    swapped for the default urllib transport mid-read.
     """
     try:
         spark.dataSource.register(HttpStreamDataSource)
     except Exception:  # already registered
         pass
+    transport_opt = None
+    if transport is not None:
+        try:
+            transport_opt = base64.b64encode(pickle.dumps(transport)).decode()
+        except Exception as ex:
+            raise ValueError(
+                "distributed read requires a picklable transport (or None "
+                "for the default urllib transport); got "
+                f"{type(transport).__name__}: {ex}"
+            ) from ex
     new_state = None
     if stream.cursor is not None:
         from go_integ_spark.sources.source import utc_now
@@ -172,4 +192,6 @@ def stream_dataframe(spark, stream: HttpStream, config: dict, state, transport=N
     )
     if state is not None:
         reader = reader.option("state", json.dumps(state))
+    if transport_opt is not None:
+        reader = reader.option("transport", transport_opt)
     return reader.schema(stream.schema.struct).load(), new_state

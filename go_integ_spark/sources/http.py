@@ -17,6 +17,7 @@ can run it.
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import time
 import urllib.error
@@ -103,14 +104,33 @@ class Retryer:
                 raise HttpStatusError(req, resp)
             last = resp
             if attempt + 1 < self.max_attempts:
-                retry_after = resp.headers.get("retry-after")
-                delay = (
-                    float(retry_after)
-                    if retry_after
-                    else min(self.base_delay * (2**attempt), self.max_delay)
-                )
+                delay = self._retry_after_seconds(resp.headers.get("retry-after"))
+                if delay is None:
+                    delay = min(self.base_delay * (2**attempt), self.max_delay)
                 self.sleep(delay)
         raise HttpStatusError(req, last)
+
+    @staticmethod
+    def _retry_after_seconds(value: str | None) -> float | None:
+        """RFC 7231 Retry-After: delta-seconds OR an HTTP-date. An
+        unparseable value falls back to exponential delay instead of
+        crashing a retryable 429/503 mid-backoff."""
+        if not value:
+            return None
+        try:
+            return max(0.0, float(value))
+        except ValueError:
+            pass
+        try:
+            from email.utils import parsedate_to_datetime
+
+            when = parsedate_to_datetime(value)
+            now = dt.datetime.now(dt.timezone.utc)
+            if when.tzinfo is None:
+                when = when.replace(tzinfo=dt.timezone.utc)
+            return max(0.0, (when - now).total_seconds())
+        except Exception:
+            return None
 
 
 class HttpStatusError(Exception):

@@ -105,6 +105,39 @@ def test_retry_429_backoff(server):
     assert len(sleeps) == 2  # two 429s, Retry-After: 0 honored
 
 
+def test_retry_after_http_date_and_garbage():
+    """RFC 7231 allows an HTTP-date Retry-After; garbage values fall
+    back to the exponential delay instead of crashing mid-backoff."""
+    import datetime as dt
+    from email.utils import format_datetime
+
+    from go_integ_spark.sources.http import HttpRequest, HttpResponse, Retryer
+
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=40)
+    headers = iter(
+        [
+            {"retry-after": format_datetime(future)},
+            {"retry-after": "not-a-date"},
+            {},
+        ]
+    )
+    attempts = []
+
+    def transport(req):
+        attempts.append(req)
+        if len(attempts) < 4:
+            return HttpResponse(status=429, headers=next(headers), body=b"{}")
+        return HttpResponse(status=200, headers={}, body=b"{}")
+
+    sleeps = []
+    r = Retryer(max_attempts=5, base_delay=0.5, sleep=sleeps.append)
+    resp = r.execute(transport, HttpRequest(url="http://x/y"))
+    assert resp.status == 200
+    assert 30 < sleeps[0] <= 40  # HTTP-date honored (wall-clock delta)
+    assert sleeps[1] == 1.0  # garbage -> exponential 0.5 * 2^1
+    assert sleeps[2] == 2.0  # absent -> exponential 0.5 * 2^2
+
+
 def test_retry_gives_up():
     from go_integ_spark.sources.http import HttpRequest, HttpResponse, Retryer, HttpStatusError
 

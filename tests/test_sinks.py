@@ -57,6 +57,29 @@ def test_merge_upsert_across_batches(spark, tmp_path):
     assert back == {1: ("a", "t1"), 2: ("b2", "t2"), 3: ("c", "t2")}
 
 
+def test_merge_refuses_to_overwrite_on_read_failure(spark, tmp_path):
+    """A corrupt/unreadable existing table must abort the merge, not
+    silently become a 'first write' that overwrites the table with
+    one batch."""
+    p = str(tmp_path / "t")
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        merge_upsert(spark, _df(spark, [(1, "a", "t1")]), p, USERS)
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
+    # table was not clobbered by the failed merge
+    assert (tmp_path / "t" / "part-00000.parquet").read_bytes() == b"not a parquet file"
+
+
+def test_merge_refuses_schema_drift(spark, tmp_path):
+    """Existing table missing an incoming column is drift, not a
+    license to overwrite."""
+    p = str(tmp_path / "t")
+    _df(spark, [(1, "a", "t1")]).select("id", "name").write.parquet(p)
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_upsert(spark, _df(spark, [(2, "b", "t2")]), p, USERS)
+
+
 def test_merge_requires_pk(spark, tmp_path):
     nopk = StreamSchema.from_ddl("x", "id long, v string")
     with pytest.raises(ValueError):

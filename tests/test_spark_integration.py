@@ -42,6 +42,46 @@ def test_datasource_distributed_read(spark, server):
     assert rows == sorted(p["name"] for p in server.data["pokemon"])
 
 
+def test_datasource_rejects_unpicklable_transport(spark, server):
+    """An injected transport must travel to executors or fail loudly —
+    never be silently replaced by the default urllib transport."""
+    import pytest
+
+    from go_integ_spark.sources.datasource import stream_dataframe
+
+    captured = []
+    with pytest.raises(ValueError, match="picklable transport"):
+        stream_dataframe(
+            spark,
+            pokeapi.streams[0],
+            {"url": server.base},
+            None,
+            transport=lambda req: captured.append(req),
+        )
+
+
+def test_datasource_reader_uses_injected_transport(server):
+    """Driver-side check that a serialized transport reaches the
+    executor read path (HttpStreamReader.read calls it, not urllib)."""
+    import base64
+    import pickle
+
+    from go_integ_spark.sources.datasource import HttpStreamReader, _StridePartition
+
+    stream = pokeapi.streams[0]
+    options = {
+        "config": "{}",
+        "transport": base64.b64encode(pickle.dumps(_failing_transport)).decode(),
+    }
+    reader = HttpStreamReader(stream, options, stream.schema.struct)
+    with pytest.raises(RuntimeError, match="injected transport used"):
+        list(reader.read(_StridePartition(0, 1)))
+
+
+def _failing_transport(req):
+    raise RuntimeError("injected transport used")
+
+
 def test_datasource_projection_pushdown(spark, server):
     """Catalyst column pruning reaches the HTTP query: selecting one
     column must make the reader request only that field."""
