@@ -2,11 +2,13 @@
 wraps the response writer in zstd when the client sends an
 ``Accept-Zstd`` header, proto.go:196-204).
 
-zstd has no stdlib codec on this Python; it is gated behind an
-import-try (``zstandard`` if installed, else a clear error). gzip is
-always available and is the default compressed form. Spark-side
-parquet/json writers take ``.option("compression", "zstd")``
-natively — this module only covers the driver-side NDJSON pipe.
+zstd has no stdlib codec on this Python, so the codec comes from
+``zstandard`` when installed, else from pyarrow's bundled libzstd
+(streaming CompressedOutput/InputStream — standard zstd frames, wire-
+compatible with the reference's client). gzip remains available as
+the stdlib fallback codec. Spark-side parquet/json writers take
+``.option("compression", "zstd")`` natively — this module only covers
+the driver-side NDJSON pipe.
 """
 
 from __future__ import annotations
@@ -16,6 +18,72 @@ import io
 from typing import IO
 
 CODECS = ("none", "gzip", "zstd")
+
+
+class _NonClosingWriter(io.RawIOBase):
+    """pyarrow's PythonFile closes its target on close; protocol sinks
+    (stdout, a response buffer the caller still reads) must survive."""
+
+    def __init__(self, raw: IO[bytes]):
+        self._raw = raw
+
+    def write(self, b) -> int:
+        return self._raw.write(b)
+
+    def writable(self) -> bool:
+        return True
+
+    def flush(self) -> None:
+        self._raw.flush()
+
+
+class _NonClosingReader(io.RawIOBase):
+    def __init__(self, raw: IO[bytes]):
+        self._raw = raw
+
+    def readinto(self, b) -> int:
+        data = self._raw.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def readable(self) -> bool:
+        return True
+
+
+def _zstd_writer(raw: IO[bytes]) -> IO[str]:
+    try:
+        import zstandard  # noqa: PLC0415 - optional dependency
+
+        return io.TextIOWrapper(
+            zstandard.ZstdCompressor().stream_writer(raw), encoding="utf-8"
+        )
+    except ImportError:
+        import pyarrow as pa  # noqa: PLC0415 - bundled libzstd fallback
+
+        return io.TextIOWrapper(
+            pa.CompressedOutputStream(
+                pa.PythonFile(_NonClosingWriter(raw), mode="w"), "zstd"
+            ),
+            encoding="utf-8",
+        )
+
+
+def _zstd_reader(raw: IO[bytes]) -> IO[str]:
+    try:
+        import zstandard  # noqa: PLC0415 - optional dependency
+
+        return io.TextIOWrapper(
+            zstandard.ZstdDecompressor().stream_reader(raw), encoding="utf-8"
+        )
+    except ImportError:
+        import pyarrow as pa  # noqa: PLC0415 - bundled libzstd fallback
+
+        return io.TextIOWrapper(
+            pa.CompressedInputStream(
+                pa.PythonFile(_NonClosingReader(raw), mode="r"), "zstd"
+            ),
+            encoding="utf-8",
+        )
 
 
 def wrap_output(raw: IO[bytes], compression: str = "none") -> IO[str]:
@@ -34,15 +102,7 @@ def wrap_output(raw: IO[bytes], compression: str = "none") -> IO[str]:
             gzip.GzipFile(fileobj=raw, mode="wb", mtime=0), encoding="utf-8"
         )
     if compression == "zstd":
-        try:
-            import zstandard  # noqa: PLC0415 - optional dependency
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "zstd output requires the 'zstandard' package; use gzip "
-                "or install zstandard"
-            ) from e
-        cctx = zstandard.ZstdCompressor()
-        return io.TextIOWrapper(cctx.stream_writer(raw), encoding="utf-8")
+        return _zstd_writer(raw)
     raise ValueError(f"unknown compression {compression!r}; expected {CODECS}")
 
 
@@ -53,10 +113,5 @@ def read_compressed(raw: IO[bytes], compression: str = "none") -> IO[str]:
     if compression == "gzip":
         return io.TextIOWrapper(gzip.GzipFile(fileobj=raw, mode="rb"), encoding="utf-8")
     if compression == "zstd":
-        try:
-            import zstandard  # noqa: PLC0415 - optional dependency
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError("zstd requires the 'zstandard' package") from e
-        dctx = zstandard.ZstdDecompressor()
-        return io.TextIOWrapper(dctx.stream_reader(raw), encoding="utf-8")
+        return _zstd_reader(raw)
     raise ValueError(f"unknown compression {compression!r}; expected {CODECS}")

@@ -161,6 +161,11 @@ class Engine:
         return buf.getvalue()
 
     # -- Spark path --------------------------------------------------------
+    # Driver-path buffering ceiling: a probe-scale convenience must
+    # never quietly become the production read path. Overridable per
+    # call for legitimately-larger probes.
+    DRIVER_FETCH_MAX_ROWS = 1_000_000
+
     def read_dataframes(
         self,
         source: Source,
@@ -168,12 +173,16 @@ class Engine:
         states: dict[str, dict] | None = None,
         selected: set[str] | None = None,
         distributed: bool = False,
+        max_driver_rows: int | None = None,
     ) -> tuple[dict[str, DataFrame], dict[str, Any]]:
         """One DataFrame per selected stream + post-read states.
 
         driver-side fetch (default): pages stream through the driver
         into Arrow batches — right for connector-scale data (an HTTP
-        API is the bottleneck, not Spark).
+        API is the bottleneck, not Spark). Guarded by a row ceiling
+        (``max_driver_rows``, default DRIVER_FETCH_MAX_ROWS): a pull
+        that exceeds it raises and points at the distributed path
+        instead of buffering an unbounded table on the driver.
 
         distributed=True: register the stream as a Python DataSource
         so fetching happens in executors (sources/datasource.py) —
@@ -182,6 +191,7 @@ class Engine:
         if self.spark is None:
             raise RuntimeError("Engine needs a SparkSession for read_dataframes")
         states = states or {}
+        ceiling = max_driver_rows if max_driver_rows is not None else self.DRIVER_FETCH_MAX_ROWS
         out: dict[str, DataFrame] = {}
         new_states: dict[str, Any] = {}
         for stream in source.streams:
@@ -198,7 +208,16 @@ class Engine:
                 pages, ns = stream.read(
                     config, states.get(name), transport=self.transport, clock=self.clock
                 )
-                rows = [r for page in pages for r in page]
+                rows: list = []
+                for page in pages:
+                    rows.extend(page)
+                    if len(rows) > ceiling:
+                        raise RuntimeError(
+                            f"driver-side read of stream {name!r} exceeded "
+                            f"{ceiling} rows; use read_dataframes("
+                            "distributed=True) (Python DataSource, executor-"
+                            "side pagination) for reads of this size"
+                        )
                 df = self.spark.createDataFrame(rows, schema=stream.schema.struct)
             out[name] = df
             if ns is not None:

@@ -11,9 +11,9 @@ Routes:
   path segment (proto.go:191-192).
 
 Compression: the reference wraps responses in zstd when the client
-sends ``Accept-Zstd`` (proto.go:196-204); here the analogue is
-standard ``Accept-Encoding: gzip`` (zstd has no stdlib codec — see
-engine/compress.py).
+sends ``Accept-Zstd`` (proto.go:196-204); honored here too (codec
+from ``zstandard`` or pyarrow's bundled libzstd — engine/compress.py),
+alongside standard ``Accept-Encoding: gzip``/``zstd``.
 
 Built on stdlib http.server: the service is a control-plane shim in
 front of the engine, not a data-plane component — heavy reads go
@@ -96,15 +96,22 @@ class IntegService:
                     return
                 payload = buf.getvalue().encode("utf-8")
                 accept = self.headers.get("Accept-Encoding", "")
+                # reference parity: Accept-Zstd wins (proto.go:196-204);
+                # Accept-Encoding: gzip/zstd also honored
+                codec = None
+                if self.headers.get("Accept-Zstd") or "zstd" in accept:
+                    codec = "zstd"
+                elif "gzip" in accept:
+                    codec = "gzip"
                 self.send_response(200)
                 self.send_header("Content-Type", "application/x-ndjson")
-                if "gzip" in accept:
+                if codec:
                     raw = io.BytesIO()
-                    w = wrap_output(raw, "gzip")
+                    w = wrap_output(raw, codec)
                     w.write(payload.decode("utf-8"))
                     w.close()
                     payload = raw.getvalue()
-                    self.send_header("Content-Encoding", "gzip")
+                    self.send_header("Content-Encoding", codec)
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)

@@ -78,6 +78,24 @@ def test_gzip_negotiation(service, upstream):
     assert sum(json.loads(ln)["type"] == "RECORD" for ln in lines) == 25
 
 
+def test_zstd_negotiation(service, upstream):
+    """reference proto.go:196-204: Accept-Zstd wraps the response in
+    zstd; round-trip through the repo's own reader."""
+    import io
+
+    from go_integ_spark.engine.compress import read_compressed
+
+    envelope = json.dumps({"type": "CONFIG", "config": {"url": upstream.base}})
+    status, body, headers = _post(
+        f"{service}/pokeapi/read", envelope, {"Accept-Zstd": "1"}
+    )
+    assert status == 200
+    assert headers.get("Content-Encoding") == "zstd"
+    assert body[:4] == bytes.fromhex("28b52ffd")  # standard zstd frame
+    lines = read_compressed(io.BytesIO(body), "zstd").read().splitlines()
+    assert sum(json.loads(ln)["type"] == "RECORD" for ln in lines) == 25
+
+
 def test_unknown_source_or_cmd_404(service):
     assert _post(f"{service}/nosuch/read", "")[0] == 404
     assert _post(f"{service}/pokeapi/frobnicate", "")[0] == 404

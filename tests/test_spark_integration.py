@@ -33,6 +33,15 @@ def test_read_dataframes_driver_path(spark, server):
     assert states == {}  # full-refresh stream, no cursor
 
 
+def test_driver_path_refuses_large_pulls(spark, server):
+    """The driver-side convenience path must not buffer unbounded
+    tables: past the ceiling it raises and points at the DataSource
+    path."""
+    eng = Engine(clock=FIXED_CLOCK, spark=spark)
+    with pytest.raises(RuntimeError, match="distributed=True"):
+        eng.read_dataframes(pokeapi, {"url": server.base}, max_driver_rows=10)
+
+
 def test_datasource_distributed_read(spark, server):
     from go_integ_spark.sources.datasource import stream_dataframe
 
