@@ -377,25 +377,26 @@ def simhash_sketches(docs: DataFrame) -> DataFrame:
     with_h = _spread(docs.filter(F.length("text") > 0)).select(
         "doc_id", hs.alias("hs")
     )
-    # bit j set iff strictly more set than unset bits among word hashes
-    bit_j = lambda j: (  # noqa: E731
-        F.size(
-            F.filter(
-                F.col("hs"),
-                lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
-        * 2
-        > F.size("hs")
+    # Single traversal: fold the word hashes into 64 per-bit counters
+    # (one zip_with per word), then fold the counters into the sketch.
+    # Bit j set iff strictly more set than unset bits among word
+    # hashes; 1L << 63 wraps to Long.MIN_VALUE so the sign bit needs
+    # no special case. One compact expression instead of 64 separate
+    # filter passes — the 64-term expression tree cost ~4.5s of
+    # codegen per process, which is pure overhead in a cold gate run.
+    counts = (
+        "aggregate(hs, array_repeat(0L, 64), (acc, h) -> "
+        "zip_with(acc, transform(sequence(0, 63), j -> shiftright(h, j) & 1), "
+        "(a, b) -> a + b))"
     )
-    # 1L << 63 wraps to Long.MIN_VALUE, so the sign bit needs no special case
-    simhash_col = None
-    for j in range(64):
-        term = F.when(bit_j(j), F.expr(f"shiftleft(1L, {j})")).otherwise(
-            F.lit(0).cast("long")
-        )
-        simhash_col = term if simhash_col is None else simhash_col.bitwiseOR(term)
-    return with_h.select("doc_id", simhash_col.alias("simhash"))
+    fold_bits = (
+        "aggregate(transform(sequence(0, 63), j -> "
+        "IF(cnts[j] * 2 > size(hs), shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"
+    )
+    return (
+        with_h.withColumn("cnts", F.expr(counts))
+        .select("doc_id", F.expr(fold_bits).alias("simhash"))
+    )
 
 
 @register("dedup_simhash", tags=("dedup", "simhash"), oracle=None)

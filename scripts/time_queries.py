@@ -1,0 +1,33 @@
+"""Time every registered query (warm session) and print a JSON cost
+map — the source of __spark_entry__._MEASURED_COST, which orders the
+driver's correctness-gate sweep cheapest-first.
+
+Usage: python scripts/time_queries.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entry
+    from go_integ_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    times: dict[str, object] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 2)
+        except Exception as ex:  # noqa: BLE001 - report, keep timing
+            times[name] = f"ERR {ex}"
+    print(json.dumps(times, indent=1))
+
+
+if __name__ == "__main__":
+    main()
