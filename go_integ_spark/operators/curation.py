@@ -6,25 +6,35 @@ layer, SURVEY.md §7 step 8):
 - train/test contamination check     n-gram overlap against a held-out
                                      split
 - corpus token statistics            per-stratum token distributions
+- per-domain caps                    bound any one source's share
+- quality-percentile filtering      two-pass cutoff + broadcast filter
+- sequence packing                   token-budget bins for training
+- weighted (importance) sampling     length-weighted keep probability
 
 Scale design:
 
-- Sampling is a pure row-local filter on a hash bucket — no shuffle,
-  no RNG state, reproducible across runs/engines/cluster sizes, and
-  it composes with partition pruning (the filter reaches the scan).
-  This is how you cut a 100 TB corpus to a fixed-rate sample without
-  materializing anything.
+- Sampling (stratified and weighted) is a pure row-local filter on a
+  hash bucket — no shuffle, no RNG state, reproducible across runs/
+  engines/cluster sizes, and it composes with partition pruning (the
+  filter reaches the scan). This is how you cut a 100 TB corpus to a
+  fixed-rate sample without materializing anything.
 - The contamination join exchanges only 8-byte shingle IDs, never
   text; the train side is deduplicated to distinct IDs before the
   join, so the shuffle is bounded by vocabulary, not corpus size.
 - Token stats use exact percentiles (oracle-matched); the 100 TB path
   swaps in ``percentile_approx`` (t-digest, mergeable map-side) —
   same note as ``agg_percentiles``.
+- The quality filter is the two-pass broadcast-cutoff pattern (like
+  window_spend_quartiles): tiny per-stratum thresholds move, the
+  corpus never does.
+- Packing partitions by (lang, shard) so no window ever sees more
+  than one shard of one language — shard count scales with the
+  cluster, not the corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_integ_spark.operators.dedup import SHINGLE_K, _cached_doc_sets
@@ -171,4 +181,184 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("nt", F.lit(0.5)), 4).alias("p50_tokens"),
             F.round(F.percentile("nt", F.lit(0.95)), 4).alias("p95_tokens"),
         )
+    )
+
+
+DOMAIN_CAP = 15  # max docs kept per source
+
+
+@register(
+    "curation_domain_cap",
+    tags=("curation", "window"),
+    oracle=f"""
+SELECT doc_id, source, CAST(rn AS INT) AS rn
+FROM (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {DOMAIN_CAP}
+""",
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most DOMAIN_CAP docs per source (by
+    doc_id order) — the standard guard against any one domain
+    dominating a training mix.
+
+    Scale: one shuffle on source; source cardinality grows with the
+    corpus so partitions stay balanced. A mega-domain (single source
+    holding a measurable corpus fraction) would skew its partition —
+    for that regime, pre-filter with a deterministic hash sample down
+    to ~cap-size before the exact window (same output for any source
+    where the sample keeps >= cap rows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DOMAIN_CAP)
+        .select("doc_id", "source", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+QUALITY_CUT_PCT = 0.25  # drop the bottom quartile per language
+
+
+@register(
+    "curation_quality_filter",
+    tags=("curation", "quality", "two_pass"),
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           length(regexp_replace(text, '[^a-z]', '', 'g'))
+               / greatest(length(text), 1) AS alpha_density
+    FROM documents
+), cuts AS (
+    SELECT lang, quantile_cont(alpha_density, {QUALITY_CUT_PCT}) AS cut
+    FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, round(s.alpha_density, 6) AS score
+FROM scored s JOIN cuts c ON s.lang = c.lang
+WHERE s.alpha_density >= c.cut
+""",
+)
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering by per-language percentile: drop the bottom
+    quartile of alpha-density within each language.
+
+    The two-pass shape survives 100 TB: pass 1 reduces the corpus to
+    5 (lang, cutoff) rows; pass 2 re-scans with a broadcast join +
+    row-local filter. The corpus is never sorted or windowed. Exact
+    percentile holds per-lang score lists at cutoff time — at extreme
+    scale swap ``percentile`` for ``percentile_approx`` (t-digest);
+    the filter plan is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    density = F.length(F.regexp_replace(F.col("text"), "[^a-z]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    scored = docs.select("doc_id", "lang", density.alias("alpha_density"))
+    cuts = scored.groupBy("lang").agg(
+        F.percentile("alpha_density", F.lit(QUALITY_CUT_PCT)).alias("cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("alpha_density") >= F.col("cut"))
+        .select("doc_id", "lang", F.round("alpha_density", 6).alias("score"))
+    )
+
+
+PACK_BUDGET = 256  # whitespace tokens per packed training sequence
+PACK_SHARDS = 8  # independent packing shards per language
+
+
+@register(
+    "curation_pack_sequences",
+    tags=("curation", "packing", "window"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+           len(regexp_extract_all(text, '\\S+')) AS nt
+    FROM documents
+), packed AS (
+    SELECT lang, shard, nt,
+           CAST(floor((sum(nt) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - nt) / {PACK_BUDGET}) AS INT) AS bin_id
+    FROM toks
+)
+SELECT lang, shard, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT)  AS total_tokens
+FROM packed
+GROUP BY lang, shard, bin_id
+""",
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign docs (in deterministic
+    doc_id order) to consecutive token-budget bins of PACK_BUDGET
+    whitespace tokens — the batch-shaping step before tokenized
+    training shards are written.
+
+    Bin id = floor(preceding-cumulative-tokens / budget): the
+    streaming-chunking form of packing (a doc may straddle a bin
+    boundary; exact next-fit packing is sequentially dependent and
+    not parallelizable). Partitioned by (lang, doc_id % shards): each
+    window sees 1/shards of one language, so the sort is distributed
+    — shard count scales with the cluster.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        nt.alias("nt"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("nt").over(w) - F.col("nt")) / PACK_BUDGET).cast("int"),
+    )
+    return packed.groupBy("lang", "shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+    )
+
+
+@register(
+    "curation_weighted_sample",
+    tags=("curation", "sampling"),
+    oracle="""
+SELECT doc_id, lang,
+       CAST(least(95, greatest(5, 100 * n_chars // 400)) AS BIGINT)
+           AS keep_pct
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+      < least(95, greatest(5, 100 * n_chars // 400))
+""",
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a deterministic coin: keep probability
+    proportional to document length (clamped to [5%, 95%]) — the
+    up-weight-long-documents move in data-mixing pipelines, with the
+    same engine-portable md5 bucket as ``sample_stratified`` so the
+    sample is reproducible on any cluster layout and in the oracle.
+    Row-local filter; composes with partition pruning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keep_pct = F.least(
+        F.lit(95),
+        F.greatest(F.lit(5), F.floor((F.lit(100) * F.col("n_chars")) / 400)),
+    ).cast("bigint")
+    return (
+        docs.withColumn("keep_pct", keep_pct)
+        .filter(hash_bucket(F.col("doc_id").cast("string")) < F.col("keep_pct"))
+        .select("doc_id", "lang", "keep_pct")
     )
