@@ -55,7 +55,8 @@ _MEASURED_COST = {
     "basket_part_pairs": 1.32, "similarity_threshold_join": 1.35,
     "text_tfidf_topk": 1.35, "text_winnow_fingerprint": 1.47,
     "streaming_running_max_cursor": 1.55, "dedup_ngram_jaccard": 1.64,
-    "curation_weighted_sample": 0.55, "curation_pack_sequences": 0.95,
+    "curation_weighted_sample": 0.55, "embedding_outliers": 1.6,
+    "curation_pack_sequences": 0.95,
     "curation_domain_cap": 1.26, "curation_quality_filter": 1.28,
     "connector_http_paginated_read": 2.09, "q8_market_share": 2.15,
     "q7_volume_shipping": 2.24, "dedup_embedding_cosine": 2.3,

@@ -386,3 +386,79 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+OUTLIER_PCT = 0.95  # per-label distance percentile above which a
+# vector is flagged
+
+
+@register(
+    "embedding_outliers",
+    tags=("similarity", "quality", "two_pass"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), dims AS (
+    SELECT label, t.i AS i, round(avg(e[t.i]), 6) AS m
+    FROM v, unnest(generate_series(1, len(e))) AS t(i)
+    GROUP BY label, t.i
+), cent AS (
+    SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY label
+), d AS (
+    SELECT v.vec_id, v.label,
+           round(sum((v.e[t.i] - cent.c[t.i]) * (v.e[t.i] - cent.c[t.i])), 4)
+               AS dist2
+    FROM v
+    JOIN cent ON v.label = cent.label,
+         unnest(generate_series(1, len(v.e))) AS t(i)
+    GROUP BY v.vec_id, v.label
+), cuts AS (
+    SELECT label, quantile_cont(dist2, {OUTLIER_PCT}) AS cut
+    FROM d GROUP BY label
+)
+SELECT d.vec_id, d.label, d.dist2, d.dist2 > c.cut AS is_outlier
+FROM d JOIN cuts c ON d.label = c.label
+""",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality check: squared distance of every vector
+    to its label's centroid, flagging vectors above the per-label P95
+    distance (mislabeled / corrupted embedding candidates).
+
+    Two two-pass reductions, zero corpus-sized shuffles: (1) centroids
+    via dimension-parallel (label, pos) aggregation — the same
+    shuffle-lean update step as k-means — broadcast back; (2) the P95
+    cut per label (tiny) broadcast back for a row-local flag. Rounding
+    at each reduction (centroid 6dp, dist2 4dp) keeps cross-engine
+    float folds byte-agreeing for the oracle.
+    """
+    from go_integ_spark.functions.vector import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    cent = (
+        emb.select("label", F.posexplode("e").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.col("pm.m").alias("c"))
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    d = emb.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", dist2.alias("dist2")
+    )
+    cuts = d.groupBy("label").agg(
+        F.percentile("dist2", F.lit(OUTLIER_PCT)).alias("cut")
+    )
+    return d.join(F.broadcast(cuts), "label").select(
+        "vec_id", "label", "dist2", (F.col("dist2") > F.col("cut")).alias("is_outlier")
+    )

@@ -141,6 +141,34 @@ def test_pii_redact_shuffle_free(registry, spark):
     assert shuffle_count(df) == 0
 
 
+def test_weighted_sample_shuffle_free_and_pruned(registry, spark):
+    df = _df(registry, spark, "curation_weighted_sample")
+    assert shuffle_count(df) == 0  # row-local hash coin
+    (schema,) = read_schemas(df)
+    assert "text" not in schema  # never reads document bodies
+
+
+def test_quality_filter_is_broadcast_two_pass(registry, spark):
+    """Cutoffs must arrive via broadcast join; the corpus side is
+    never windowed or sorted."""
+    df = _df(registry, spark, "curation_quality_filter")
+    plan = executed_plan(df)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert "Window" not in plan
+
+
+def test_pack_sequences_window_is_sharded(registry, spark):
+    """The packing window must partition by (lang, shard), never by
+    the 5-value lang alone."""
+    import re
+
+    df = _df(registry, spark, "curation_pack_sequences")
+    plan = executed_plan(df)
+    m = re.search(r"windowspecdefinition\(([^)]*?) ASC", plan)
+    assert m is not None
+    assert "shard" in m.group(1)
+
+
 def test_spend_quartiles_two_pass_rank(registry, spark):
     """The scale-safe shape: the row_number rank window is partitioned
     by (segment, slice_id) — never by the 5-value segment alone over
