@@ -18,8 +18,11 @@ alongside standard ``Accept-Encoding: gzip``/``zstd``.
 Built on stdlib http.server: the service is a control-plane shim in
 front of the engine, not a data-plane component — heavy reads go
 through Spark jobs, so a threaded stdlib server is the right weight.
-The reference's NaCl signed-token auth (R8, cmd/server/main.go:34-98)
-is a demo-server concern and intentionally out of scope.
+Signed-token auth (R8, cmd/server/main.go:34-98): pass
+``allowed_keys`` (Ed25519 public keys) and every request must carry a
+valid Authorization token (engine/auth.py, wire-compatible with the
+reference's NaCl tokens); failures answer 405 like the reference
+(main.go:113).
 """
 
 from __future__ import annotations
@@ -41,9 +44,37 @@ class IntegService:
     """A set of named sources served over HTTP (reference Handler,
     proto.go:149-172)."""
 
-    def __init__(self, sources: dict[str, Source], engine: Engine | None = None):
+    def __init__(
+        self,
+        sources: dict[str, Source],
+        engine: Engine | None = None,
+        allowed_keys: list[bytes] | None = None,
+    ):
         self.sources = dict(sources)
         self.engine = engine or Engine()
+        self.allowed_keys = allowed_keys
+
+    def check_auth(self, handler: BaseHTTPRequestHandler) -> bool:
+        """True if the request may proceed; answers 405 otherwise
+        (reference main.go:110-116)."""
+        if self.allowed_keys is None:
+            return True
+        from go_integ_spark.engine.auth import AuthError, verify
+
+        try:
+            verify(
+                handler.headers.get("Authorization", ""),
+                handler.path,
+                self.allowed_keys,
+            )
+            return True
+        except AuthError:
+            msg = b"auth error"
+            handler.send_response(405)
+            handler.send_header("Content-Length", str(len(msg)))
+            handler.end_headers()
+            handler.wfile.write(msg)
+            return False
 
     def match_source(self, path: str) -> tuple[str, Source] | None:
         """Longest-prefix match of /{source}/... (proto.go:163-168)."""
@@ -62,6 +93,8 @@ class IntegService:
                 pass
 
             def do_GET(self):
+                if not service.check_auth(self):
+                    return
                 if self.path.rstrip("/") == "/discover":
                     body = json.dumps(sorted(service.sources)).encode()
                     self.send_response(200)
@@ -73,6 +106,8 @@ class IntegService:
                     self.send_error(404)
 
             def do_POST(self):
+                if not service.check_auth(self):
+                    return
                 matched = service.match_source(self.path)
                 cmd = self.path.rstrip("/").rsplit("/", 1)[-1]
                 if matched is None or cmd not in COMMANDS:

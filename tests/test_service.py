@@ -112,3 +112,105 @@ def test_singer_format_selectable(service, upstream):
     assert status == 200
     first = json.loads(body.splitlines()[0])
     assert first["type"] == "SCHEMA"  # Singer emits SCHEMA up-front
+
+
+# --- R8: signed-token auth (reference cmd/server/main.go:34-98) -----------
+@pytest.fixture(scope="module")
+def auth_service(upstream):
+    from go_integ_spark.engine.auth import generate_keypair
+
+    pub, priv = generate_keypair()
+    svc = IntegService({"pokeapi": pokeapi}, allowed_keys=[pub])
+    server = svc.serve()
+    port = server.server_address[1]
+    yield f"http://127.0.0.1:{port}", pub, priv
+    server.shutdown()
+
+
+def _token(priv, prefixes="/pokeapi", expires_in=3600):
+    import time
+
+    from go_integ_spark.engine.auth import Token, sign_token
+
+    pub = priv.public_key().public_bytes_raw()
+    return sign_token(
+        Token(
+            expires_at=int(time.time()) + expires_in,
+            url_prefixes=prefixes,
+            public=pub,
+        ),
+        priv,
+    )
+
+
+def test_auth_valid_token_passes(auth_service, upstream):
+    base, _pub, priv = auth_service
+    envelope = json.dumps({"type": "CONFIG", "config": {"url": upstream.base}})
+    status, body, _ = _post(
+        f"{base}/pokeapi/read",
+        envelope,
+        {"Authorization": _token(priv)},
+    )
+    assert status == 200
+    assert sum(
+        json.loads(ln)["type"] == "RECORD" for ln in body.splitlines()
+    ) == 25
+
+
+def test_auth_missing_expired_or_wrong_path_405(auth_service, upstream):
+    base, _pub, priv = auth_service
+    envelope = json.dumps({"type": "CONFIG", "config": {"url": upstream.base}})
+    for headers in (
+        {},  # no token
+        {"Authorization": _token(priv, expires_in=-10)},  # expired
+        {"Authorization": _token(priv, prefixes="/other")},  # wrong prefix
+    ):
+        status, body, _ = _post(f"{base}/pokeapi/read", envelope, headers)
+        assert status == 405
+        assert body == b"auth error"
+
+
+def test_auth_unknown_key_and_tamper_405(auth_service, upstream):
+    from go_integ_spark.engine.auth import generate_keypair
+
+    base, _pub, priv = auth_service
+    envelope = json.dumps({"type": "CONFIG", "config": {"url": upstream.base}})
+    _, other_priv = generate_keypair()
+    status, _, _ = _post(
+        f"{base}/pokeapi/read", envelope, {"Authorization": _token(other_priv)}
+    )
+    assert status == 405  # key not in allowlist
+
+    # tamper: flip a byte inside the signed payload
+    tok = _token(priv)
+    import base64 as b64
+
+    raw = bytearray(b64.urlsafe_b64decode(tok + "=" * (-len(tok) % 4)))
+    raw[70] ^= 0xFF
+    bad = b64.urlsafe_b64encode(bytes(raw)).rstrip(b"=").decode()
+    status, _, _ = _post(
+        f"{base}/pokeapi/read", envelope, {"Authorization": bad}
+    )
+    assert status == 405
+
+
+def test_auth_verify_roundtrip_unit():
+    import time as _time
+
+    from go_integ_spark.engine.auth import (
+        AuthError,
+        Token,
+        generate_keypair,
+        sign_token,
+        verify,
+    )
+
+    pub, priv = generate_keypair()
+    tok = Token(int(_time.time()) + 60, "/a,/b", pub)
+    header = sign_token(tok, priv)
+    out = verify(header, "/b/read", [pub])
+    assert out.url_prefixes == "/a,/b"
+    with pytest.raises(AuthError, match="invalid prefix"):
+        verify(header, "/c/read", [pub])
+    with pytest.raises(AuthError, match="invalid auth len"):
+        verify("QUJD", "/a", [pub])
