@@ -54,7 +54,8 @@ _MEASURED_COST = {
     "ann_bruteforce_topk": 1.06, "q5_local_supplier_volume": 1.22,
     "basket_part_pairs": 1.32, "similarity_threshold_join": 1.35,
     "text_tfidf_topk": 1.35, "text_winnow_fingerprint": 1.47,
-    "streaming_running_max_cursor": 1.55, "dedup_ngram_jaccard": 1.64,
+    "streaming_running_max_cursor": 1.55, "streaming_stream_join": 1.6,
+    "streaming_tws_user_profile": 1.8, "dedup_ngram_jaccard": 1.64,
     "curation_weighted_sample": 0.55, "embedding_outliers": 1.6,
     "curation_pack_sequences": 0.95,
     "curation_domain_cap": 1.26, "curation_quality_filter": 1.28,

@@ -207,3 +207,107 @@ def streaming_running_max_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_ts").alias("max_ts"),
         F.round(F.max("total_value"), 2).alias("total_value"),
     )
+
+
+def _tws_available() -> bool:
+    """transformWithState's state-server protocol needs protobuf,
+    which this container lacks — gate the query registration so the
+    surface lights up automatically where protobuf is installed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _streaming_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState (Spark 4 stateful API) driven to completion:
+    per-user profile (event count, purchase count, cursor high-water
+    mark) kept in a typed ValueState. Final state must equal the batch
+    aggregate — all three counters are monotone per key, so max() per
+    key recovers the final update regardless of batch splits.
+    Requires the RocksDB state store provider and protobuf (see
+    streaming/tws.py).
+    """
+    from go_integ_spark.streaming.tws import user_profiles
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    path, schema = _events_stream_source(spark, sf_dir)
+    updates = user_profiles(read_stream(spark, path, schema))
+    out = _run_to_memory(updates, "update", "tws")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_purchases").alias("n_purchases"),
+        F.max("max_ts_us").alias("max_ts_us"),
+    )
+
+
+if _tws_available():  # pragma: no cover - protobuf not in this container
+    register(
+        "streaming_tws_user_profile",
+        tags=("streaming", "stateful", "transformWithState"),
+        oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us
+FROM events
+GROUP BY user_id
+""",
+    )(_streaming_tws_user_profile)
+
+
+@register(
+    "streaming_stream_join",
+    tags=("streaming", "join", "watermark"),
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+""",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user
+    clicks in the preceding 30 minutes, BOTH sides streaming with
+    watermarks. The event-time bound lets the state store evict
+    clicks older than the watermark horizon — the state-bounding
+    contract that makes stream-stream joins viable at scale. Driven
+    to completion, the append-mode join must equal the batch interval
+    join.
+    """
+    path, schema = _events_stream_source(spark, sf_dir)
+    clicks = (
+        read_stream(spark, path, schema)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .alias("c")
+    )
+    purchases = (
+        read_stream(spark, path, schema)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .alias("p")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c.user_id = p.user_id AND "
+            "c.ts >= p.ts - interval 30 minutes AND c.ts <= p.ts"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.user_id").alias("user_id"),
+    )
+    return _run_to_memory(joined, "append", "ssj")

@@ -256,3 +256,38 @@ def test_watermark_drops_late_data_append_mode(spark, tmp_path):
         (r["w"]["start"], r["n"]) for r in spark.table(name).collect()
     ]
     assert out == [(T(10, 0), 2)], out
+
+
+def test_tws_user_profile_matches_batch(spark):
+    """transformWithState final state == batch aggregate. Skipped
+    where protobuf (the TWS state-server protocol) is unavailable."""
+    import pytest as _pytest
+
+    from go_integ_spark.streaming.queries import (
+        _streaming_tws_user_profile,
+        _tws_available,
+    )
+
+    if not _tws_available():
+        _pytest.skip("protobuf not installed; transformWithState needs it")
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["n_purchases"], r["max_ts_us"])
+        for r in _streaming_tws_user_profile(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    want = {
+        r["user_id"]: (r["n"], r["p"], r["m"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("p"),
+            F.unix_micros(F.max("ts")).alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
