@@ -129,6 +129,19 @@ def make_fixtures(base: str) -> dict:
             return shopify_users_route(q, h)
         return sitoo_route(q, h)
 
+    # offset/limit endpoint that 429s the FIRST request for every
+    # offset (deterministic), then serves it — exercises executor-side
+    # retry in the distributed DataSource path.
+    flaky_offsets_seen: set = set()
+
+    def flaky_users_route(q, h):
+        start = int(q.get("start", ["0"])[0])
+        if start not in flaky_offsets_seen:
+            flaky_offsets_seen.add(start)
+            return 429, {"Retry-After": "0"}, {"error": "rate limited"}
+        num = int(q.get("num", ["10"])[0])
+        return 200, {}, {"items": sitoo_users[start : start + num]}
+
     return {
         "/pokemon": poke_route,
         "/users.json": users_json_route,
@@ -136,6 +149,7 @@ def make_fixtures(base: str) -> dict:
         "/Orders": storm_route,
         "/orders.json": orders_json_route,
         "/flaky": flaky_route,
+        "/flaky_users.json": flaky_users_route,
         "_data": {
             "pokemon": pokemon,
             "users": users,

@@ -105,6 +105,27 @@ def test_datasource_projection_pushdown(spark, server):
     assert out[0].email.endswith("@example.com")
 
 
+def test_datasource_stride_read_survives_429s(spark, server):
+    """Executor-side retry: every offset's first request is 429'd by
+    the stub; the strided distributed read must still return every
+    row exactly once (Retryer runs inside the DataSource partitions).
+    """
+    from dataclasses import replace as dc_replace
+
+    from go_integ_spark.sources.datasource import stream_dataframe
+
+    stream = dc_replace(sitoo.stream("users"), path="/flaky_users.json")
+    df, _ = stream_dataframe(
+        spark,
+        stream,
+        {"url": server.base, "user": "u", "password": "p"},
+        None,
+        num_partitions=3,
+    )
+    rows = sorted(r.userid for r in df.collect())
+    assert rows == sorted(u["userid"] for u in server.data["sitoo_users"])
+
+
 def test_datasource_offset_stride_partitions(spark, server):
     """Offset/limit pagination fans out across N input partitions
     (interleaved strides) and still returns every row exactly once."""
