@@ -50,7 +50,8 @@ _MEASURED_COST = {
     "range_join_error_clicks": 0.72, "q18_large_volume_customers": 0.8,
     "q3_shipping_priority": 0.87, "streaming_session_window": 0.97,
     "agg_percentiles": 0.99, "dedup_keep_latest": 0.99,
-    "events_hourly_rollup": 0.35, "q9_product_profit": 1.18,
+    "events_hourly_rollup": 0.35, "events_hourly_gapfill": 0.7,
+    "window_share_of_segment": 0.6, "q9_product_profit": 1.18,
     "ann_bruteforce_topk": 1.06, "q5_local_supplier_volume": 1.22,
     "basket_part_pairs": 1.32, "similarity_threshold_join": 1.35,
     "text_tfidf_topk": 1.35, "text_winnow_fingerprint": 1.47,

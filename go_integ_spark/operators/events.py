@@ -305,3 +305,70 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    tags=("events", "time", "gapfill"),
+    oracle=f"""
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo,
+           date_trunc('hour', max(ts)) AS hi
+    FROM events
+), spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+    FROM bounds
+), types AS (
+    SELECT unnest({list(EVENT_TYPES)}) AS event_type
+), counts AS (
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT s.hour_start, t.event_type,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS n
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN counts c
+  ON c.hour_start = s.hour_start AND c.event_type = t.event_type
+""",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly counts: a generated calendar spine (every
+    hour between the corpus bounds x every event type) left-joined to
+    the observed counts, zeros where nothing happened — the shape
+    every time-series consumer (charting, anomaly detection, forecast
+    features) needs, and the step people get wrong by grouping only
+    observed rows.
+
+    Scale: the corpus is touched exactly twice (bounds aggregate,
+    counts aggregate — both map-side combined); the spine is
+    hours x types (thousands of rows at any data scale), so the
+    gap-fill join is trivially broadcastable and the plan is
+    insensitive to corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    types = spark.createDataFrame(
+        [(t,) for t in EVENT_TYPES], schema="event_type string"
+    )
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        spine.crossJoin(types)
+        .join(counts, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )

@@ -780,3 +780,48 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderstatus", "o_orderpriority", "total", "n")
     )
+
+
+@register(
+    "window_share_of_segment",
+    tags=("window", "ratio", "two_pass"),
+    oracle="""
+WITH spend AS (
+    SELECT c_mktsegment, c_custkey,
+           round(sum(o_totalprice), 2) AS spend
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment, c_custkey
+)
+SELECT c_mktsegment, c_custkey, spend,
+       round(spend / sum(spend) OVER (PARTITION BY c_mktsegment), 6)
+           AS segment_share
+FROM spend
+""",
+)
+def window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer's share of their market
+    segment's total spend. The oracle states it as a window; the
+    shipped plan uses the scale-safe equivalent — a 5-row segment
+    total aggregate broadcast back onto the spend rows — because a
+    ``sum() OVER (PARTITION BY c_mktsegment)`` window would funnel
+    1/5 of all customers through one executor at 100 TB (same
+    rationale as window_spend_quartiles, but for an unordered frame
+    the rewrite is a plain grand-total join, no slicing needed).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    totals = spend.groupBy("c_mktsegment").agg(F.sum("spend").alias("seg_total"))
+    return (
+        spend.join(F.broadcast(totals), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "spend",
+            F.round(F.col("spend") / F.col("seg_total"), 6).alias("segment_share"),
+        )
+    )
