@@ -67,3 +67,18 @@ def test_timestamp_and_binary_json_schema():
     js = spark_type_to_json_schema(parse_ddl("ts timestamp, blob binary"))
     assert js["properties"]["ts"] == {"type": "string", "format": "date-time"}
     assert js["properties"]["blob"]["contentEncoding"] == "base64"
+
+
+def test_entry_queries_cost_ascending_and_complete():
+    """The driver-gate ordering contract: every registered query has a
+    measured cost entry (new queries must be timed via
+    scripts/time_queries.py), and queries() iterates cheapest-first so
+    a time-budgeted gate sweep completes the maximum number of rows."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    missing = [n for n in names if n not in entry._MEASURED_COST]
+    assert not missing, f"untimed queries (run scripts/time_queries.py): {missing}"
+    costs = [entry._MEASURED_COST[n] for n in names]
+    assert costs == sorted(costs)
+    assert set(entry.oracle_sql()) <= set(names)
