@@ -162,6 +162,30 @@ def test_file_stream_incremental(spark, tmp_path):
     assert df3.count() == 0 and state3 == {"To": 9}  # cursor holds
 
 
+def test_file_stream_csv_and_jsonl(spark, tmp_path):
+    """S12 across formats: the same declarative FileStream spec reads
+    csv and jsonl with the declared schema applied (no inference
+    job) and the same cursor-incremental contract."""
+    schema = StreamSchema.from_ddl("ev", "id long, v long").iterated_by("id")
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "part.csv").write_text("3,30\n4,40\n5,50\n")
+    fs_csv = FileStream(schema=schema, path=str(csv_dir), format="csv")
+    df, state = fs_csv.incremental_dataframe(spark, {"To": 3})
+    assert sorted((r.id, r.v) for r in df.collect()) == [(4, 40), (5, 50)]
+    assert state == {"To": 5}
+
+    jl_dir = tmp_path / "jl"
+    jl_dir.mkdir()
+    (jl_dir / "part.jsonl").write_text(
+        '{"id": 1, "v": 10}\n{"id": 2, "v": 20}\n'
+    )
+    fs_jl = FileStream(schema=schema, path=str(jl_dir), format="json")
+    df2, state2 = fs_jl.incremental_dataframe(spark, None)
+    assert sorted((r.id, r.v) for r in df2.collect()) == [(1, 10), (2, 20)]
+    assert state2 == {"To": 2}
+
+
 def test_cli_spec_and_read(server, capsys):
     import json
 
