@@ -56,6 +56,7 @@ _MEASURED_COST = {
     "basket_part_pairs": 1.32, "similarity_threshold_join": 1.35,
     "text_tfidf_topk": 1.35, "text_winnow_fingerprint": 1.47,
     "streaming_running_max_cursor": 1.55, "streaming_stream_join": 1.6,
+    "dedup_incremental_lsh": 1.7,
     "streaming_tws_user_profile": 1.8, "dedup_ngram_jaccard": 1.64,
     "curation_weighted_sample": 0.55, "embedding_outliers": 1.6,
     "curation_pack_sequences": 0.95,
