@@ -54,7 +54,8 @@ _MEASURED_COST = {
     "window_share_of_segment": 0.6, "q9_product_profit": 1.18,
     "ann_bruteforce_topk": 1.06, "q5_local_supplier_volume": 1.22,
     "basket_part_pairs": 1.32, "similarity_threshold_join": 1.35,
-    "text_tfidf_topk": 1.35, "text_winnow_fingerprint": 1.47,
+    "text_tfidf_topk": 1.35, "text_embed_hash": 1.4,
+    "text_winnow_fingerprint": 1.47,
     "streaming_running_max_cursor": 1.55, "streaming_stream_join": 1.6,
     "dedup_incremental_lsh": 1.7,
     "streaming_tws_user_profile": 1.8, "dedup_ngram_jaccard": 1.64,

@@ -354,3 +354,86 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_N)
         .select("doc_id", "word", "tfidf")
     )
+
+
+EMBED_DIM = 16  # stub embedding dimensionality
+
+
+@register(
+    "text_embed_hash",
+    tags=("text", "embedding", "pandas_udf"),
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(w), 1, 15))::BIGINT % {EMBED_DIM} AS j
+    FROM toks
+), n AS (
+    SELECT doc_id, count(*) AS nt FROM b GROUP BY doc_id
+), c AS (
+    SELECT doc_id, j, count(*) AS cj FROM b GROUP BY doc_id, j
+), dims AS (
+    SELECT doc_id, unnest(generate_series(0, {EMBED_DIM - 1})) AS j FROM n
+)
+SELECT d.doc_id,
+       CAST(d.j AS INT) AS dim_idx,
+       round(coalesce(c.cj, 0) / CAST(n.nt AS DOUBLE), 6) AS v
+FROM dims d
+JOIN n ON n.doc_id = d.doc_id
+LEFT JOIN c ON c.doc_id = d.doc_id AND c.j = d.j
+""",
+)
+def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding generation through the batch model-inference shape:
+    an Arrow-batched ``mapInPandas`` kernel maps each document to a
+    {EMBED_DIM}-dim vector (here a deterministic hashed-token
+    histogram — swap in a real encoder without touching the plan),
+    emitted in exploded (doc_id, dim_idx, v) feature-store layout.
+
+    The stub hashes with md5 so DuckDB computes the identical
+    embedding — the inference plumbing itself is value-level
+    oracle-checked, same trick as the multimodal kernels. Scale: the
+    kernel is per-batch Python (the GPU-model slot); everything
+    around it is row-local, so throughput scales with executors and
+    maxRecordsPerBatch controls the batch shape a model server wants.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("dim_idx", IntegerType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+
+    def embed(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, dims, vals = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                counts = [0] * EMBED_DIM
+                for w in toks:
+                    j = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % EMBED_DIM
+                    counts[j] += 1
+                nt = float(len(toks))
+                for j in range(EMBED_DIM):
+                    ids.append(doc_id)
+                    dims.append(j)
+                    vals.append(round(counts[j] / nt, 6))
+            yield pd.DataFrame({"doc_id": ids, "dim_idx": dims, "v": vals})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(embed, out_schema)
