@@ -8,8 +8,11 @@ Usage: python scripts/time_queries.py [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
