@@ -112,6 +112,25 @@ def test_range_join_is_hash_not_nested_loop(registry, spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
+def test_incremental_lsh_never_joins_corpus_to_itself(registry, spark):
+    """The incremental dedup must join new-batch buckets to corpus
+    buckets — a plan with a bucket self-join (corpus x corpus) defeats
+    the point. Both bucket sides must carry the split filter."""
+    df = _df(registry, spark, "dedup_incremental_lsh")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # the % 10 split predicates survive into the plan (both sides)
+    assert plan.count("% 10") >= 2
+
+
+def test_gapfill_touches_corpus_exactly_twice(registry, spark):
+    """Bounds + counts: exactly two events scans; the spine side must
+    never scale with the corpus."""
+    df = _df(registry, spark, "events_hourly_gapfill")
+    schemas = read_schemas(df)
+    assert len(schemas) == 2  # two scans of events.parquet, nothing else
+
+
 def test_embedding_dedup_has_no_cross_join(registry, spark):
     """Candidate generation must be the IVF-cell equi-join — a plan
     regression to the all-pairs inequality join shows up as a
