@@ -88,6 +88,9 @@ class Engine:
         states = states or {}
         result = ReadResult()
         lock = threading.Lock()
+        # one token bucket for the whole source: all stream threads
+        # share the API's request budget
+        limiter = source.make_limiter()
 
         def run_stream(stream: HttpStream) -> None:
             name = stream.schema.name
@@ -98,6 +101,7 @@ class Engine:
                     states.get(name),
                     transport=self.transport,
                     clock=self.clock,
+                    limiter=limiter,
                 )
                 n = 0
                 for page in pages:

@@ -133,6 +133,45 @@ class Retryer:
             return None
 
 
+@dataclass
+class RateLimiter:
+    """Thread-safe token bucket shared by all of a source's stream
+    threads — the rate-limit coordination the reference sidesteps by
+    forcing concurrency=1 (sourcedef.go:63). ``rate`` requests/second
+    refill, ``burst`` bucket depth; ``acquire()`` blocks until a
+    token is available. Clock/sleep injectable for deterministic
+    tests.
+    """
+
+    rate: float
+    burst: int = 1
+    clock: Callable[[], float] = time.monotonic
+    sleep: Callable[[float], None] = time.sleep
+
+    def __post_init__(self) -> None:
+        import threading
+
+        if self.rate <= 0:
+            raise ValueError(f"rate must be positive, got {self.rate}")
+        self._tokens = float(self.burst)
+        self._last = self.clock()
+        self._lock = threading.Lock()
+
+    def acquire(self) -> None:
+        while True:
+            with self._lock:
+                now = self.clock()
+                self._tokens = min(
+                    float(self.burst), self._tokens + (now - self._last) * self.rate
+                )
+                self._last = now
+                if self._tokens >= 1.0:
+                    self._tokens -= 1.0
+                    return
+                wait = (1.0 - self._tokens) / self.rate
+            self.sleep(wait)
+
+
 class HttpStatusError(Exception):
     def __init__(self, req: HttpRequest, resp: HttpResponse | None):
         self.request = req
@@ -319,11 +358,14 @@ class PageFetcher:
     retryer: Retryer = field(default_factory=Retryer)
     auth: Auth = field(default_factory=Auth)
     max_pages: int | None = None
+    limiter: RateLimiter | None = None
 
     def pages(self, first: HttpRequest) -> Iterator[list[dict]]:
         req: HttpRequest | None = self.auth.apply(first)
         n = 0
         while req is not None:
+            if self.limiter is not None:
+                self.limiter.acquire()
             resp = self.retryer.execute(self.transport, req)
             body = resp.json()
             records = self.extract_records(body)

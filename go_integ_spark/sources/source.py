@@ -24,6 +24,7 @@ from go_integ_spark.sources.http import (
     HttpRequest,
     PageFetcher,
     Paginator,
+    RateLimiter,
     Retryer,
     SinglePagePaginator,
     Transport,
@@ -151,6 +152,7 @@ class HttpStream:
         clock: Clock = utc_now,
         fields: list[str] | None = None,
         retryer: Retryer | None = None,
+        limiter: RateLimiter | None = None,
     ) -> tuple[Iterator[list[dict]], dict | None]:
         """Run the extraction: yields record pages lazily, returns the
         post-sync state (None for full-refresh streams).
@@ -178,6 +180,7 @@ class HttpStream:
             auth=self.auth(config),
             retryer=retryer or Retryer(),
             max_pages=self.max_pages,
+            limiter=limiter,
         )
         return fetcher.pages(first), new_state
 
@@ -195,6 +198,16 @@ class Source:
     config_json_schema: dict = field(default_factory=dict)
     docs_url: str = ""
     concurrency: int = 4
+    # Requests/second shared across ALL concurrent stream threads of
+    # this source (token bucket) — the coordination the reference
+    # sidesteps by forcing concurrency=1 (sourcedef.go:63). None = no
+    # limit.
+    rate_limit_per_sec: float | None = None
+
+    def make_limiter(self) -> RateLimiter | None:
+        if self.rate_limit_per_sec is None:
+            return None
+        return RateLimiter(rate=self.rate_limit_per_sec, burst=self.concurrency)
 
     def stream(self, name: str) -> HttpStream:
         for s in self.streams:

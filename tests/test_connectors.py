@@ -302,3 +302,68 @@ def test_nested_expand_projection(server):
     assert len(rows) == 15
     assert rows[0]["Customer"] == {"Id": 0, "Name": "cust0"}
     assert rows[3]["Customer"]["Id"] == 30
+
+
+# --- shared rate limiting (SURVEY §7 hard part c) --------------------------
+def test_rate_limiter_token_bucket_timing():
+    """Deterministic token-bucket check: burst drains free, then each
+    request waits 1/rate; refill follows the injected clock."""
+    from go_integ_spark.sources.http import RateLimiter
+
+    t = [0.0]
+    sleeps = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        sleeps.append(round(s, 3))
+        t[0] += s
+
+    rl = RateLimiter(rate=2.0, burst=2, clock=clock, sleep=sleep)
+    rl.acquire()  # token 1: free
+    rl.acquire()  # token 2: free
+    rl.acquire()  # bucket empty -> wait 0.5s at 2 rps
+    assert sleeps == [0.5]
+    t[0] += 10  # long idle refills to burst cap only
+    rl.acquire()
+    rl.acquire()
+    rl.acquire()
+    assert sleeps == [0.5, 0.5]  # 2 free again, 3rd waits
+
+
+def test_engine_read_shares_limiter_across_streams(server):
+    """Both sitoo streams read under one source-level budget: total
+    requests > burst forces acquire() waits even though each stream
+    alone fits the burst."""
+    from dataclasses import replace as dc_replace
+
+    from go_integ_spark.engine.lifecycle import Engine
+    from go_integ_spark.examples.connectors import sitoo
+
+    waits = []
+    # rate so slow that refill is negligible within the test: every
+    # request beyond the burst must go through a coordinated wait
+    limited = dc_replace(sitoo, concurrency=2, rate_limit_per_sec=0.001)
+    real_make = limited.make_limiter
+
+    def make_limiter():
+        rl = real_make()
+
+        def fake_sleep(s):  # record the wait, grant the token, no delay
+            waits.append(s)
+            rl._tokens += 1.0
+
+        rl.sleep = fake_sleep
+        return rl
+
+    limited.make_limiter = make_limiter  # type: ignore[method-assign]
+    eng = Engine()
+    res = eng.read(
+        limited, {"url": server.base, "user": "u", "password": "p"}
+    )
+    # 23 users (3 pages) + 7 orders (1 page) = 4 requests through a
+    # burst-2, near-zero-refill bucket -> 2 coordinated waits
+    assert sum(res.counts.values()) == 30
+    assert not res.errors
+    assert len(waits) == 2
