@@ -50,7 +50,11 @@ _MEASURED_COST = {
     "q13_customer_distribution": 0.54, "curation_quality_filter": 0.55,
     "multimodal_frame_sample": 0.58, "agg_rollup_nation_segment": 0.59,
     "curation_pack_sequences": 0.59, "window_share_of_segment": 0.6,
+    "q12_priority_shipping": 0.62, "q16_supplier_part_count": 0.61,
     "q4_late_orders": 0.62, "events_cohort_retention": 0.63,
+    "q20_promotion_candidates": 0.81,
+    "q11_important_part_value": 0.99, "q21_late_supplier_wait": 0.99,
+    "q2_min_cost_supplier": 1.47,
     "q15_top_supplier": 0.67, "streaming_pk_dedup": 0.68,
     "q10_returned_items": 0.69, "events_hourly_gapfill": 0.7,
     "similarity_threshold_join": 0.74, "dedup_ngram_jaccard": 0.78,

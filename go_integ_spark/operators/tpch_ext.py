@@ -413,6 +413,321 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    tags=("join", "subquery", "topk"),
+    oracle="""
+WITH cost AS (
+    SELECT l_partkey, l_suppkey,
+           round(min(l_extendedprice / l_quantity), 2) AS unit_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+),
+mc AS (
+    SELECT l_partkey AS mp, min(unit_cost) AS min_cost
+    FROM cost JOIN eu ON l_suppkey = s_suppkey GROUP BY l_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM part JOIN cost ON p_partkey = l_partkey
+JOIN eu ON l_suppkey = s_suppkey
+JOIN mc ON mp = p_partkey AND unit_cost = min_cost
+WHERE p_size = 15
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in this schema: supply cost =
+    cheapest observed unit price in lineitem). The correlated min is
+    decorrelated by hand into two aggregates sharing one l_partkey
+    partitioning — per-(part,supplier) unit cost, then per-part min
+    over EUROPE suppliers — joined back on equality. Supplier dim is
+    filtered through broadcast nation/region *before* touching the
+    fact, so the lineitem agg is the only big shuffle; the final
+    ORDER BY ... LIMIT is TakeOrderedAndProject (no global sort).
+    Unit cost is rounded identically on both sides before the min /
+    equality so ULP noise can't flip the argmin.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias("unit_cost")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eu_cost = cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    mc = eu_cost.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        eu_cost.join(
+            mc,
+            (F.col("mp") == F.col("l_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_part_value",
+    tags=("join", "agg", "having", "subquery"),
+    oracle="""
+WITH pv AS (
+    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS p_key, round(value, 2) AS part_value
+FROM pv
+WHERE round(value, 2) > (SELECT round(sum(value) * 0.001, 2) FROM pv)
+""",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (value from lineitem revenue — no partsupp):
+    per-part value for one nation's suppliers, HAVING value above a
+    fraction of the nation total. The scalar threshold is the pv
+    aggregate re-aggregated to one row and broadcast — Catalyst
+    reuses the cached pv exchange for both branches, so lineitem is
+    shuffled once. Both sides round to cents before the strict
+    compare so summation-order ULPs can't flip membership.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    pv = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).alias("value"))
+    )
+    thresh = pv.agg(F.round(F.sum("value") * 0.001, 2).alias("cut"))
+    return (
+        pv.join(F.broadcast(thresh), F.round(F.col("value"), 2) > F.col("cut"))
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            F.round(F.col("value"), 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    tags=("join", "agg", "case"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode/commitdate: the category is
+    l_returnflag, "late" is shipped 60+ days after ordering). The
+    year window pushes into the lineitem scan; the cross-table
+    lateness predicate runs post-join in codegen; the agg is one
+    pass with two CASE sums over 3 groups — fully map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    tags=("join", "antijoin", "agg", "distinct"),
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#23' AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part segment,
+    excluding flagged suppliers (acctbal < 0 stands in for the
+    comment-scan — the schema has no s_comment). The NOT IN is a
+    broadcast left-anti join (the exclusion list is tiny); part is
+    filtered before the join so only qualifying segments shuffle;
+    countDistinct expands to the standard two-phase partial-distinct
+    aggregate — no single-point distinct.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_candidates",
+    tags=("join", "semijoin", "subquery", "having"),
+    oracle="""
+WITH shipped AS (
+    SELECT l_suppkey, sum(l_quantity) AS qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    WHERE qty > (SELECT 1.2 * avg(qty) FROM shipped)
+)
+""",
+)
+def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved disproportionate volume
+    of one part family in one year — nested IN subqueries become a
+    chain of semi-joins. The part-name filter broadcasts into a
+    semi-join on the scan side; the per-supplier agg feeds both the
+    scalar average (broadcast back) and the final semi-join into
+    supplier. The 1.2x-of-average threshold is scale-invariant, so
+    the query returns a meaningful slice at any SF (a fixed quantity
+    cutoff would be empty at sf0.001 and all-pass at sf10).
+    l_quantity is integral, so the sums/average compare exactly.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    red = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    cut = shipped.agg((1.2 * F.avg("qty")).alias("cut"))
+    heavy = shipped.join(F.broadcast(cut), F.col("qty") > F.col("cut")).select("l_suppkey")
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_late_supplier_wait",
+    tags=("join", "agg", "exists"),
+    oracle="""
+WITH lo AS (
+    SELECT l_orderkey, l_suppkey,
+           CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                THEN 1 ELSE 0 END AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+),
+per_supp AS (
+    SELECT l_orderkey, l_suppkey, max(late) AS late
+    FROM lo GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+    SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+    FROM per_supp GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+""",
+)
+def q21_late_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *sole* late shipper
+    on a multi-supplier finished order (lateness = shipped 90+ days
+    after ordering; the schema has no commit/receipt dates). The
+    EXISTS / NOT EXISTS pair is decorrelated into per-order counts
+    (suppliers on the order, late suppliers on the order) computed as
+    a window over the (orderkey, suppkey) rollup — NOT a separate
+    aggregate branch, which would make Catalyst duplicate the whole
+    lineitem⋈orders subtree and scan the fact twice. One scan, one
+    join, one agg shuffle, one narrow window re-shuffle whose
+    partitions are per-order supplier lists (bounded, tiny). At
+    100 TB the classic 4-scan EXISTS formulation is the difference
+    between one fact scan and four.
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    per_supp = lo.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("late"))
+    w = Window.partitionBy("l_orderkey")
+    counted = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        counted.filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "q22_idle_customers",
     tags=("antijoin", "agg", "subquery"),
     oracle="""

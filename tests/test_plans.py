@@ -204,3 +204,43 @@ def test_spend_quartiles_two_pass_rank(registry, spark):
     # customer-join broadcast at test scale + the offsets broadcast
     assert count_op(df, "BroadcastHashJoin") >= 2
     assert "partial_sum" in plan
+
+
+def test_q21_decorrelation_scans_lineitem_once(registry, spark):
+    """The EXISTS/NOT-EXISTS pair is decorrelated into aggregates
+    over one (orderkey, suppkey) rollup — the classic 4-scan
+    formulation would show multiple lineitem scans and a self-join.
+    """
+    df = _df(registry, spark, "q21_late_supplier_wait")
+    plan = executed_plan(df)
+    li_scans = [s for s in read_schemas(df) if "l_suppkey" in s]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q2_topk_and_broadcast_dims(registry, spark):
+    """The final ORDER BY .. LIMIT must be TakeOrderedAndProject (no
+    global range-partitioned sort), and the region-filtered supplier
+    dim must arrive at the fact via broadcast."""
+    df = _df(registry, spark, "q2_min_cost_supplier")
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_op(df, "Exchange rangepartitioning") == 0
+    assert count_op(df, "BroadcastHashJoin") >= 3  # nation, region, eu-supplier, part
+
+
+def test_q11_threshold_arrives_by_broadcast(registry, spark):
+    """The scalar 0.1% threshold must be a broadcast join back onto
+    the per-part aggregate, never a driver collect / literal."""
+    df = _df(registry, spark, "q11_important_part_value")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert any("l_shipdate" not in s and "l_partkey" in s for s in read_schemas(df))
+
+
+def test_q16_exclusion_is_broadcast_anti_join(registry, spark):
+    df = _df(registry, spark, "q16_supplier_part_count")
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan
+    # distinct-count expands to two-phase partial aggregate
+    assert "partial_count" in plan or "count(distinct" in plan.lower()
