@@ -54,6 +54,7 @@ _MEASURED_COST = {
     "q4_late_orders": 0.62, "events_cohort_retention": 0.63,
     "q20_promotion_candidates": 0.81,
     "q11_important_part_value": 0.99, "q21_late_supplier_wait": 0.99,
+    "connector_graphql_cursor_read": 1.0,
     "q2_min_cost_supplier": 1.47,
     "q15_top_supplier": 0.67, "streaming_pk_dedup": 0.68,
     "q10_returned_items": 0.69, "events_hourly_gapfill": 0.7,

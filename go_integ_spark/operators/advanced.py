@@ -371,6 +371,103 @@ def connector_http_paginated_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "connector_graphql_cursor_read",
+    tags=("connector", "http", "graphql", "pagination"),
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+""",
+)
+def connector_graphql_cursor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relay-style GraphQL cursor pagination end-to-end: an
+    in-process GraphQL stub serves the customer table as a
+    connection (``edges[].node`` + ``pageInfo.hasNextPage/endCursor``),
+    extracted through HttpStream's POST-body path
+    (GraphQLCursorPaginator re-POSTs the query with
+    ``variables.after``; record_unwrap peels ``node``). The result
+    must hash-match DuckDB reading the same parquet — proof the
+    cursor chain is lossless. No reference twin: the reference's
+    Shopify integration is REST (shopify.go:46-53); this is the same
+    API's GraphQL successor style.
+
+    Driver-side fetch (probe-scale, same guardrail as the REST twin);
+    distributed extraction reuses the DataSource path unchanged since
+    HttpStream pickles with its body template.
+    """
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import pyarrow.parquet as pq
+
+    from go_integ_spark.schema.stream import StreamSchema
+    from go_integ_spark.sources.http import GraphQLCursorPaginator
+    from go_integ_spark.sources.source import HttpStream
+
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    rows = pq.read_table(f"{sf_dir}/customer.parquet", columns=cols).to_pylist()
+    page_size = 500
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            payload = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            after = (payload.get("variables") or {}).get("after")
+            start = int(after.split(":", 1)[1]) if after else 0
+            page = rows[start : start + page_size]
+            nxt = start + len(page)
+            body = _json.dumps(
+                {
+                    "data": {
+                        "customers": {
+                            "edges": [{"node": r} for r in page],
+                            "pageInfo": {
+                                "hasNextPage": nxt < len(rows),
+                                "endCursor": f"cur:{nxt}",
+                            },
+                        }
+                    }
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        stream = HttpStream(
+            schema=StreamSchema.from_ddl(
+                "customers", "c_custkey bigint, c_name string, c_acctbal double"
+            ),
+            path="/graphql",
+            record_path="data.customers.edges",
+            record_unwrap="node",
+            json_body={
+                "query": "query($after: String) { customers(first: 500, after: $after)"
+                " { edges { node { c_custkey c_name c_acctbal } }"
+                " pageInfo { hasNextPage endCursor } } }",
+                "variables": {"after": None},
+            },
+            paginator=lambda: GraphQLCursorPaginator(connection_path="data.customers"),
+        )
+        pages, _ = stream.read({"url": f"http://127.0.0.1:{srv.server_port}"}, None)
+        fetched = [r for p in pages for r in p]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    return spark.createDataFrame(
+        [(r["c_custkey"], r["c_name"], r["c_acctbal"]) for r in fetched],
+        schema="c_custkey bigint, c_name string, c_acctbal double",
+    )
+
+
 BASKET_MIN_SUPPORT = 2
 
 

@@ -32,12 +32,27 @@ class HttpRequest:
     url: str
     params: tuple[tuple[str, str], ...] = ()
     headers: tuple[tuple[str, str], ...] = ()
+    method: str = "GET"
+    body: bytes = b""
 
     def with_params(self, **params: str) -> "HttpRequest":
         return replace(self, params=self.params + tuple((k, str(v)) for k, v in params.items()))
 
     def with_headers(self, **headers: str) -> "HttpRequest":
         return replace(self, headers=self.headers + tuple(headers.items()))
+
+    def with_json_body(self, obj: dict) -> "HttpRequest":
+        """POST with a JSON payload (GraphQL-style APIs)."""
+        headers = tuple((k, v) for k, v in self.headers if k.lower() != "content-type")
+        return replace(
+            self,
+            method="POST",
+            body=json.dumps(obj).encode(),
+            headers=headers + (("Content-Type", "application/json"),),
+        )
+
+    def json_body(self) -> dict:
+        return json.loads(self.body)
 
     def full_url(self) -> str:
         if not self.params:
@@ -61,7 +76,12 @@ Transport = Callable[[HttpRequest], HttpResponse]
 
 def urllib_transport(timeout: float = 30.0) -> Transport:
     def do(req: HttpRequest) -> HttpResponse:
-        r = urllib.request.Request(req.full_url(), headers=dict(req.headers))
+        r = urllib.request.Request(
+            req.full_url(),
+            headers=dict(req.headers),
+            data=req.body or None,
+            method=req.method,
+        )
         try:
             with urllib.request.urlopen(r, timeout=timeout) as resp:
                 return HttpResponse(
@@ -165,11 +185,16 @@ class RateLimiter:
                     float(self.burst), self._tokens + (now - self._last) * self.rate
                 )
                 self._last = now
-                if self._tokens >= 1.0:
-                    self._tokens -= 1.0
+                # 1e-9 tolerance: without it, float rounding can leave
+                # tokens at 1.0 - ulp with a computed wait so small the
+                # clock cannot advance past it (t + wait == t) — a
+                # livelock at full CPU. The matching sleep floor below
+                # guarantees forward progress even on a coarse clock.
+                if self._tokens >= 1.0 - 1e-9:
+                    self._tokens = max(0.0, self._tokens - 1.0)
                     return
                 wait = (1.0 - self._tokens) / self.rate
-            self.sleep(wait)
+            self.sleep(max(wait, 1e-9))
 
 
 class HttpStatusError(Exception):
@@ -330,6 +355,35 @@ class SinglePagePaginator(Paginator):
         return None
 
 
+@dataclass
+class GraphQLCursorPaginator(Paginator):
+    """Relay-style GraphQL connection pagination: each response
+    carries ``pageInfo { hasNextPage, endCursor }`` under the
+    connection, and the next request re-POSTs the same query with
+    ``variables[after] = endCursor``. No reference twin (the
+    reference's Shopify integration is REST, shopify.go:46-53), but
+    it is the pagination style of that same API's GraphQL successor —
+    table stakes for the connector surface.
+
+    ``connection_path`` locates the connection object in the response
+    (e.g. ``data.orders``); records live at
+    ``{connection_path}.edges`` with payloads under ``node`` (set
+    ``record_path``/``record_unwrap`` accordingly on the fetcher).
+    """
+
+    connection_path: str = "data"
+    cursor_variable: str = "after"
+
+    def next(self, prev, resp, records):
+        info = _dig(resp.json(), f"{self.connection_path}.pageInfo")
+        if not info or not info.get("hasNextPage"):
+            return None
+        payload = prev.json_body()
+        variables = dict(payload.get("variables") or {})
+        variables[self.cursor_variable] = info.get("endCursor")
+        return prev.with_json_body({**payload, "variables": variables})
+
+
 def _dig(obj: dict, path: str):
     cur = obj
     for part in path.split("."):
@@ -355,6 +409,7 @@ class PageFetcher:
     transport: Transport
     paginator: Paginator
     record_path: str = ""
+    record_unwrap: str = ""  # per-record payload path (GraphQL edges -> node)
     retryer: Retryer = field(default_factory=Retryer)
     auth: Auth = field(default_factory=Auth)
     max_pages: int | None = None
@@ -387,4 +442,6 @@ class PageFetcher:
             raise ValueError(
                 f"record path {self.record_path!r} did not resolve to an array"
             )
+        if self.record_unwrap:
+            return [_dig(r, self.record_unwrap) for r in arr]
         return arr

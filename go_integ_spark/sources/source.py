@@ -136,7 +136,9 @@ class HttpStream:
     schema: StreamSchema
     path: str = ""  # appended to config["url"]
     record_path: str = ""
+    record_unwrap: str = ""  # per-record payload path (GraphQL edges -> node)
     params: dict[str, str] = field(default_factory=dict)
+    json_body: dict | None = None  # POST payload (GraphQL query + variables)
     paginator: Callable[[], Paginator] = SinglePagePaginator
     projection: Projection | None = None
     cursor: CursorSpec | None = None
@@ -173,10 +175,13 @@ class HttpStream:
         base = config.get("url", "").rstrip("/")
         url = f"{base}{self.path}" if self.path.startswith("/") else (self.path or base)
         first = HttpRequest(url=url).with_params(**params)
+        if self.json_body is not None:
+            first = first.with_json_body(self.json_body)
         fetcher = PageFetcher(
             transport=transport or urllib_transport(),
             paginator=paginator,
             record_path=self.record_path,
+            record_unwrap=self.record_unwrap,
             auth=self.auth(config),
             retryer=retryer or Retryer(),
             max_pages=self.max_pages,

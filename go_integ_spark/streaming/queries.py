@@ -124,7 +124,7 @@ def streaming_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH gaps AS (
     SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -146,10 +146,12 @@ GROUP BY user_id, session_seq
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` sessionization run by the streaming
     engine (30-minute inactivity gap) — the incremental-state twin of
-    the batch ``events_sessionize`` operator. A session's window is
-    [first_ts, last_ts + gap) with an exclusive end, so two events
-    exactly ``gap`` apart are in DIFFERENT sessions — the oracle's
-    lag-based session assignment uses ``>= gap`` accordingly.
+    the batch ``events_sessionize`` operator. An event extends its
+    session to last_ts + gap, and an event landing exactly on that
+    boundary MERGES (abutting session windows coalesce), so a new
+    session starts only when the inactivity gap is STRICTLY greater
+    than 30 minutes — the oracle's lag-based session assignment uses
+    ``> gap`` accordingly (pinned by a boundary property test).
 
     Scale shape: session state is keyed by user_id (hash-partitioned
     across executors) and merged incrementally; with a watermark the

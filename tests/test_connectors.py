@@ -367,3 +367,77 @@ def test_engine_read_shares_limiter_across_streams(server):
     assert sum(res.counts.values()) == 30
     assert not res.errors
     assert len(waits) == 2
+
+
+# --- GraphQL cursor pagination (POST body) --------------------------------
+def test_graphql_cursor_pagination_fake_transport():
+    """Relay-style connection pagination: re-POST with variables.after,
+    stop on hasNextPage=false, unwrap edges[].node."""
+    from go_integ_spark.schema.stream import StreamSchema
+    from go_integ_spark.sources.http import GraphQLCursorPaginator
+    from go_integ_spark.sources.source import HttpStream
+
+    data = [{"id": i, "name": f"c{i}"} for i in range(25)]
+    seen_bodies = []
+
+    def transport(req):
+        assert req.method == "POST"
+        assert dict(req.headers)["Content-Type"] == "application/json"
+        payload = req.json_body()
+        seen_bodies.append(payload)
+        assert "query" in payload  # the GraphQL doc is re-sent every page
+        after = (payload.get("variables") or {}).get("after")
+        start = int(after.split(":", 1)[1]) if after else 0
+        page = data[start : start + 10]
+        nxt = start + len(page)
+        from go_integ_spark.sources.http import HttpResponse
+
+        return HttpResponse(
+            status=200,
+            headers={},
+            body=json.dumps(
+                {
+                    "data": {
+                        "things": {
+                            "edges": [{"node": r} for r in page],
+                            "pageInfo": {
+                                "hasNextPage": nxt < len(data),
+                                "endCursor": f"cur:{nxt}",
+                            },
+                        }
+                    }
+                }
+            ).encode(),
+        )
+
+    stream = HttpStream(
+        schema=StreamSchema.from_ddl("things", "id bigint, name string"),
+        path="/graphql",
+        record_path="data.things.edges",
+        record_unwrap="node",
+        json_body={"query": "query($after: String) { things { } }",
+                   "variables": {"after": None}},
+        paginator=lambda: GraphQLCursorPaginator(connection_path="data.things"),
+    )
+    pages, _ = stream.read({"url": "http://api"}, None, transport=transport)
+    rows = [r for p in pages for r in p]
+    assert rows == data  # 3 pages, lossless, in order
+    assert len(seen_bodies) == 3
+    assert [b["variables"]["after"] for b in seen_bodies] == [None, "cur:10", "cur:20"]
+
+
+def test_graphql_paginator_stops_without_page_info():
+    """A response with no pageInfo (error shape / empty data) must
+    terminate the chain, not crash."""
+    from go_integ_spark.sources.http import (
+        GraphQLCursorPaginator,
+        HttpRequest,
+        HttpResponse,
+    )
+
+    p = GraphQLCursorPaginator(connection_path="data.things")
+    req = HttpRequest(url="http://api/graphql").with_json_body(
+        {"query": "q", "variables": {}}
+    )
+    resp = HttpResponse(status=200, headers={}, body=b'{"data": {}}')
+    assert p.next(req, resp, []) is None

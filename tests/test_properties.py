@@ -120,3 +120,69 @@ def test_xml_declared_array_collects_all_items(values):
     out = parse_xml(doc, arrays=["items.item"])
     items = out["items"].get("item", []) if isinstance(out["items"], dict) else []
     assert items == [v.strip() for v in values]
+
+
+@given(
+    rate=st.floats(min_value=0.1, max_value=100),
+    burst=st.integers(min_value=1, max_value=8),
+    n=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_rate_limiter_never_over_admits(rate, burst, n):
+    """Token-bucket safety: across any acquisition sequence, admits
+    never exceed burst + rate * elapsed (tokens can't go negative or
+    exceed the bucket)."""
+    from go_integ_spark.sources.http import RateLimiter
+
+    t = [0.0]
+    rl = RateLimiter(
+        rate=rate, burst=burst, clock=lambda: t[0],
+        sleep=lambda s: t.__setitem__(0, t[0] + s),
+    )
+    start = t[0]
+    for _ in range(n):
+        rl.acquire()
+    elapsed = t[0] - start
+    assert n <= burst + rate * elapsed + 1e-6
+    assert 0.0 <= rl._tokens <= burst
+
+
+@given(
+    gaps=st.lists(
+        st.integers(min_value=1, max_value=3600), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_session_window_boundary_matches_lag_oracle(spark, gaps):
+    """The exact session_window gap semantics the streaming oracle
+    assumes: an event extends its session to last_ts + gap and a
+    session at exactly that boundary MERGES (abutting windows
+    coalesce), so a new session starts only when the gap is STRICTLY
+    greater than the threshold. The lag-based assignment with > gap
+    must agree for arbitrary gap sequences including the 1800s
+    boundary itself (verified empirically: two events exactly 1800s
+    apart are ONE session of 2 events)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    GAP_S = 1800
+    ts = [dt.datetime(2024, 1, 1)]
+    for g in gaps:
+        ts.append(ts[-1] + dt.timedelta(seconds=g))
+    df = spark.createDataFrame([(1, t) for t in ts], "user_id long, ts timestamp")
+    native = (
+        df.groupBy(F.session_window("ts", f"{GAP_S} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("session_window.start").alias("s"), "n")
+    )
+    got = sorted((r["s"], r["n"]) for r in native.collect())
+    # lag-based assignment: new session when diff > GAP_S (strict)
+    sessions = []
+    for i, t in enumerate(ts):
+        if i == 0 or (t - ts[i - 1]).total_seconds() > GAP_S:
+            sessions.append([t, 1])
+        else:
+            sessions[-1][1] += 1
+    want = sorted((s, n) for s, n in sessions)
+    assert got == want
