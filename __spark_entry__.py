@@ -70,6 +70,7 @@ _MEASURED_COST = {
     "q7_volume_shipping": 1.68, "dedup_incremental_lsh": 1.7,
     "dedup_minhash_lsh": 2.1, "dedup_embedding_cosine": 2.3,
     "dedup_simhash": 2.33, "dedup_clusters": 3.4,
+    "dedup_canonical_pick": 3.5,  # 1.4 once dedup_clusters' CC memo is warm
     "embedding_kmeans": 3.92, "connector_datasource_distributed_read": 5.37,
 }
 

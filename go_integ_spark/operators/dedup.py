@@ -595,6 +595,28 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     return labels.select("node", F.col("label").alias("component"))
 
 
+# Same single-handle memo pattern as _cached_doc_sets: CC is the
+# expensive iterative stage, and a session runs it for dedup_clusters
+# and again for dedup_canonical_pick on the same pair graph. The
+# returned frame is a projection of the iteration's final persisted
+# labels (node+label longs, tiny), so a corpus switch strands at most
+# that one small cached table — bounded, and half the handles the
+# un-memoized two-query sequence would strand.
+_components_cache: tuple[int, DataFrame] | None = None
+
+
+def _cached_components(edges: DataFrame) -> DataFrame:
+    global _components_cache
+    key = edges.semanticHash()
+    if _components_cache is not None:
+        cached_key, cached = _components_cache
+        if cached_key == key:
+            return cached
+    comp = connected_components(edges)
+    _components_cache = (key, comp)
+    return comp
+
+
 @register(
     "dedup_clusters",
     tags=("dedup", "graph", "iterative"),
@@ -624,7 +646,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = exact_jaccard_pairs(docs, doc_sets=_cached_doc_sets(docs))
-    return connected_components(pairs.select("doc_a", "doc_b")).select(
+    return _cached_components(pairs.select("doc_a", "doc_b")).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
@@ -706,4 +728,82 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jac", jac)
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .select("new_doc", "corpus_doc", F.round(F.col("jac"), 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_canonical_pick",
+    tags=("dedup", "graph", "window"),
+    oracle=f"""
+WITH RECURSIVE pairs AS ({{jaccard}}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+member AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           d.n_chars
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+ranked AS (
+    SELECT doc_id, cluster_id, n_chars,
+           row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id
+           ) AS rn
+    FROM member
+)
+SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rn = 1
+""".format(jaccard=_JACCARD_ORACLE.strip()),
+)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step a training pipeline actually ships after near-dup
+    mining: cluster the pair graph, then KEEP one canonical document
+    per cluster — the longest (n_chars), tie-broken by smallest
+    doc_id — with every un-clustered document surviving as its own
+    singleton. Output is the post-dedup corpus manifest.
+
+    Scale shape: the pair graph + connected components reuse the
+    cached shingle machinery (see dedup_clusters); the canonical pick
+    is one row_number window partitioned by cluster_id — cluster
+    cardinality ~= corpus cardinality (mostly singletons), so no
+    partition ever exceeds the largest dup cluster. The doc side
+    carries only (doc_id, n_chars), never text bodies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, doc_sets=_cached_doc_sets(docs))
+    cc = _cached_components(pairs.select("doc_a", "doc_b")).select(
+        F.col("node").alias("cc_doc"), F.col("component").alias("cc_id")
+    )
+    from pyspark.sql import Window
+
+    # no broadcast hint: the clustered-doc set is tiny here but grows
+    # with dup density at 100 TB — AQE broadcasts while it fits and
+    # falls back to a shuffle join when it doesn't.
+    member = (
+        docs.select("doc_id", "n_chars")
+        .join(cc, F.col("doc_id") == F.col("cc_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cc_id"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        member.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "n_chars")
     )
