@@ -56,6 +56,9 @@ _MEASURED_COST = {
     "q11_important_part_value": 0.99, "q21_late_supplier_wait": 0.99,
     "connector_graphql_cursor_read": 1.0,
     "q2_min_cost_supplier": 1.47,
+    "events_transition_matrix": 0.55,
+    "dedup_exact_substring": 1.9,
+    "streaming_foreach_batch_merge": 4.0,
     "q15_top_supplier": 0.67, "streaming_pk_dedup": 0.68,
     "q10_returned_items": 0.69, "events_hourly_gapfill": 0.7,
     "similarity_threshold_join": 0.74, "dedup_ngram_jaccard": 0.78,

@@ -807,3 +807,71 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster_id", "n_chars")
     )
+
+
+# -- exact substring dedup -------------------------------------------------
+
+SUBSTR_W = 40  # char window length
+SUBSTR_STRIDE = 10  # window stride (trades recall granularity vs volume)
+
+
+@register(
+    "dedup_exact_substring",
+    tags=("dedup", "substring", "llm_pipeline"),
+    oracle=f"""
+WITH wins AS (
+    SELECT doc_id, md5(substr(text, CAST(t.i AS INT), {SUBSTR_W})) AS chunk_hash
+    FROM documents,
+         unnest(generate_series(1, len(text) - {SUBSTR_W} + 1, {SUBSTR_STRIDE}))
+             AS t(i)
+    WHERE len(text) >= {SUBSTR_W}
+)
+SELECT chunk_hash,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       min(doc_id) AS first_doc_id
+FROM wins
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" shape, restated for
+    Spark): fixed-length character windows at a stride, hashed, with
+    any chunk hash occurring in >= 2 distinct documents reported as a
+    cross-document duplicated span.
+
+    The suffix-array construction the paper uses is a single-machine
+    algorithm; the distributed restatement is window-hashing, which is
+    embarrassingly parallel: window extraction is row-local
+    (transform+sequence+substring, all JVM codegen), and the only
+    shuffle moves 16-byte md5 keys — never text. Partial aggregation
+    combines map-side, so the shuffle volume is bounded by distinct
+    chunks per partition, not total windows. At 100 TB: stride
+    controls index size (W/stride windows per W chars); the group-by
+    key is a uniform hash so no skew; and the HAVING >= 2 filter
+    drops the (dominant) unique-chunk mass before any join back to
+    documents.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SUBSTR_W
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {SUBSTR_W} + 1,"
+                f" {SUBSTR_STRIDE}), i -> md5(substring(text, i, {SUBSTR_W})))"
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        wins.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -372,3 +372,57 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "events_transition_matrix",
+    tags=("events", "window", "markov"),
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY prev_type), 4)
+           AS p
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+""",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (Markov chain over
+    per-user event sequences): for each consecutive (prev, next) pair
+    within a user's timeline, the transition count and the row-
+    normalized probability.
+
+    One shuffle on user_id feeds the lag window (the same partitioning
+    sessionization uses — at 100 TB these share a bucketed layout);
+    the subsequent aggregate is |event_types|^2 rows, so the
+    normalizing window over prev_type is driver-trivial. Tie-break on
+    (ts, event_id) makes the sequence — and therefore the matrix —
+    deterministic under duplicate timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    counts = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total_w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total_w), 4).alias("p"),
+    )

@@ -36,7 +36,10 @@ def _events_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object
         return cached
     ev = load_table(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="sg_stream_gate_") + "/events"
-    ev.write.mode("overwrite").parquet(path)
+    # 8 files so maxFilesPerTrigger-limited readers genuinely see
+    # multiple micro-batches (one file -> one batch proves nothing
+    # about incremental state).
+    ev.repartition(8).write.mode("overwrite").parquet(path)
     _STREAM_SRC[sf_dir] = (path, ev.schema)
     return _STREAM_SRC[sf_dir]
 
@@ -313,3 +316,75 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.user_id").alias("user_id"),
     )
     return _run_to_memory(joined, "append", "ssj")
+
+
+# sf_dir -> merged output path (the stream ran to completion once).
+_FB_MERGE: dict[str, str] = {}
+
+
+@register(
+    "streaming_foreach_batch_merge",
+    tags=("streaming", "sink", "merge", "exactly_once"),
+    oracle="""
+SELECT event_id, ts, user_id, event_type, round(value, 4) AS value, props
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+) = 1
+""",
+)
+def streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once sink path: an availableNow stream of
+    events is MERGEd into a PK table micro-batch by micro-batch via
+    ``foreachBatch`` + ``sinks.merge_upsert`` (pk=user_id, cursor=ts),
+    then the final table is read back. Because merge keeps the
+    max-(cursor, tie-break) row per key and max is associative, the
+    result is independent of how availableNow splits the input into
+    batches — and must equal the batch keep-latest-per-key answer.
+
+    This is the T3/T5 destination contract under streaming delivery:
+    the reference declares PK metadata and leaves dedup to the
+    destination (schema.go:7); here the destination enforces it
+    incrementally. maxFilesPerTrigger=4 over an 8-file source forces
+    2 real micro-batches, so the gate genuinely exercises
+    merge-into-existing, not a single-batch overwrite.
+    """
+    from go_integ_spark.schema.stream import StreamSchema
+    from go_integ_spark.sinks import merge_upsert
+
+    out = _FB_MERGE.get(sf_dir)
+    if out is None:
+        path, schema = _events_stream_source(spark, sf_dir)
+        out = tempfile.mkdtemp(prefix="sg_fb_merge_") + "/events_latest"
+        stream_schema = (
+            StreamSchema.from_ddl(
+                "events",
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double, props string",
+            )
+            .primary("user_id")
+            .iterated_by("ts")
+        )
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            merge_upsert(batch_df.sparkSession, batch_df, out, stream_schema)
+
+        q = (
+            read_stream(spark, path, schema, max_files_per_trigger=4)
+            .writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="sg_fb_ckpt_")
+            )
+            .start()
+        )
+        q.awaitTermination()
+        _FB_MERGE[sf_dir] = out
+    return spark.read.parquet(out).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "props",
+    )
