@@ -594,3 +594,72 @@ def connector_datasource_distributed_read(spark: SparkSession, sf_dir: str) -> D
         spark, stream, {"url": f"http://127.0.0.1:{port}"}, None, num_partitions=8
     )
     return df
+
+
+CDC_CUTOFF = "2024-01-01 06:00:00"
+
+
+@register(
+    "cdc_snapshot_diff",
+    tags=("cdc", "connector", "aggregation"),
+    oracle=f"""
+WITH new_s AS (
+    SELECT user_id, event_id AS new_event_id, ts AS new_ts
+    FROM events
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+), old_s AS (
+    SELECT user_id, event_id AS old_event_id
+    FROM events
+    WHERE ts <= TIMESTAMP '{CDC_CUTOFF}'
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) = 1
+)
+SELECT n.user_id,
+       CASE WHEN o.old_event_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+       o.old_event_id,
+       n.new_event_id,
+       n.new_ts
+FROM new_s n
+LEFT JOIN old_s o USING (user_id)
+WHERE o.old_event_id IS NULL OR o.old_event_id <> n.new_event_id
+""",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC: which per-user latest rows changed between
+    the pre-cutoff snapshot and now — 'insert' for users first seen
+    after the cutoff, 'update' for users whose latest row moved. This
+    is the connector fallback when a source declares no cursor field
+    (the reference's incremental mode requires IterateBy,
+    sourcedef.go:58-66; diffing snapshots is what's left without it).
+
+    Scale shape: ONE shuffle — both snapshots' arg-max rows come out
+    of a single groupBy(user_id) via conditional struct max
+    (max(when(ts <= cutoff, struct)) beside max(struct)), instead of
+    the naive two-window-two-join plan that scans and shuffles events
+    twice. The diff filter is then row-local on the aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pack = F.struct(F.col("ts"), F.col("event_id"))
+    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    agg = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") <= cutoff, pack)).alias("old"),
+        F.max(pack).alias("new"),
+    )
+    return (
+        agg.filter(
+            F.col("old").isNull()
+            | (F.col("old.event_id") != F.col("new.event_id"))
+        )
+        .select(
+            "user_id",
+            F.when(F.col("old").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            F.col("old.event_id").alias("old_event_id"),
+            F.col("new.event_id").alias("new_event_id"),
+            F.col("new.ts").alias("new_ts"),
+        )
+    )

@@ -362,3 +362,104 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hash_bucket(F.col("doc_id").cast("string")) < F.col("keep_pct"))
         .select("doc_id", "lang", "keep_pct")
     )
+
+
+# -- end-to-end curation funnel --------------------------------------------
+
+FUNNEL_LANGS = ("en", "es", "de", "fr")  # "supported" languages
+FUNNEL_MIN_CHARS = 100
+FUNNEL_SAMPLE_PCT = 50
+
+
+@register(
+    "curation_pipeline_funnel",
+    tags=("curation", "pipeline", "dedup", "sampling"),
+    oracle=f"""
+WITH s2 AS (
+    SELECT doc_id, text FROM documents
+    WHERE lang IN {FUNNEL_LANGS!r}
+      AND n_chars >= {FUNNEL_MIN_CHARS}
+), keep_exact AS (
+    SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
+), s3 AS (
+    SELECT s2.* FROM s2 JOIN keep_exact USING (doc_id)
+), wins AS (
+    SELECT doc_id,
+           md5(substr(text, CAST(t.i AS INT), 40)) AS chunk_hash
+    FROM s3, unnest(generate_series(1, len(text) - 39, 10)) AS t(i)
+    WHERE len(text) >= 40
+), dup_b AS (
+    SELECT DISTINCT b.doc_id
+    FROM wins a JOIN wins b
+      ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+), s4 AS (
+    SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)
+), s5 AS (
+    SELECT * FROM s4
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          < {FUNNEL_SAMPLE_PCT}
+)
+SELECT 'input' AS stage, CAST(0 AS INT) AS stage_idx,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT 'lang_quality', 1, (SELECT count(*) FROM s2)
+UNION ALL SELECT 'exact_dedup', 2, (SELECT count(*) FROM s3)
+UNION ALL SELECT 'near_dedup', 3, (SELECT count(*) FROM s4)
+UNION ALL SELECT 'sample', 4, (SELECT count(*) FROM s5)
+""",
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as one composed query — the shape a
+    training-data run actually executes: language/quality gate ->
+    exact dedup (min doc per content hash) -> near-dup removal (any
+    doc sharing a 40-char window hash with a smaller surviving doc is
+    dropped) -> deterministic 50% hash sample. Output is the funnel:
+    one row per stage with the surviving document count.
+
+    Every stage is shuffle-lean on its own (content-hash group-by,
+    16-byte chunk-hash self-join, row-local hash sample), and the
+    composition stays lazy — Catalyst sees one DAG. The five counts
+    here recompute the shared lineage (cheap at gate scale); at 100 TB
+    each stage's survivor frame would be persisted/checkpointed once
+    and counted from its materialization, same plan per stage.
+    """
+    from go_integ_spark.operators.dedup import chunk_window_hashes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    s2 = docs.filter(
+        F.col("lang").isin(*FUNNEL_LANGS)
+        & (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+    )
+    keep_exact = s2.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s3 = s2.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+    wins = chunk_window_hashes(s3)
+    dup_b = (
+        wins.select(F.col("doc_id").alias("a"), "chunk_hash")
+        .join(wins.select(F.col("doc_id").alias("b"), "chunk_hash"), "chunk_hash")
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(dup_b, "doc_id", "left_anti")
+    s5 = s4.filter(
+        hash_bucket(F.col("doc_id").cast("string")) < FUNNEL_SAMPLE_PCT
+    )
+    stages = [
+        ("input", 0, docs),
+        ("lang_quality", 1, s2),
+        ("exact_dedup", 2, s3),
+        ("near_dedup", 3, s4),
+        ("sample", 4, s5),
+    ]
+    out = None
+    for stage, idx, df in stages:
+        row = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).alias("stage"),
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.col("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

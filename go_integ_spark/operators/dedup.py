@@ -815,6 +815,23 @@ SUBSTR_W = 40  # char window length
 SUBSTR_STRIDE = 10  # window stride (trades recall granularity vs volume)
 
 
+def chunk_window_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_hash): md5 of every SUBSTR_W-char window at
+    SUBSTR_STRIDE over ``text``. Row-local (transform+sequence+
+    substring, JVM codegen); docs shorter than one window yield no
+    rows. Shared by exact-substring dedup and the curation funnel.
+    """
+    return docs.filter(F.length("text") >= SUBSTR_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {SUBSTR_W} + 1,"
+                f" {SUBSTR_STRIDE}), i -> md5(substring(text, i, {SUBSTR_W})))"
+            )
+        ).alias("chunk_hash"),
+    )
+
+
 @register(
     "dedup_exact_substring",
     tags=("dedup", "substring", "llm_pipeline"),
@@ -854,18 +871,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops the (dominant) unique-chunk mass before any join back to
     documents.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= SUBSTR_W
-    )
-    wins = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {SUBSTR_W} + 1,"
-                f" {SUBSTR_STRIDE}), i -> md5(substring(text, i, {SUBSTR_W})))"
-            )
-        ).alias("chunk_hash"),
-    )
+    wins = chunk_window_hashes(load_table(spark, sf_dir, "documents"))
     return (
         wins.groupBy("chunk_hash")
         .agg(

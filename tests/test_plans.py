@@ -244,3 +244,33 @@ def test_q16_exclusion_is_broadcast_anti_join(registry, spark):
     assert "LeftAnti" in plan
     # distinct-count expands to two-phase partial aggregate
     assert "partial_count" in plan or "count(distinct" in plan.lower()
+
+
+def test_cdc_snapshot_diff_single_shuffle(registry, spark):
+    # Both snapshots' arg-max rows come out of ONE groupBy(user_id):
+    # exactly one exchange, no self-join of events to itself.
+    df = _df(registry, spark, "cdc_snapshot_diff")
+    assert shuffle_count(df) == 1
+    plan = executed_plan(df)
+    assert "partial_max" in plan  # map-side combine before the exchange
+    assert count_op(df, "SortMergeJoin") == 0
+    assert count_op(df, "BroadcastHashJoin") == 0
+
+
+def test_exact_substring_partial_aggregates(registry, spark):
+    # Window hashing is row-local; count(distinct doc_id) plans as
+    # Spark's two-phase distinct aggregate — exactly the two
+    # hash-key-only exchanges, each fed by a map-side partial.
+    df = _df(registry, spark, "dedup_exact_substring")
+    assert shuffle_count(df) == 2
+    plan = executed_plan(df)
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning(chunk_hash") == 2
+
+
+def test_transition_matrix_single_wide_shuffle(registry, spark):
+    # One shuffle on user_id for the lag window; everything after the
+    # |types|^2 aggregate is tiny (single-partition window is fine).
+    df = _df(registry, spark, "events_transition_matrix")
+    plan = executed_plan(df)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
