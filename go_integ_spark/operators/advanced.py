@@ -642,10 +642,17 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice. The diff filter is then row-local on the aggregate.
     """
     ev = load_table(spark, sf_dir, "events")
+    return snapshot_diff(ev, CDC_CUTOFF)
+
+
+def snapshot_diff(ev: DataFrame, cutoff: str) -> DataFrame:
+    """Single-shuffle snapshot diff over any (user_id, ts, event_id)
+    frame — see ``cdc_snapshot_diff`` for semantics and scale notes.
+    """
     pack = F.struct(F.col("ts"), F.col("event_id"))
-    cutoff = F.lit(CDC_CUTOFF).cast("timestamp")
+    cutoff_ts = F.lit(cutoff).cast("timestamp")
     agg = ev.groupBy("user_id").agg(
-        F.max(F.when(F.col("ts") <= cutoff, pack)).alias("old"),
+        F.max(F.when(F.col("ts") <= cutoff_ts, pack)).alias("old"),
         F.max(pack).alias("new"),
     )
     return (

@@ -1,0 +1,61 @@
+"""Property tests for cdc_snapshot_diff and curation_pipeline_funnel
+beyond the value-level oracle: boundary cutoffs and funnel
+monotonicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from go_integ_spark.operators.advanced import snapshot_diff
+from go_integ_spark.registry import load_all
+from go_integ_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cutoff_at_max_ts_is_empty(spark):
+    # Snapshot == current state -> nothing changed.
+    ev = load_table(spark, SF_DIR, "events")
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+    assert snapshot_diff(ev, str(hi)).count() == 0
+
+
+def test_cutoff_before_min_ts_is_all_inserts(spark):
+    # Empty old snapshot -> one 'insert' per user, carrying the same
+    # latest row keep-latest dedup would pick.
+    ev = load_table(spark, SF_DIR, "events")
+    diff = snapshot_diff(ev, "2023-01-01 00:00:00")
+    rows = {r["user_id"]: r for r in diff.collect()}
+    assert all(r["op"] == "insert" for r in rows.values())
+    assert all(r["old_event_id"] is None for r in rows.values())
+    latest = load_all()["dedup_keep_latest"].fn(spark, SF_DIR).collect()
+    assert len(rows) == len(latest)
+    for r in latest:
+        assert rows[r["user_id"]]["new_event_id"] == r["event_id"]
+
+
+def test_mid_cutoff_partitions_users(spark):
+    # insert-users and update-users are disjoint; every diffed user's
+    # new row is strictly after the cutoff.
+    ev = load_table(spark, SF_DIR, "events")
+    cutoff = "2024-01-01 06:00:00"
+    diff = snapshot_diff(ev, cutoff).collect()
+    by_op = {"insert": set(), "update": set()}
+    for r in diff:
+        by_op[r["op"]].add(r["user_id"])
+        assert str(r["new_ts"]) > cutoff
+    assert not (by_op["insert"] & by_op["update"])
+
+
+def test_funnel_counts_monotone_non_increasing(spark):
+    rows = sorted(
+        load_all()["curation_pipeline_funnel"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "input", "lang_quality", "exact_dedup", "near_dedup", "sample",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
