@@ -60,7 +60,7 @@ _MEASURED_COST = {
     "dedup_exact_substring": 1.9,
     "streaming_foreach_batch_merge": 4.0,
     "cdc_snapshot_diff": 0.7,
-    "curation_pipeline_funnel": 4.5,
+    "curation_pipeline_funnel": 1.3,
     "q15_top_supplier": 0.67, "streaming_pk_dedup": 0.68,
     "q10_returned_items": 0.69, "events_hourly_gapfill": 0.7,
     "similarity_threshold_join": 0.74, "dedup_ngram_jaccard": 0.78,

@@ -417,49 +417,63 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every stage is shuffle-lean on its own (content-hash group-by,
     16-byte chunk-hash self-join, row-local hash sample), and the
-    composition stays lazy — Catalyst sees one DAG. The five counts
-    here recompute the shared lineage (cheap at gate scale); at 100 TB
-    each stage's survivor frame would be persisted/checkpointed once
-    and counted from its materialization, same plan per stage.
+    whole funnel executes ONCE: rather than counting five separate
+    survivor frames (five DAG branches recomputing shared lineage),
+    each doc carries per-stage survival flags and a single aggregate
+    sums them — one pass over the pipeline, then stack() unpivots the
+    5-counter row. At 100 TB the flags frame is also what you'd
+    persist for auditing (why a doc was dropped, and at which stage).
     """
     from go_integ_spark.operators.dedup import chunk_window_hashes
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    s2 = docs.filter(
+    d2 = docs.withColumn(
+        "f2",
         F.col("lang").isin(*FUNNEL_LANGS)
-        & (F.col("n_chars") >= FUNNEL_MIN_CHARS)
+        & (F.col("n_chars") >= FUNNEL_MIN_CHARS),
     )
-    keep_exact = s2.groupBy(F.md5("text").alias("content_hash")).agg(
-        F.min("doc_id").alias("doc_id")
+    s2 = d2.filter(F.col("f2"))
+    keep_exact = (
+        s2.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("keep"))
     )
-    s3 = s2.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
-    wins = chunk_window_hashes(s3)
+    d3 = d2.join(keep_exact, "doc_id", "left").withColumn(
+        "f3", F.col("f2") & F.coalesce(F.col("keep"), F.lit(False))
+    )
+    wins = chunk_window_hashes(d3.filter(F.col("f3")))
     dup_b = (
         wins.select(F.col("doc_id").alias("a"), "chunk_hash")
         .join(wins.select(F.col("doc_id").alias("b"), "chunk_hash"), "chunk_hash")
         .filter(F.col("a") < F.col("b"))
         .select(F.col("b").alias("doc_id"))
         .distinct()
+        .select("doc_id", F.lit(True).alias("dup"))
     )
-    s4 = s3.join(dup_b, "doc_id", "left_anti")
-    s5 = s4.filter(
-        hash_bucket(F.col("doc_id").cast("string")) < FUNNEL_SAMPLE_PCT
+    d4 = d3.join(dup_b, "doc_id", "left").withColumn(
+        "f4", F.col("f3") & F.col("dup").isNull()
     )
-    stages = [
-        ("input", 0, docs),
-        ("lang_quality", 1, s2),
-        ("exact_dedup", 2, s3),
-        ("near_dedup", 3, s4),
-        ("sample", 4, s5),
-    ]
-    out = None
-    for stage, idx, df in stages:
-        row = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(stage).alias("stage"),
-            F.lit(idx).cast("int").alias("stage_idx"),
-            F.col("n_docs"),
+    d5 = d4.withColumn(
+        "f5",
+        F.col("f4")
+        & (hash_bucket(F.col("doc_id").cast("string")) < FUNNEL_SAMPLE_PCT),
+    )
+    counters = d5.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum(F.col(f).cast("long")).alias(f"n{i}")
+            for i, f in ((1, "f2"), (2, "f3"), (3, "f4"), (4, "f5"))
+        ],
+    )
+    return counters.select(
+        F.expr(
+            "stack(5,"
+            " 'input', 0, n0,"
+            " 'lang_quality', 1, n1,"
+            " 'exact_dedup', 2, n2,"
+            " 'near_dedup', 3, n3,"
+            " 'sample', 4, n4) AS (stage, stage_idx, n_docs)"
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    ).select("stage", F.col("stage_idx").cast("int"), "n_docs")
