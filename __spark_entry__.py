@@ -23,60 +23,105 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
-    "text_fingerprint": 0.19, "sink_airbyte_envelope": 0.2,
-    "window_running_customer_spend": 0.2, "sort_limit_top_lineitems": 0.21,
-    "text_token_count": 0.21, "incremental_cursor_read": 0.23,
-    "multimodal_metadata": 0.24, "window_order_gaps": 0.24,
-    "text_quality_score": 0.26, "curation_weighted_sample": 0.28,
-    "text_repetition_ratio": 0.28, "events_sessionize": 0.29,
-    "q6_forecast_revenue": 0.29, "text_pii_redact": 0.29,
-    "agg_distinct_counts": 0.3, "sample_stratified": 0.31,
-    "subquery_orders_above_avg": 0.31, "dedup_exact": 0.32,
-    "agg_percentiles": 0.33, "events_pivot_type_counts": 0.33,
-    "agg_cube_status_priority": 0.34, "asof_join_purchase_click": 0.34,
-    "curation_domain_cap": 0.34, "join_semi_customers_with_orders": 0.34,
-    "corpus_token_stats": 0.35, "events_hourly_rollup": 0.35,
-    "join_anti_customers_without_orders": 0.35, "set_except_rich_not_building": 0.35,
-    "q1_pricing_summary": 0.37, "dedup_keep_latest": 0.38,
-    "contamination_ngram_overlap": 0.39, "window_top_orders_per_customer": 0.4,
-    "agg_grouping_sets": 0.41, "connector_file_incremental_read": 0.41,
-    "q14_promo_effect": 0.42, "q19_disjunctive_predicates": 0.42,
-    "text_embed_hash": 0.42, "set_union_distinct": 0.43,
-    "events_json_extract": 0.45, "range_join_error_clicks": 0.45,
-    "events_funnel": 0.46, "multimodal_resize_thumbs": 0.47,
-    "set_intersect_rich_building": 0.47, "text_lang_id": 0.49,
-    "q22_idle_customers": 0.5, "q17_small_quantity_revenue": 0.51,
-    "window_spend_quartiles": 0.52, "multimodal_decode_features": 0.54,
-    "q13_customer_distribution": 0.54, "curation_quality_filter": 0.55,
-    "multimodal_frame_sample": 0.58, "agg_rollup_nation_segment": 0.59,
-    "curation_pack_sequences": 0.59, "window_share_of_segment": 0.6,
-    "q12_priority_shipping": 0.62, "q16_supplier_part_count": 0.61,
-    "q4_late_orders": 0.62, "events_cohort_retention": 0.63,
-    "q20_promotion_candidates": 0.81,
-    "q11_important_part_value": 0.99, "q21_late_supplier_wait": 0.99,
-    "connector_graphql_cursor_read": 1.0,
-    "q2_min_cost_supplier": 1.47,
-    "events_transition_matrix": 0.55,
-    "dedup_exact_substring": 1.9,
-    "streaming_foreach_batch_merge": 4.0,
-    "cdc_snapshot_diff": 0.7,
-    "curation_pipeline_funnel": 1.3,
-    "q15_top_supplier": 0.67, "streaming_pk_dedup": 0.68,
-    "q10_returned_items": 0.69, "events_hourly_gapfill": 0.7,
-    "similarity_threshold_join": 0.74, "dedup_ngram_jaccard": 0.78,
-    "q18_large_volume_customers": 0.8, "q3_shipping_priority": 0.81,
-    "q9_product_profit": 0.88, "text_tfidf_topk": 0.88,
-    "streaming_session_window": 0.97, "q5_local_supplier_volume": 0.99,
-    "text_winnow_fingerprint": 1.03, "ann_bruteforce_topk": 1.05,
-    "basket_part_pairs": 1.2, "embedding_outliers": 1.22,
-    "streaming_hourly_counts": 1.25, "q8_market_share": 1.36,
-    "connector_http_paginated_read": 1.46, "ann_ivf_topk": 1.48,
-    "streaming_running_max_cursor": 1.55, "streaming_stream_join": 1.6,
-    "q7_volume_shipping": 1.68, "dedup_incremental_lsh": 1.7,
-    "dedup_minhash_lsh": 2.1, "dedup_embedding_cosine": 2.3,
-    "dedup_simhash": 2.33, "dedup_clusters": 3.4,
-    "dedup_canonical_pick": 3.5,  # 1.4 once dedup_clusters' CC memo is warm
-    "embedding_kmeans": 3.92, "connector_datasource_distributed_read": 5.37,
+    "text_pii_redact": 0.29,
+    "sample_stratified": 0.34,
+    "corpus_token_stats": 0.35,
+    "agg_percentiles": 0.37,
+    "multimodal_metadata": 0.37,
+    "agg_grouping_sets": 0.4,
+    "dedup_exact": 0.4,
+    "q1_pricing_summary": 0.4,
+    "events_pivot_type_counts": 0.41,
+    "events_hourly_rollup": 0.42,
+    "join_anti_customers_without_orders": 0.43,
+    "events_funnel": 0.45,
+    "multimodal_resize_thumbs": 0.45,
+    "curation_pack_sequences": 0.46,
+    "multimodal_decode_features": 0.46,
+    "set_intersect_rich_building": 0.46,
+    "agg_distinct_counts": 0.47,
+    "asof_join_purchase_click": 0.47,
+    "dedup_keep_latest": 0.48,
+    "q6_forecast_revenue": 0.48,
+    "text_token_count": 0.48,
+    "join_semi_customers_with_orders": 0.49,
+    "window_top_orders_per_customer": 0.49,
+    "agg_rollup_nation_segment": 0.5,
+    "window_order_gaps": 0.5,
+    "curation_domain_cap": 0.51,
+    "incremental_cursor_read": 0.51,
+    "set_except_rich_not_building": 0.51,
+    "agg_cube_status_priority": 0.52,
+    "events_transition_matrix": 0.53,
+    "text_lang_id": 0.53,
+    "text_repetition_ratio": 0.53,
+    "cdc_snapshot_diff": 0.54,
+    "sink_airbyte_envelope": 0.54,
+    "sort_limit_top_lineitems": 0.55,
+    "curation_quality_filter": 0.58,
+    "q12_priority_shipping": 0.58,
+    "q4_late_orders": 0.62,
+    "range_join_error_clicks": 0.62,
+    "window_running_customer_spend": 0.62,
+    "embedding_outliers": 0.63,
+    "q14_promo_effect": 0.64,
+    "connector_file_incremental_read": 0.65,
+    "subquery_orders_above_avg": 0.66,
+    "q13_customer_distribution": 0.67,
+    "q22_idle_customers": 0.67,
+    "multimodal_frame_sample": 0.68,
+    "events_cohort_retention": 0.69,
+    "text_fingerprint": 0.72,
+    "dedup_exact_substring": 0.73,
+    "events_sessionize": 0.73,
+    "q11_important_part_value": 0.73,
+    "q3_shipping_priority": 0.73,
+    "set_union_distinct": 0.76,
+    "q17_small_quantity_revenue": 0.77,
+    "window_share_of_segment": 0.77,
+    "q16_supplier_part_count": 0.78,
+    "events_json_extract": 0.8,
+    "similarity_threshold_join": 0.8,
+    "q15_top_supplier": 0.81,
+    "ann_bruteforce_topk": 0.82,
+    "connector_graphql_cursor_read": 0.84,
+    "q9_product_profit": 0.84,
+    "basket_part_pairs": 0.86,
+    "q19_disjunctive_predicates": 0.88,
+    "q10_returned_items": 0.89,
+    "q20_promotion_candidates": 0.91,
+    "q5_local_supplier_volume": 0.91,
+    "q8_market_share": 0.91,
+    "dedup_canonical_pick": 0.92,
+    "text_winnow_fingerprint": 0.92,
+    "curation_weighted_sample": 0.94,
+    "q18_large_volume_customers": 0.95,
+    "q21_late_supplier_wait": 1.0,
+    "text_tfidf_topk": 1.0,
+    "connector_http_paginated_read": 1.01,
+    "streaming_hourly_counts": 1.03,
+    "dedup_ngram_jaccard": 1.09,
+    "q2_min_cost_supplier": 1.15,
+    "curation_pipeline_funnel": 1.16,
+    "q7_volume_shipping": 1.17,
+    "contamination_ngram_overlap": 1.19,
+    "ann_ivf_topk": 1.4,
+    "text_quality_score": 1.43,
+    "streaming_running_max_cursor": 1.51,
+    "window_spend_quartiles": 1.69,
+    "events_hourly_gapfill": 1.72,
+    "streaming_foreach_batch_merge": 1.78,
+    "streaming_session_window": 1.79,
+    "text_embed_hash": 2.17,
+    "dedup_incremental_lsh": 2.3,
+    "streaming_pk_dedup": 2.49,
+    "dedup_minhash_lsh": 2.57,
+    "streaming_stream_join": 3.08,
+    "dedup_simhash": 3.92,
+    "embedding_kmeans": 3.94,
+    "dedup_embedding_cosine": 4.3,
+    "connector_datasource_distributed_read": 4.84,
+    "dedup_clusters": 5.43,
 }
 
 

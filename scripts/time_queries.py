@@ -21,6 +21,10 @@ def main() -> None:
     from go_integ_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # Throwaway warm-up: the first job in a session absorbs ~5 s of
+    # executor/codegen start-up that would otherwise be billed to
+    # whichever query happens to run first.
+    entry.entry(spark).count()
     times: dict[str, object] = {}
     for name, fn in entry.queries().items():
         t0 = time.time()
