@@ -670,3 +670,45 @@ def snapshot_diff(ev: DataFrame, cutoff: str) -> DataFrame:
             F.col("new.ts").alias("new_ts"),
         )
     )
+
+
+@register(
+    "agg_sketch_accuracy",
+    tags=("agg", "sketch", "approx"),
+    oracle="""
+SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+       TRUE AS hll_orders_ok,
+       TRUE AS p50_ok
+""" + "FROM lineitem",
+)
+def agg_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy gate: HyperLogLog++ distinct counts and the
+    quantile sketch (``approx_count_distinct`` rsd=2%,
+    ``percentile_approx`` accuracy=10000) are computed alongside their
+    exact counterparts in ONE aggregation pass, and the query returns
+    the exact values plus booleans asserting each sketch landed within
+    tolerance (5% for HLL, 1% for the quantile). The DuckDB oracle
+    recomputes the exact values and expects every boolean TRUE — so
+    the correctness gate genuinely verifies sketch error bounds, not
+    just that the functions run.
+
+    Scale shape: sketches are THE 100 TB answer for distincts and
+    quantiles — fixed-size mergeable state (HLL registers / KLL-style
+    buckets), map-side partial aggregation, no giant hash table of
+    distinct keys, no full sort. The exact twins here exist only to
+    measure the sketches and would be dropped at production scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("median_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("hll_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)").alias("p50_approx"),
+    )
+    return row.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("median_exact", 2).alias("median_price"),
+        (F.abs(F.col("hll_orders") - F.col("n_orders")) <= 0.05 * F.col("n_orders")).alias("hll_orders_ok"),
+        (F.abs(F.col("p50_approx") - F.col("median_exact")) <= 0.01 * F.col("median_exact")).alias("p50_ok"),
+    )

@@ -437,3 +437,118 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(embed, out_schema)
+
+
+HH_TOP_K = 15
+
+
+@register(
+    "text_heavy_hitters",
+    tags=("text", "topk", "heavy_hitters"),
+    oracle=f"""
+WITH words AS (
+    SELECT lang, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+    FROM documents
+), counts AS (
+    SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+    FROM words GROUP BY 1, 2
+)
+SELECT lang, word, cnt, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY cnt DESC, word
+    ) AS rn
+    FROM counts
+)
+WHERE rn <= {HH_TOP_K}
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most frequent terms per language — the heavy-hitters
+    primitive behind vocabulary building and stopword discovery.
+
+    Scale shape: the explode is row-local; the groupBy count does
+    map-side partial aggregation so the shuffle carries at most
+    |vocabulary| rows per partition, not |corpus| tokens. The final
+    per-language ranking reuses ``salted_topk``: with only a handful
+    of distinct languages a plain Window.partitionBy(lang) would sort
+    each language's ENTIRE vocabulary in one task (the fixed-
+    cardinality-partition trap); the salted two-phase top-k bounds the
+    single-task input to k * num_partitions rows regardless of
+    vocabulary size.
+    """
+    from go_integ_spark.operators.similarity import salted_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word"),
+    )
+    counts = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    top = salted_topk(counts, "lang", [F.col("cnt").desc(), F.col("word").asc()], HH_TOP_K)
+    return top.select("lang", "word", "cnt", F.col("rn").cast("int").alias("rank"))
+
+
+@register(
+    "text_word_stats",
+    tags=("text", "quality", "entropy"),
+    oracle="""
+WITH words AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+    FROM documents
+), wc AS (
+    SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS c
+    FROM words GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(max(c) AS BIGINT) AS top_word_cnt,
+       CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax_cnt,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS word_entropy
+FROM wc
+GROUP BY doc_id
+""",
+)
+def text_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution stats: token count, unique
+    count, top-word count, hapax count, and Shannon entropy of the
+    word distribution (natural log; computed via the identity
+    H = ln(n) - sum(c*ln(c))/n so one pass over per-word counts
+    suffices).
+
+    Low-entropy / high top-word-fraction documents are boilerplate or
+    spam; hapax fraction tracks vocabulary richness — standard
+    pretraining-corpus quality signals.
+
+    Scale shape: everything is row-local array math on the already-
+    tokenized document (no explode, no shuffle, no UDF) — a single
+    codegen'd projection over the scan. Per-row cost is
+    O(n_unique * n_words) for the count-by-word transform, bounded in
+    practice by document length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr("regexp_extract_all(text, '[a-z]+', 0)").alias("ws")
+    )
+    # Per-word counts within the row: distinct words -> count of each.
+    cnts = toks.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.expr(
+            "transform(array_distinct(ws), w -> cast(size(filter(ws, x -> x = w)) AS DOUBLE))"
+        ).alias("cs"),
+    )
+    return cnts.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.size("cs").cast("long").alias("n_unique"),
+        F.array_max("cs").cast("long").alias("top_word_cnt"),
+        F.size(F.expr("filter(cs, c -> c = 1.0D)")).cast("long").alias("hapax_cnt"),
+        F.round(
+            F.log(F.col("n_words").cast("double"))
+            - F.expr("aggregate(cs, 0.0D, (acc, c) -> acc + c * ln(c))")
+            / F.col("n_words").cast("double"),
+            4,
+        ).alias("word_entropy"),
+    )

@@ -274,3 +274,37 @@ def test_transition_matrix_single_wide_shuffle(registry, spark):
     df = _df(registry, spark, "events_transition_matrix")
     plan = executed_plan(df)
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_heavy_hitters_salted_topk_and_partial_agg(registry, spark):
+    """Top terms per language must use the salted two-phase top-k
+    (two row_number windows: per-(lang,salt) then per-lang over
+    survivors), never a single window over the full vocabulary of a
+    5-value lang partition; the token count gets a map-side partial
+    pass before its exchange.
+    """
+    df = _df(registry, spark, "text_heavy_hitters")
+    plan = executed_plan(df)
+    assert "partial_count" in plan
+    assert plan.count("Window [row_number()") == 2
+    assert "salt" in plan
+    # Spark's rank-limit pushdown prunes rows before each sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_word_stats_shuffle_free_and_pruned(registry, spark):
+    """Per-doc word stats are a pure projection: zero shuffles, and
+    the scan reads only (doc_id, text)."""
+    df = _df(registry, spark, "text_word_stats")
+    assert shuffle_count(df) == 0
+    (schema,) = read_schemas(df)
+    assert "lang" not in schema and "source" not in schema
+
+
+def test_sketch_accuracy_single_agg_pass(registry, spark):
+    """Sketches and exact twins ride ONE aggregation (one scan, one
+    exchange of fixed-size partial state) — no per-sketch jobs."""
+    df = _df(registry, spark, "agg_sketch_accuracy")
+    plan = executed_plan(df)
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
+    assert shuffle_count(df) <= 2  # partial->final agg (+ AQE final single partition)
