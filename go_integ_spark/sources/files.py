@@ -29,7 +29,7 @@ class FileStream:
     options: dict[str, str] = field(default_factory=dict)
 
     def dataframe(self, spark: SparkSession) -> DataFrame:
-        from pyspark.sql.types import LongType, TimestampType
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
         if self.format == "parquet":
             # TIMESTAMP(NANOS) parquet is unreadable without this conf;
@@ -50,6 +50,12 @@ class FileStream:
                         f.name
                     )
                 )
+            elif isinstance(f.dataType, TimestampType) and isinstance(
+                actual, TimestampNTZType
+            ):
+                # timestamp[us] parquet inferred as NTZ under Spark 4 —
+                # wall-clock-identity cast under the UTC session tz.
+                cols.append(F.col(f.name).cast("timestamp").alias(f.name))
             else:
                 cols.append(F.col(f.name))
         return df.select(*cols)

@@ -38,17 +38,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller's session build.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk; with nanosAsLong it arrives
-        # as long ns. Truncate to micros (Spark's native precision) —
-        # the same truncation DuckDB applies when surfacing ns values.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+    return _normalize_timestamps(df)
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Coerce every timestamp-ish column to Spark's TIMESTAMP (LTZ).
+
+    The driver's parquet has shipped two layouts across rounds:
+    TIMESTAMP(NANOS) (arrives as long ns under nanosAsLong) and plain
+    timestamp[us] (arrives as TIMESTAMP_NTZ under Spark 4's NTZ
+    inference). Event-time streaming (withWatermark) and epoch
+    functions (unix_micros) require TIMESTAMP, so normalize both:
+    under the UTC session timezone (session.py) the NTZ -> LTZ cast
+    is a wall-clock identity, which keeps DuckDB-naive oracle
+    comparisons byte-stable.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    ts_like = [f for f in df.schema.fields if f.name in ("ts",)]
+    for f in ts_like:
+        if isinstance(f.dataType, LongType):
+            # legacy TIMESTAMP(NANOS) layout: truncate ns -> us (the
+            # same truncation DuckDB applies surfacing ns values).
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+                f.name,
+                F.timestamp_micros(F.expr(f"{f.name} div 1000").cast("long")),
             )
+        elif isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
