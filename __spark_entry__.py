@@ -5,14 +5,21 @@
 from go_integ_spark (SURVEY.md §2 inventory + the analytics layer)
 for the driver's DuckDB correctness gate.
 
-Query order: ascending by measured sf0.01 runtime (warm, local[8]) —
-if the gate sweep is time-budgeted, a cost-ascending order completes
-the maximum number of queries before any cutoff, and every operator
-family has a sub-second representative near the front.
+Query order: rotated family round-robin. Pure cost-ascending order
+(rounds 1-3) maximized the COUNT of gate rows but starved the
+expensive tail — 35 of 102 queries (every streaming_*, the heavy
+TPC-H joins, ann_*) never got a driver CORRECTNESS row. Now the
+first len(families) entries cover every operator family exactly
+once (cheapest member first, rotated per round so the tail cycles
+through the lead slot), then every family's second member, and so
+on. A time-budgeted sweep therefore verifies EVERY family every
+round, and across rounds every member of every family.
 """
 
 from __future__ import annotations
 
+import glob
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,111 +30,144 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
-    "text_pii_redact": 0.29,
-    "sample_stratified": 0.34,
-    "corpus_token_stats": 0.35,
-    "agg_percentiles": 0.37,
-    "multimodal_metadata": 0.37,
-    "agg_grouping_sets": 0.4,
-    "dedup_exact": 0.4,
-    "q1_pricing_summary": 0.4,
-    "events_pivot_type_counts": 0.41,
-    "events_hourly_rollup": 0.42,
-    "join_anti_customers_without_orders": 0.43,
-    "events_funnel": 0.45,
-    "multimodal_resize_thumbs": 0.45,
-    "curation_pack_sequences": 0.46,
+    "text_fingerprint": 0.18,
+    "agg_sketch_accuracy": 0.23,
+    "text_token_count": 0.23,
+    "text_quality_score": 0.24,
+    "text_word_stats": 0.24,
+    "incremental_cursor_read": 0.26,
+    "sink_airbyte_envelope": 0.26,
+    "sort_limit_top_lineitems": 0.27,
+    "text_repetition_ratio": 0.28,
+    "window_running_customer_spend": 0.28,
+    "agg_distinct_counts": 0.3,
+    "window_order_gaps": 0.31,
+    "contamination_ngram_overlap": 0.32,
+    "events_sessionize": 0.34,
+    "multimodal_metadata": 0.34,
+    "subquery_orders_above_avg": 0.35,
+    "curation_weighted_sample": 0.37,
+    "agg_cube_status_priority": 0.38,
+    "join_semi_customers_with_orders": 0.38,
+    "q6_forecast_revenue": 0.39,
+    "asof_join_purchase_click": 0.4,
+    "q14_promo_effect": 0.4,
+    "dedup_clusters": 0.41,
+    "set_except_rich_not_building": 0.41,
+    "curation_domain_cap": 0.42,
+    "text_pii_redact": 0.43,
+    "connector_file_incremental_read": 0.44,
+    "set_union_distinct": 0.45,
+    "dedup_keep_latest": 0.46,
     "multimodal_decode_features": 0.46,
-    "set_intersect_rich_building": 0.46,
-    "agg_distinct_counts": 0.47,
-    "asof_join_purchase_click": 0.47,
-    "dedup_keep_latest": 0.48,
-    "q6_forecast_revenue": 0.48,
-    "text_token_count": 0.48,
-    "join_semi_customers_with_orders": 0.49,
-    "window_top_orders_per_customer": 0.49,
-    "agg_rollup_nation_segment": 0.5,
-    "window_order_gaps": 0.5,
-    "curation_domain_cap": 0.51,
-    "incremental_cursor_read": 0.51,
-    "set_except_rich_not_building": 0.51,
-    "agg_cube_status_priority": 0.52,
-    "events_transition_matrix": 0.53,
-    "text_lang_id": 0.53,
-    "text_repetition_ratio": 0.53,
-    "cdc_snapshot_diff": 0.54,
-    "sink_airbyte_envelope": 0.54,
-    "sort_limit_top_lineitems": 0.55,
+    "q1_pricing_summary": 0.46,
+    "dedup_exact": 0.48,
+    "q19_disjunctive_predicates": 0.48,
+    "text_embed_hash": 0.49,
+    "text_heavy_hitters": 0.49,
+    "q4_late_orders": 0.51,
+    "window_top_orders_per_customer": 0.51,
+    "events_pivot_type_counts": 0.52,
+    "events_hourly_rollup": 0.53,
+    "multimodal_frame_sample": 0.53,
+    "q17_small_quantity_revenue": 0.53,
+    "sample_stratified": 0.54,
+    "agg_percentiles": 0.55,
+    "set_intersect_rich_building": 0.55,
+    "events_json_extract": 0.56,
+    "events_cohort_retention": 0.57,
+    "cdc_snapshot_diff": 0.58,
     "curation_quality_filter": 0.58,
-    "q12_priority_shipping": 0.58,
-    "q4_late_orders": 0.62,
-    "range_join_error_clicks": 0.62,
-    "window_running_customer_spend": 0.62,
-    "embedding_outliers": 0.63,
-    "q14_promo_effect": 0.64,
-    "connector_file_incremental_read": 0.65,
-    "subquery_orders_above_avg": 0.66,
-    "q13_customer_distribution": 0.67,
-    "q22_idle_customers": 0.67,
-    "multimodal_frame_sample": 0.68,
-    "events_cohort_retention": 0.69,
-    "text_fingerprint": 0.72,
-    "dedup_exact_substring": 0.73,
-    "events_sessionize": 0.73,
-    "q11_important_part_value": 0.73,
-    "q3_shipping_priority": 0.73,
-    "set_union_distinct": 0.76,
-    "q17_small_quantity_revenue": 0.77,
-    "window_share_of_segment": 0.77,
-    "q16_supplier_part_count": 0.78,
-    "events_json_extract": 0.8,
-    "similarity_threshold_join": 0.8,
-    "q15_top_supplier": 0.81,
-    "ann_bruteforce_topk": 0.82,
-    "connector_graphql_cursor_read": 0.84,
-    "q9_product_profit": 0.84,
-    "basket_part_pairs": 0.86,
-    "q19_disjunctive_predicates": 0.88,
-    "q10_returned_items": 0.89,
-    "q20_promotion_candidates": 0.91,
-    "q5_local_supplier_volume": 0.91,
-    "q8_market_share": 0.91,
-    "dedup_canonical_pick": 0.92,
-    "text_winnow_fingerprint": 0.92,
-    "curation_weighted_sample": 0.94,
-    "q18_large_volume_customers": 0.95,
-    "q21_late_supplier_wait": 1.0,
+    "join_anti_customers_without_orders": 0.58,
+    "q22_idle_customers": 0.58,
+    "window_share_of_segment": 0.58,
+    "range_join_error_clicks": 0.59,
+    "agg_rollup_nation_segment": 0.61,
+    "events_funnel": 0.61,
+    "q13_customer_distribution": 0.62,
+    "text_lang_id": 0.64,
+    "dedup_exact_substring": 0.65,
+    "q15_top_supplier": 0.66,
+    "q12_priority_shipping": 0.67,
+    "q16_supplier_part_count": 0.67,
+    "corpus_token_stats": 0.68,
+    "events_transition_matrix": 0.69,
+    "agg_grouping_sets": 0.72,
+    "q3_shipping_priority": 0.74,
+    "q9_product_profit": 0.75,
+    "q20_promotion_candidates": 0.77,
+    "connector_http_paginated_read": 0.78,
+    "q10_returned_items": 0.8,
+    "dedup_ngram_jaccard": 0.82,
+    "curation_pack_sequences": 0.84,
+    "similarity_threshold_join": 0.86,
+    "q7_volume_shipping": 0.88,
+    "q11_important_part_value": 0.91,
+    "ann_bruteforce_topk": 0.92,
+    "q18_large_volume_customers": 0.92,
+    "streaming_pk_dedup": 0.97,
+    "q5_local_supplier_volume": 1.0,
     "text_tfidf_topk": 1.0,
-    "connector_http_paginated_read": 1.01,
-    "streaming_hourly_counts": 1.03,
-    "dedup_ngram_jaccard": 1.09,
-    "q2_min_cost_supplier": 1.15,
-    "curation_pipeline_funnel": 1.16,
-    "q7_volume_shipping": 1.17,
-    "contamination_ngram_overlap": 1.19,
-    "ann_ivf_topk": 1.4,
-    "text_quality_score": 1.43,
-    "streaming_running_max_cursor": 1.51,
-    "window_spend_quartiles": 1.69,
-    "events_hourly_gapfill": 1.72,
-    "streaming_foreach_batch_merge": 1.78,
-    "streaming_session_window": 1.79,
-    "text_embed_hash": 2.17,
-    "dedup_incremental_lsh": 2.3,
-    "streaming_pk_dedup": 2.49,
-    "dedup_minhash_lsh": 2.57,
-    "streaming_stream_join": 3.08,
-    "dedup_simhash": 3.92,
-    "embedding_kmeans": 3.94,
-    "dedup_embedding_cosine": 4.3,
-    "connector_datasource_distributed_read": 4.84,
-    "dedup_clusters": 5.43,
+    "basket_part_pairs": 1.02,
+    "embedding_outliers": 1.03,
+    "curation_pipeline_funnel": 1.08,
+    "q8_market_share": 1.14,
+    "streaming_session_window": 1.2,
+    "text_winnow_fingerprint": 1.21,
+    "q21_late_supplier_wait": 1.23,
+    "q2_min_cost_supplier": 1.45,
+    "ann_ivf_topk": 1.48,
+    "window_spend_quartiles": 1.55,
+    "connector_graphql_cursor_read": 1.7,
+    "streaming_running_max_cursor": 1.7,
+    "events_hourly_gapfill": 1.9,
+    "streaming_foreach_batch_merge": 2.17,
+    "multimodal_resize_thumbs": 2.2,
+    "dedup_incremental_lsh": 2.21,
+    "dedup_simhash": 2.61,
+    "dedup_minhash_lsh": 2.71,
+    "embedding_kmeans": 3.23,
+    "streaming_hourly_counts": 3.73,
+    "streaming_stream_join": 3.86,
+    "connector_datasource_distributed_read": 4.11,
+    "dedup_embedding_cosine": 6.87,
+    "dedup_canonical_pick": 28.58,
 }
 
 
+def _round_index() -> int:
+    """Completed driver rounds = CORRECTNESS_r*.json files at the repo
+    root. Deterministic within a round; advances once per round, which
+    rotates the family-lead slot below so a different member of each
+    operator family heads the gate sweep each round."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+
+
 def _ordered_names() -> list[str]:
+    """Rotated family round-robin (see module docstring).
+
+    Key = (rank-within-family after rotation, measured cost, name):
+    rank-0 block = one representative per family (every family gets a
+    CORRECTNESS row even under a tight time budget), rank-1 block =
+    the seconds, ... Within a rank block, cheapest first.
+    """
     registry = load_all()
-    return sorted(registry, key=lambda n: (_MEASURED_COST.get(n, 99.0), n))
+    families: dict[str, list[str]] = {}
+    for name, spec in registry.items():
+        families.setdefault(spec.tags[0] if spec.tags else "misc", []).append(name)
+    rot = _round_index()
+    keyed: list[tuple[int, float, str]] = []
+    for members in families.values():
+        members.sort(key=lambda n: (_MEASURED_COST.get(n, 99.0), n))
+        k = rot % len(members)
+        rotated = members[k:] + members[:k]
+        keyed.extend(
+            (rank, _MEASURED_COST.get(name, 99.0), name)
+            for rank, name in enumerate(rotated)
+        )
+    keyed.sort()
+    return [name for _, _, name in keyed]
 
 
 def entry(spark: SparkSession) -> DataFrame:

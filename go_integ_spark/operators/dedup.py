@@ -562,9 +562,15 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     alternating label-propagation CC; for adversarial long-chain
     graphs swap in large-star/small-star (same building blocks).
     """
-    both = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # Persist the symmetrized edge list BEFORE iterating: the input is
+    # typically the full pair-mining pipeline (shingle + bucket join),
+    # and without this every iteration would recompute it from the
+    # scan up — at sf0.01 that alone was a ~25 s regression.
+    both = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
@@ -577,21 +583,23 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr"))
         )
-        new_labels = (
+        # Carry the previous label through the step so the convergence
+        # count reuses this join instead of paying a second one.
+        stepped = (
             labels.join(neighbor_min, "node", "left")
-            .select("node", F.least("label", F.coalesce("nbr", "label")).alias("label"))
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least("label", F.coalesce("nbr", "label")).alias("label"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = stepped.filter(F.col("old_label") != F.col("label")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped
         if changed == 0:
             break
+    both.unpersist()  # final labels are persisted + materialized by the count
     return labels.select("node", F.col("label").alias("component"))
 
 
