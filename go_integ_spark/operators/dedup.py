@@ -441,9 +441,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Nearest cells probed per vector for embedding-dedup candidate
-# generation. 4 of 10 cells gives measured recall 1.0 at threshold
-# 0.45 on both test corpora (sf0.001: 7/7 pairs, sf0.01: 14/14).
-DEDUP_EMB_PROBES = 4
+# generation. 6 of the 16 fixed hash-selected cells gives measured
+# recall 1.0 at threshold 0.45 on both test corpora (sf0.001: 7/7
+# pairs, sf0.01: 14/14; 4 probes missed one sf0.01 pair).
+DEDUP_EMB_PROBES = 6
 
 
 @register(
@@ -464,15 +465,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation — NO all-pairs cross join anywhere in the
     plan.
 
-    Shape: deterministic centroids (every 50th vector, the same rule
-    as ann_ivf_topk) are collected to the driver and embedded as a
-    literal array; every vector computes its DEDUP_EMB_PROBES nearest
-    cells ROW-LOCALLY (no join), explodes to (vec_id, cell_id), and
+    Shape: the fixed-K hash-selected centroid set shared with
+    ann_ivf_topk (``ivf_centroid_lit`` — an O(K*dim) inline literal,
+    never an O(corpus) driver collect); every vector computes its
+    DEDUP_EMB_PROBES nearest cells ROW-LOCALLY from that array (no
+    join operator at all), explodes to (vec_id, cell_id), and
     candidate pairs come from one equi self-join on cell_id. Exact
     cosine verification then filters candidates, so precision is
-    always 1.0; recall is 1.0 on this corpus at threshold 0.45 with 4
-    probes (measured on sf0.001 and sf0.01 — the oracle below stays
-    the brute-force truth, so the gate re-asserts recall every run).
+    always 1.0; recall is 1.0 on this corpus at threshold 0.45 with
+    the probe count below (measured on sf0.001 and sf0.01 — the
+    oracle below stays the brute-force truth, so the gate re-asserts
+    recall every run).
 
     Scale: the corpus shuffles once on cell_id; per-cell pair
     enumeration is bounded by cell size. 0.45 is near the random-pair
@@ -481,41 +484,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors into far fewer probed cells.
     """
     from go_integ_spark.functions.vector import dot, with_norm
-    from go_integ_spark.operators.similarity import IVF_CENTROID_EVERY
+    from go_integ_spark.operators.similarity import ivf_centroid_lit, nearest_cells
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    cent_rows = sorted(
-        v.filter(F.col("vec_id") % IVF_CENTROID_EVERY == 0)
-        .select("vec_id", "e", "e_norm")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["vec_id"])).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r["e"]]).alias("ce"),
-                F.lit(float(r["e_norm"])).alias("cn"),
-            )
-            for r in cent_rows
-        ]
-    )
-    # (-sim, cid) structs: array_sort ascending == sim desc, cid asc —
-    # the same probe order ann_ivf_topk's oracle uses.
-    neg_sims = F.transform(
-        cent,
-        lambda s: F.struct(
-            (-(dot(F.col("e"), s["ce"]) / (F.col("e_norm") * s["cn"]))).alias(
-                "neg_s"
-            ),
-            s["cid"].alias("cid"),
-        ),
-    )
-    probes = F.slice(F.array_sort(neg_sims), 1, DEDUP_EMB_PROBES)
-    assigned = v.select(
+    assigned = v.withColumn("cents", ivf_centroid_lit(v)).select(
         "vec_id",
-        F.explode(F.transform(probes, lambda s: s["cid"])).alias("cell_id"),
+        F.explode(nearest_cells(DEDUP_EMB_PROBES)).alias("cell_id"),
     )
     cand = (
         assigned.alias("x")

@@ -28,14 +28,91 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_integ_spark.functions.vector import cosine_sim, with_norm
+from go_integ_spark.functions.vector import cosine_sim, dot, with_norm
 from go_integ_spark.registry import register
 from go_integ_spark.tables import load_table
 
 TOP_K = 10
 N_QUERIES = 5  # demo query set: vec_id < 5
-IVF_CENTROID_EVERY = 50  # deterministic centroids: vec_id % 50 == 0
-IVF_NPROBE = 3
+IVF_K = 16  # FIXED centroid count — independent of corpus size
+# 4 of the 16 fixed cells: recall 0.5 vs brute force on the RANDOM
+# test embeddings (tests/test_similarity.py pins the floor) — 2x the
+# 0.25 random-probing baseline at the same coverage.
+IVF_NPROBE = 4
+
+
+def ivf_centroids(v: DataFrame) -> DataFrame:
+    """One-row frame: the ``IVF_K`` deterministic centroids packed as a
+    sorted ``array<struct<cid, ce, cn>>`` column named ``cents``.
+
+    Selection = the K rows with the smallest ``md5(vec_id)`` — an
+    engine-agnostic pseudo-random spread DuckDB reproduces bit-for-bit,
+    so the gate oracle derives the identical centroid set. K is FIXED:
+    the earlier ``vec_id % 50`` rule grew the centroid count linearly
+    with the corpus, putting O(corpus/50) rows on the driver / into
+    the broadcast; here the broadcast is O(K*dim) at any scale, and
+    the selection itself is a global top-K (per-partition top-K, then
+    a K*partitions merge — never the corpus on one node). At real
+    scale the centroids would come from an offline k-means (see
+    ``embedding_kmeans``); the hash rule is the deterministic stand-in
+    that keeps the gate oracle value-exact.
+    """
+    cent = (
+        v.select(
+            F.col("vec_id").alias("cid"),
+            F.col("e").alias("ce"),
+            F.col("e_norm").alias("cn"),
+            F.md5(F.col("vec_id").cast("string")).alias("hk"),
+        )
+        .orderBy("hk", "cid")
+        .limit(IVF_K)
+    )
+    return cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce", "cn"))).alias("cents")
+    )
+
+
+def ivf_centroid_lit(v: DataFrame) -> Column:
+    """The ``IVF_K`` centroids as an inline ``array<struct>`` literal.
+
+    The collect behind this is O(IVF_K * dim) — FIXED, independent of
+    corpus size (the earlier ``vec_id % 50`` rule collected
+    O(corpus/50) rows onto the driver and its plan grew with the
+    corpus). Inlining a fixed-K array keeps cell assignment a pure
+    map-side Project: NO join operator in the plan at all — the
+    centroid array rides inside every task's codegen'd expression,
+    the same way a faiss-style IVF index ships its coarse quantizer
+    to every searcher.
+    """
+    (row,) = ivf_centroids(v).collect()
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(c["cid"])).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in c["ce"]]).alias("ce"),
+                F.lit(float(c["cn"])).alias("cn"),
+            )
+            for c in row["cents"]
+        ]
+    )
+
+
+def nearest_cells(n_probe: int, vec: str = "e", norm: str = "e_norm") -> Column:
+    """Row-local probe list: the ``n_probe`` nearest centroid ids for
+    the current row's vector, computed entirely map-side from the
+    broadcast ``cents`` array — no join explosion, no shuffle, no
+    window. ``array_sort`` over ``(-sim, cid)`` structs gives sim
+    descending with cid as the deterministic tie-break (the same order
+    the DuckDB oracles express with ``ORDER BY sim DESC, cent_id``).
+    """
+    neg = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            (-(dot(F.col(vec), s["ce"]) / (F.col(norm) * s["cn"]))).alias("neg_s"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    return F.transform(F.slice(F.array_sort(neg), 1, n_probe), lambda s: s["cid"])
 
 
 def salted_topk(
@@ -166,7 +243,8 @@ WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), cent AS (
     SELECT vec_id AS cent_id, e AS ce FROM v
-    WHERE vec_id % {IVF_CENTROID_EVERY} = 0
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
 ), assigned AS (
     SELECT vec_id, e, cent_id AS cell_id FROM (
         SELECT v.vec_id, v.e, c.cent_id,
@@ -209,15 +287,19 @@ WHERE rn <= {TOP_K}
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
-    Deterministic "training": every 50th vector is a centroid (a
-    stand-in for k-means, which would be run offline at scale).
-    Assignment = broadcast argmin over centroids (map-side only).
-    Each query probes its IVF_NPROBE nearest cells and searches them
-    exactly. Approximate relative to brute force by construction, but
-    the deterministic centroid rule makes the whole assign->probe->
-    search pipeline SQL-expressible, so it carries a full value-level
-    DuckDB oracle (recall vs brute force is additionally asserted in
-    tests/test_similarity.py).
+    Deterministic "training": the fixed-K hash-selected centroid set
+    (``ivf_centroid_lit`` — a stand-in for k-means, which would be
+    run offline at scale). Assignment = ROW-LOCAL argmax over the
+    inlined centroid array (``nearest_cells(1)``) — no N×K row
+    explosion, no shuffle, no window, no join operator; the old
+    broadcast-crossJoin + row_number version pushed N*K rows through
+    a window exchange.
+    Each query probes its IVF_NPROBE nearest cells (same row-local
+    math) and searches them exactly. Approximate relative to brute
+    force by construction, but the deterministic centroid rule makes
+    the whole assign->probe->search pipeline SQL-expressible, so it
+    carries a full value-level DuckDB oracle (recall vs brute force
+    is additionally asserted in tests/test_similarity.py).
 
     At 100 TB the corpus would be written partitioned by cell_id so a
     probe prunes file partitions — the scan itself skips 1 - nprobe/K
@@ -225,48 +307,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    centroids = (
-        v.filter(F.col("vec_id") % IVF_CENTROID_EVERY == 0)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("e").alias("ce"),
-            F.col("e_norm").alias("ce_norm"),
-        )
-    )
-    sim_to_cent = F.aggregate(
-        F.zip_with(F.col("e"), F.col("ce"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / (F.col("e_norm") * F.col("ce_norm"))
-    # Assign: argmin distance == argmax cosine; broadcast cross + local window.
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("cs").desc(), F.col("cent_id")
-    )
+    cents = ivf_centroid_lit(v)
     assigned = (
-        v.crossJoin(F.broadcast(centroids))
-        .withColumn("cs", sim_to_cent)
-        .withColumn("arn", F.row_number().over(assign_w))
-        .filter(F.col("arn") == 1)
-        .select("vec_id", "e", "e_norm", F.col("cent_id").alias("cell_id"))
+        v.withColumn("cents", cents)
+        .withColumn("cell_id", F.element_at(nearest_cells(1), 1))
+        .select("vec_id", "e", "e_norm", "cell_id")
     )
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("e_norm").alias("qe_norm"),
-    )
-    # Probe list: nprobe nearest cells per query.
-    probe_sim = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / (F.col("qe_norm") * F.col("ce_norm"))
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("ps").desc(), F.col("cent_id"))
+    # Probe list: nprobe nearest cells per query, row-local again.
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("ps", probe_sim)
-        .withColumn("prn", F.row_number().over(probe_w))
-        .filter(F.col("prn") <= IVF_NPROBE)
-        .select("query_id", "qe", "qe_norm", F.col("cent_id").alias("cell_id"))
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("cents", cents)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("e_norm").alias("qe_norm"),
+            F.explode(nearest_cells(IVF_NPROBE)).alias("cell_id"),
+        )
     )
     # Search probed cells only (equi-join on cell_id prunes the corpus).
     sim = F.aggregate(

@@ -39,9 +39,9 @@ def test_ivf_recall_floor(spark, exact):
     }
     recall = len(ivf & exact) / len(exact)
     # The synthetic embeddings are RANDOM — no cluster structure —
-    # so IVF recall is capped near its probe coverage (nprobe=3 of
-    # 10 cells => 0.3 if probing were random). Deterministic recall
-    # here is exactly 0.5: comfortably above the random-probing
+    # so IVF recall is capped near its probe coverage (nprobe=4 of
+    # the 16 fixed cells => 0.25 if probing were random).
+    # Deterministic recall here is exactly 0.5: 2x the random-probing
     # baseline (nearest-cell probing works) and stable, which is the
     # contract this test pins. On real clustered embeddings the same
     # operator's recall approaches 1 at far smaller coverage.
