@@ -35,6 +35,11 @@ class FileStream:
             # TIMESTAMP(NANOS) parquet is unreadable without this conf;
             # set it at runtime so callers with a vanilla session work.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ -> LTZ cast below is only a wall-clock identity under
+        # UTC; pin the session timezone so a vanilla non-UTC session
+        # doesn't silently shift instants (same contract as
+        # tables.load_table).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         reader = spark.read.format(self.format).options(**self.options)
         if self.format in ("json", "csv"):
             reader = reader.schema(self.schema.struct)

@@ -35,30 +35,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.parquet stores TIMESTAMP(NANOS); a vanilla session (no
     # session.py confs) throws PARQUET_TYPE_ILLEGAL on read. The conf
     # is runtime-settable, so set it here rather than relying on the
-    # caller's session build.
+    # caller's session build. The UTC timezone is part of the same
+    # contract: _normalize_timestamps' NTZ -> LTZ cast is only a
+    # wall-clock identity under UTC — a non-UTC session would silently
+    # shift instants relative to the DuckDB oracles and unix_micros
+    # epochs, so pin it here too (also runtime-settable).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _normalize_timestamps(df)
 
 
 def _normalize_timestamps(df: DataFrame) -> DataFrame:
-    """Coerce every timestamp-ish column to Spark's TIMESTAMP (LTZ).
+    """Coerce every timestamp column to Spark's TIMESTAMP (LTZ).
 
     The driver's parquet has shipped two layouts across rounds:
-    TIMESTAMP(NANOS) (arrives as long ns under nanosAsLong) and plain
-    timestamp[us] (arrives as TIMESTAMP_NTZ under Spark 4's NTZ
-    inference). Event-time streaming (withWatermark) and epoch
-    functions (unix_micros) require TIMESTAMP, so normalize both:
-    under the UTC session timezone (session.py) the NTZ -> LTZ cast
-    is a wall-clock identity, which keeps DuckDB-naive oracle
-    comparisons byte-stable.
+    TIMESTAMP(NANOS) (arrives as long ns under nanosAsLong — only the
+    events ``ts`` column, which is why the long branch is name-gated:
+    every join/key column is also a long and must not be touched) and
+    plain timestamp[us] (arrives as TIMESTAMP_NTZ under Spark 4's NTZ
+    inference — matched by dtype across ALL columns, so l_shipdate /
+    o_orderdate / ts get one uniform LTZ semantics instead of
+    per-call-site casts). Event-time streaming (withWatermark) and
+    epoch functions (unix_micros) require TIMESTAMP; under the UTC
+    session timezone (pinned in load_table) the NTZ -> LTZ cast is a
+    wall-clock identity, which keeps DuckDB-naive oracle comparisons
+    byte-stable.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    ts_like = [f for f in df.schema.fields if f.name in ("ts",)]
-    for f in ts_like:
-        if isinstance(f.dataType, LongType):
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, LongType):
             # legacy TIMESTAMP(NANOS) layout: truncate ns -> us (the
             # same truncation DuckDB applies surfacing ns values).
             df = df.withColumn(
