@@ -183,7 +183,9 @@ def connector_file_incremental_read(spark: SparkSession, sf_dir: str) -> DataFra
     state = {"To": dt.datetime(2024, 1, 20)}
     # NB: uses the engine's incremental read; we only take the frame
     # (the driver's comparator has no notion of the advanced state).
-    df, _new_state = fs.incremental_dataframe(spark, state)
+    # Observed variant: the cursor high-water mark rides the caller's
+    # own action instead of costing a dedicated max() job.
+    df, _resolve = fs.incremental_dataframe_observed(spark, state)
     return df.select("event_id", "ts", "user_id", "event_type", "value")
 
 

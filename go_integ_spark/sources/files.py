@@ -72,17 +72,48 @@ class FileStream:
         reference's P3 predicate, pushed into the file scan by
         Catalyst instead of an HTTP query param. Returns the filtered
         frame and the new state (cursor high-water mark).
+
+        The high-water mark here is an eager scalar aggregate — one
+        extra (cheap, column-pruned) job per read. When the caller
+        runs its own action on the frame anyway (every sink does),
+        prefer ``incremental_dataframe_observed``, which folds the
+        max into that same pass.
         """
+        df, resolve = self.incremental_dataframe_observed(spark, state, state_key)
+        df.agg(F.count(F.lit(1))).collect()  # drive the observation
+        return df, resolve()
+
+    def incremental_dataframe_observed(
+        self, spark: SparkSession, state: dict | None, state_key: str = "To"
+    ):
+        """Zero-extra-job incremental read: the cursor high-water mark
+        rides an ``Observation`` on the returned frame, so it is
+        computed by WHATEVER action the caller runs (typically the
+        write that ships the batch) — the same
+        derive-state-from-the-emitting-pass contract the streaming
+        sink uses per micro-batch (streaming/pipeline.py). Returns
+        ``(df, resolve)``; call ``resolve()`` after the action to get
+        the new state dict. At 100 TB this is the difference between
+        one scan and two per incremental sync.
+        """
+        from pyspark.sql import Observation
+
         cursor = self.schema.cursor_field()
         if cursor is None:
             raise ValueError(f"stream {self.schema.name!r} has no cursor field")
         df = self.dataframe(spark)
         if state and state.get(state_key) is not None:
             df = df.filter(F.col(cursor) > F.lit(state[state_key]))
-        row = df.agg(F.max(cursor).alias("hi")).collect()[0]
-        hi = row["hi"]
-        new_state = {state_key: hi if hi is not None else (state or {}).get(state_key)}
-        return df, new_state
+        obs = Observation()
+        df = df.observe(obs, F.max(F.col(cursor)).alias("hi"))
+
+        def resolve() -> dict:
+            hi = obs.get["hi"]
+            return {
+                state_key: hi if hi is not None else (state or {}).get(state_key)
+            }
+
+        return df, resolve
 
 
 @dataclass

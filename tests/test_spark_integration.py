@@ -162,6 +162,30 @@ def test_file_stream_incremental(spark, tmp_path):
     assert df3.count() == 0 and state3 == {"To": 9}  # cursor holds
 
 
+def test_file_stream_incremental_observed(spark, tmp_path):
+    """The zero-extra-job variant: the high-water mark is computed by
+    the caller's own action (here a collect standing in for the sink
+    write), and resolve() then yields the same state the eager API
+    returns — including the cursor-holds case on an empty batch."""
+    from go_integ_spark.schema.stream import StreamSchema
+    from go_integ_spark.sources.files import FileStream
+
+    src = str(tmp_path / "ev")
+    spark.range(10).selectExpr("id", "id * 10 as v").write.parquet(src)
+    fs = FileStream(
+        schema=StreamSchema.from_ddl("ev", "id long, v long").iterated_by("id"),
+        path=src,
+    )
+    df, resolve = fs.incremental_dataframe_observed(spark, {"To": 7})
+    rows = df.collect()  # the caller's action drives the observation
+    assert sorted(r.id for r in rows) == [8, 9]
+    assert resolve() == {"To": 9}
+
+    df2, resolve2 = fs.incremental_dataframe_observed(spark, {"To": 9})
+    assert df2.count() == 0
+    assert resolve2() == {"To": 9}  # empty batch: cursor holds
+
+
 def test_file_stream_csv_and_jsonl(spark, tmp_path):
     """S12 across formats: the same declarative FileStream spec reads
     csv and jsonl with the declared schema applied (no inference
