@@ -126,6 +126,7 @@ _MEASURED_COST = {
     "dedup_minhash_lsh": 1.7,
     "dedup_incremental_lsh": 1.88,
     "dedup_embedding_cosine": 2.44,
+    "curation_boilerplate_ngrams": 0.9,
     "dedup_canonical_pick": 2.48,
     "ann_ivf_topk": 2.51,
     "streaming_foreach_batch_merge": 3.04,

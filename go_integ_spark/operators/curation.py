@@ -477,3 +477,101 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'sample', 4, n4) AS (stage, stage_idx, n_docs)"
         )
     ).select("stage", F.col("stage_idx").cast("int"), "n_docs")
+
+
+# C4-style boilerplate detection, adapted to this corpus: C4 removes
+# lines repeated across >= 3 pages; these documents are single-line,
+# so the repeated unit is the word trigram within a source (the
+# domain analog). A trigram present in >= BOILER_MIN_DOCS distinct
+# documents of the same source is boilerplate; each document is
+# scored by the fraction of its distinct trigrams that are
+# boilerplate and kept below BOILER_KEEP_RATIO.
+BOILER_NGRAM = 3
+BOILER_MIN_DOCS = 3
+BOILER_KEEP_RATIO = 0.2
+
+_BOILER_GRAM_SQL = " || ' ' || ".join(
+    f"w[i + {j}]" for j in range(BOILER_NGRAM)
+)
+
+
+@register(
+    "curation_boilerplate_ngrams",
+    tags=("curation", "text", "dedup"),
+    oracle=f"""
+WITH words AS (
+    SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+), pos AS (
+    SELECT doc_id, source, w,
+           unnest(generate_series(1, len(w) - {BOILER_NGRAM - 1})) AS i
+    FROM words WHERE len(w) >= {BOILER_NGRAM}
+), g AS (
+    SELECT DISTINCT doc_id, source, {_BOILER_GRAM_SQL} AS gram FROM pos
+), boiler AS (
+    SELECT source, gram FROM g
+    GROUP BY source, gram
+    HAVING count(*) >= {BOILER_MIN_DOCS}
+), per_doc AS (
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(b.gram) AS n_boiler
+    FROM g LEFT JOIN boiler b
+      ON b.source = g.source AND b.gram = g.gram
+    GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_boiler,
+       round(n_boiler * 1.0 / n_grams, 4) AS boiler_ratio,
+       n_boiler * 1.0 / n_grams < {BOILER_KEEP_RATIO} AS keep
+FROM per_doc
+""",
+)
+def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate scoring (C4 §2.2's repeated-line
+    filter, re-expressed for single-line docs as repeated per-source
+    trigrams).
+
+    Scale design: per-doc distinct trigrams are built ROW-LOCALLY
+    (transform over the word array + array_distinct — zero shuffles,
+    same property as doc_shingle_sets); the document-frequency count
+    and the membership join both exchange (source, gram) keys, and
+    AQE reuses the same hash partitioning for the join that the
+    count's groupBy established. The final per-doc agg shuffles
+    doc_id + two longs. Gram text (not a hash) is the key because
+    the boilerplate *report* is the product — a pipeline that only
+    needs the filter would swap in xxhash64 gram IDs for 8-byte
+    shuffle keys like the dedup operators.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    grams_arr = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(w) - {BOILER_NGRAM - 1}),"
+            " i -> concat_ws(' ', w[i - 1], w[i], w[i + 1]))"
+        )
+    )
+    g = (
+        docs.withColumn("w", F.split("text", " "))
+        .filter(F.size("w") >= BOILER_NGRAM)
+        .select("doc_id", "source", F.explode(grams_arr).alias("gram"))
+    )
+    boiler = (
+        g.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DOCS)
+        .select("source", "gram", F.lit(True).alias("is_boiler"))
+    )
+    per_doc = (
+        g.join(boiler, ["source", "gram"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+    )
+    ratio = F.col("n_boiler") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.round(ratio, 4).alias("boiler_ratio"),
+        (ratio < BOILER_KEEP_RATIO).alias("keep"),
+    )
