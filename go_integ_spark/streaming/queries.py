@@ -44,17 +44,33 @@ def _events_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object
     return _STREAM_SRC[sf_dir]
 
 
+# State-store shards for the gate runs. A streaming query spins up
+# one state store per shuffle partition per stateful operator (a
+# stream-stream join keeps four), and that per-shard cost is pure
+# overhead when the state is tiny: inheriting the analytic default
+# (32) makes the join query ~2x slower than 4 shards. Production
+# sizes this to state volume — the shard count is frozen into the
+# checkpoint at the first run, so it is a capacity decision, not a
+# tuning knob you can turn later.
+STATE_PARTITIONS = 4
+
+
 def _run_to_memory(df: DataFrame, output_mode: str, prefix: str) -> DataFrame:
     spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
