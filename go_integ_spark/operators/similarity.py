@@ -518,3 +518,97 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(cuts), "label").select(
         "vec_id", "label", "dist2", (F.col("dist2") > F.col("cut")).alias("is_outlier")
     )
+
+
+# Product quantization: split the 64-dim embedding into PQ_M
+# subspaces of PQ_DIM dims; each subspace quantizes to the nearest of
+# the IVF_K codebook entries (the sub-slices of the same fixed
+# hash-selected centroid set ivf_centroids uses). A vector compresses
+# to PQ_M small codes — the standard IVF-PQ memory layout that makes
+# billion-scale ANN fit in RAM; reconstruction error is reported so
+# recall/compression trades are measurable.
+PQ_M = 8
+PQ_DIM = 8  # 64 / PQ_M
+
+
+@register(
+    "similarity_pq_encode",
+    tags=("similarity", "vector", "compression"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), cidx AS (
+    SELECT ce, CAST(row_number() OVER (ORDER BY cent_id) - 1 AS INT) AS code
+    FROM cent
+), sub AS (
+    SELECT v.vec_id, m.m, c.code,
+           list_sum(list_transform(generate_series(1, {PQ_DIM}),
+               i -> (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i]) ^ 2))
+               AS d
+    FROM v
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    CROSS JOIN cidx c
+), best AS (
+    SELECT vec_id, m, code, d,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM sub
+)
+SELECT vec_id,
+       list(code ORDER BY m) AS pq_codes,
+       round(sum(d), 4) AS pq_mse
+FROM best WHERE rn = 1
+GROUP BY vec_id
+""",
+)
+def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus: (vec_id, pq_codes, pq_mse).
+
+    Entirely ROW-LOCAL: the codebook is the fixed-K inline centroid
+    array (``ivf_centroid_lit``); per subspace the argmin over
+    codebook entries is an ``array_sort`` over (distance, index)
+    structs — zero shuffles, zero joins, the whole encode is one
+    map-side Project over the scan. That is the property that lets a
+    1000-executor job compress 100 TB of embeddings in a single pass
+    (codes are {PQ_M} small ints ~ {PQ_M} bytes vs 256 bytes of
+    float32 — a 32x memory cut for the ANN serving tier).
+
+    The codebook here reuses the deterministic hash-selected centroid
+    sub-slices so the DuckDB oracle reproduces codes AND
+    reconstruction error value-exactly; production would train
+    per-subspace k-means codebooks offline (same plumbing as
+    ``embedding_kmeans``) and swap the literal.
+    """
+    from go_integ_spark.functions.vector import with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    best = F.expr(
+        f"""
+        transform(sequence(0, {PQ_M - 1}), m ->
+          array_sort(transform(cents, (s, j) ->
+            struct(
+              aggregate(
+                zip_with(slice(e, m * {PQ_DIM} + 1, {PQ_DIM}),
+                         slice(s.ce, m * {PQ_DIM} + 1, {PQ_DIM}),
+                         (x, y) -> (x - y) * (x - y)),
+                cast(0.0 as double), (acc, x) -> acc + x) AS d,
+              j AS code)))[0])
+        """
+    )
+    return (
+        v.withColumn("cents", ivf_centroid_lit(v))
+        .withColumn("best", best)
+        .select(
+            "vec_id",
+            F.expr("transform(best, s -> s.code)").alias("pq_codes"),
+            F.round(
+                F.expr("aggregate(transform(best, s -> s.d),"
+                       " cast(0.0 as double), (acc, x) -> acc + x)"),
+                4,
+            ).alias("pq_mse"),
+        )
+    )

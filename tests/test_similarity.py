@@ -77,3 +77,20 @@ def test_salted_topk_matches_naive_window(spark):
         df, "g", [F.col("score").desc(), F.col("id")], TOP_K
     ).select("g", "id", "rn")
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_pq_encode_invariants(spark):
+    """PQ structural contract: map-side-only plan (no exchange, no
+    join), codes within the codebook range, and the codebook vectors
+    themselves encode losslessly (their own sub-slices are codebook
+    entries, so per-subspace distance is exactly 0)."""
+    from go_integ_spark.operators.similarity import IVF_K, PQ_M, similarity_pq_encode
+
+    df = similarity_pq_encode(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    rows = df.collect()
+    assert all(len(r["pq_codes"]) == PQ_M for r in rows)
+    assert all(0 <= c < IVF_K for r in rows for c in r["pq_codes"])
+    assert sum(r["pq_mse"] == 0.0 for r in rows) == IVF_K
+    assert all(r["pq_mse"] >= 0.0 for r in rows)
