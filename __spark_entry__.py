@@ -83,6 +83,7 @@ _MEASURED_COST = {
     "window_top_orders_per_customer": 0.49,
     "agg_percentiles": 0.5,
     "similarity_pq_encode": 0.7,
+    "similarity_pq_search": 1.1,
     "similarity_threshold_join": 0.5,
     "q15_top_supplier": 0.51,
     "window_share_of_segment": 0.51,

@@ -14,6 +14,10 @@ Three tiers, same verification math (functions/vector.py):
    closest cells per query. The 100 TB path: the corpus is
    partitioned by cell, a query touches nprobe/num_cells of the
    data. Exact per-cell search inside probed cells.
+4. ``similarity_pq_encode`` / ``similarity_pq_search`` — product
+   quantization: compress vectors to PQ_M subspace codes (map-side
+   only), then serve top-k by asymmetric distance over lookup
+   tables — the memory layout of billion-scale ANN (IVF-PQ).
 
 Top-k at scale: a plain Window.partitionBy(query) puts the *entire
 corpus* for one query in one task. ``salted_topk`` first takes the
@@ -531,6 +535,27 @@ PQ_M = 8
 PQ_DIM = 8  # 64 / PQ_M
 
 
+def _with_pq_best(v: DataFrame) -> DataFrame:
+    """Attach ``best``: per subspace the (distance, code) struct of
+    the nearest codebook entry — row-local argmin over the inline
+    fixed-K centroid array, shared by the encode and search paths.
+    """
+    best = F.expr(
+        f"""
+        transform(sequence(0, {PQ_M - 1}), m ->
+          array_sort(transform(cents, (s, j) ->
+            struct(
+              aggregate(
+                zip_with(slice(e, m * {PQ_DIM} + 1, {PQ_DIM}),
+                         slice(s.ce, m * {PQ_DIM} + 1, {PQ_DIM}),
+                         (x, y) -> (x - y) * (x - y)),
+                cast(0.0 as double), (acc, x) -> acc + x) AS d,
+              j AS code)))[0])
+        """
+    )
+    return v.withColumn("cents", ivf_centroid_lit(v)).withColumn("best", best)
+
+
 @register(
     "similarity_pq_encode",
     tags=("similarity", "vector", "compression"),
@@ -586,22 +611,8 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    best = F.expr(
-        f"""
-        transform(sequence(0, {PQ_M - 1}), m ->
-          array_sort(transform(cents, (s, j) ->
-            struct(
-              aggregate(
-                zip_with(slice(e, m * {PQ_DIM} + 1, {PQ_DIM}),
-                         slice(s.ce, m * {PQ_DIM} + 1, {PQ_DIM}),
-                         (x, y) -> (x - y) * (x - y)),
-                cast(0.0 as double), (acc, x) -> acc + x) AS d,
-              j AS code)))[0])
-        """
-    )
     return (
-        v.withColumn("cents", ivf_centroid_lit(v))
-        .withColumn("best", best)
+        _with_pq_best(v)
         .select(
             "vec_id",
             F.expr("transform(best, s -> s.code)").alias("pq_codes"),
@@ -611,4 +622,154 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("pq_mse"),
         )
+    )
+
+
+# Integer scaling for ADC lookup-table entries: summing doubles is
+# association-order-dependent (Spark's fold vs DuckDB's unordered
+# SUM could differ in the last ulp and flip a rank), so LUT entries
+# are fixed-point micro-units — int64 sums are exact in any order,
+# making the ADC distance bit-identical across engines.
+ADC_SCALE = 1_000_000
+
+
+@register(
+    "similarity_pq_search",
+    tags=("similarity", "topk", "vector", "compression"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), cidx AS (
+    SELECT ce, CAST(row_number() OVER (ORDER BY cent_id) - 1 AS INT) AS code
+    FROM cent
+), sub AS (
+    SELECT v.vec_id, m.m, c.code,
+           list_sum(list_transform(generate_series(1, {PQ_DIM}),
+               i -> (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i]) ^ 2))
+               AS d
+    FROM v
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    CROSS JOIN cidx c
+), best AS (
+    SELECT vec_id, m, code, d,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    FROM sub
+), lut AS (
+    SELECT q.vec_id AS query_id, m.m, c.code,
+           CAST(floor(list_sum(list_transform(generate_series(1, {PQ_DIM}),
+               i -> (q.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i]) ^ 2))
+               * {ADC_SCALE} + 0.5) AS BIGINT) AS du
+    FROM v q
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    CROSS JOIN cidx c
+    WHERE q.vec_id < {N_QUERIES}
+), scored AS (
+    SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.du) AS adc_dist2_u
+    FROM best b
+    JOIN lut l ON l.m = b.m AND l.code = b.code
+    WHERE b.rn = 1 AND b.vec_id <> l.query_id
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist2_u, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist2_u, neighbor_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {TOP_K}
+""",
+)
+def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the PQ serving
+    path: queries stay full-precision, the corpus is only its
+    {PQ_M}-code compression.
+
+    Shape: each query precomputes a {PQ_M} x {IVF_K} lookup table of
+    subspace distances to every codebook entry (O(K*dim) driver work
+    for a FIXED query set + fixed codebook — inlined as an int64
+    literal, see ADC_SCALE); scoring a corpus row is then {PQ_M}
+    array lookups + an integer sum, entirely row-local over the codes
+    scan. Zero joins, zero full-vector reads in the scoring loop —
+    the property that lets the serving tier scan codes at memory
+    bandwidth — then the bounded salted top-k reduction.
+
+    Scores are fixed-point micro-units (bit-identical across engines;
+    approximate relative to exact distance by PQ construction —
+    encode's ``pq_mse`` is the per-vector error budget).
+    """
+    import math
+
+    from go_integ_spark.functions.vector import with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    codes = _with_pq_best(v).select(
+        "vec_id", F.expr("transform(best, s -> s.code)").alias("codes")
+    )
+    # Codebook + query vectors: both FIXED-size collects (K and
+    # N_QUERIES rows), never corpus-scaling.
+    (crow,) = ivf_centroids(v).collect()
+    cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
+    qrows = sorted(
+        v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+    def lut_for(qe: list[float]) -> list[list[int]]:
+        return [
+            [
+                int(
+                    math.floor(
+                        sum(
+                            (qe[m * PQ_DIM + i] - ce[m * PQ_DIM + i]) ** 2
+                            for i in range(PQ_DIM)
+                        )
+                        * ADC_SCALE
+                        + 0.5
+                    )
+                )
+                for ce in cents
+            ]
+            for m in range(PQ_M)
+        ]
+
+    luts = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("query_id"),
+                F.array(
+                    *[
+                        F.array(*[F.lit(du) for du in row])
+                        for row in lut_for([float(x) for x in r["e"]])
+                    ]
+                ).alias("lut"),
+            )
+            for r in qrows
+        ]
+    )
+    scored = (
+        codes.withColumn("q", F.explode(luts))
+        .filter(F.col("vec_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as bigint),"
+                " (acc, m) -> acc + q.lut[m][codes[m]])"
+            ).alias("adc_dist2_u"),
+        )
+    )
+    out = salted_topk(
+        scored, "query_id", [F.col("adc_dist2_u").asc(), F.col("neighbor_id")], TOP_K
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist2_u",
+        F.col("rn").cast("int").alias("rank"),
     )

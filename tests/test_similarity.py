@@ -94,3 +94,35 @@ def test_pq_encode_invariants(spark):
     assert all(0 <= c < IVF_K for r in rows for c in r["pq_codes"])
     assert sum(r["pq_mse"] == 0.0 for r in rows) == IVF_K
     assert all(r["pq_mse"] >= 0.0 for r in rows)
+
+
+def test_pq_search_approximates_exact(spark, exact):
+    """ADC over 8 codes must still put a solid fraction of the exact
+    top-k in its top-k (random 64-dim corpus, 32x compression — the
+    bar is necessarily lower than full-precision IVF), and its
+    distances must be monotone in rank with deterministic output."""
+    from go_integ_spark.operators.similarity import similarity_pq_search
+
+    rows = similarity_pq_search(spark, SF_DIR).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # RANDOM 64-dim vectors are incompressible: at 32x compression the
+    # per-subspace quantization error swamps most of the tiny true
+    # inter-vector signal (overlap vs the exact EUCLIDEAN top-k is the
+    # same 0.08, so this is quantization noise, not the cosine/L2
+    # metric gap). The honest contract is therefore
+    # clearly-above-chance: random top-10 agreement would be
+    # 10/(N-1) ~= 0.02; deterministic overlap here is 0.08 = 4x that.
+    # On real clustered embeddings PQ recall is far higher — that is
+    # the entire reason the technique works in production.
+    n_corpus = 500
+    chance = 10 / (n_corpus - 1)
+    overlap = len(got & exact) / len(exact)
+    assert overlap >= 3 * chance, f"PQ overlap {overlap:.3f} vs chance {chance:.3f}"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist2_u"]))
+    for ranked in by_q.values():
+        ranked.sort()
+        assert [r for r, _ in ranked] == list(range(1, len(ranked) + 1))
+        dists = [d for _, d in ranked]
+        assert dists == sorted(dists)  # monotone in rank
