@@ -76,6 +76,7 @@ _MEASURED_COST = {
     "text_repetition_ratio": 0.42,
     "corpus_token_stats": 0.43,
     "q13_customer_distribution": 0.43,
+    "events_anomaly_mad": 0.6,
     "events_cohort_retention": 0.45,
     "events_json_extract": 0.45,
     "text_heavy_hitters": 0.45,

@@ -426,3 +426,78 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(total_w), 4).alias("p"),
     )
+
+
+# Robust anomaly detection over the event stream: flag hours whose
+# per-type count deviates from that type's median by more than
+# MAD_SIGMAS scaled median-absolute-deviations. Median/MAD instead of
+# mean/stddev because traffic anomalies are exactly the points that
+# wreck a mean-based threshold (the estimator must be robust to the
+# outliers it is hunting). 1.4826 rescales MAD to sigma under
+# normality — the standard convention.
+MAD_SIGMAS = 3.0
+MAD_SCALE = 1.4826
+
+
+@register(
+    "events_anomaly_mad",
+    tags=("events", "aggregation", "two_pass"),
+    oracle=f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), med AS (
+    SELECT event_type, quantile_cont(n, 0.5) AS med
+    FROM hourly GROUP BY event_type
+), mad AS (
+    SELECT h.event_type, quantile_cont(abs(h.n - m.med), 0.5) AS mad
+    FROM hourly h JOIN med m ON h.event_type = m.event_type
+    GROUP BY h.event_type
+)
+SELECT h.hour_start, h.event_type, h.n,
+       round(m.med, 4) AS med,
+       round(d.mad, 4) AS mad,
+       abs(h.n - m.med) > {MAD_SIGMAS} * {MAD_SCALE} * d.mad AS is_anomaly
+FROM hourly h
+JOIN med m ON h.event_type = m.event_type
+JOIN mad d ON h.event_type = d.event_type
+""",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose per-type event count is a robust outlier
+    (|n - median| > 3 * 1.4826 * MAD).
+
+    Two-pass broadcast-threshold shape (same as the quality filter):
+    the hourly rollup shuffles once on (hour, type); the per-type
+    median and MAD are tiny aggregates (one row per event type) that
+    broadcast back onto the rollup — the corpus-sized frame never
+    moves again. Exact percentile keeps the oracle value-level; the
+    100 TB swap is percentile_approx, identical plan shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    h_med = hourly.join(F.broadcast(med), "event_type")
+    mad = (
+        h_med.groupBy("event_type")
+        .agg(F.expr("percentile(abs(n - med), 0.5)").alias("mad"))
+    )
+    out = h_med.join(F.broadcast(mad), "event_type")
+    dev = F.abs(F.col("n") - F.col("med"))
+    return out.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        (dev > MAD_SIGMAS * MAD_SCALE * F.col("mad")).alias("is_anomaly"),
+    )
