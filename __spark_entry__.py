@@ -130,6 +130,7 @@ _MEASURED_COST = {
     "multimodal_resize_thumbs": 1.59,
     "dedup_simhash": 1.68,
     "dedup_canonical_pick": 2.08,
+    "dedup_soft_weights": 1.2,
     "ann_ivf_topk": 2.31,
     "streaming_stream_join": 2.32,
     "dedup_embedding_cosine": 2.34,

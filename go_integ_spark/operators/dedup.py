@@ -864,3 +864,75 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "dedup_soft_weights",
+    tags=("dedup", "graph", "sampling"),
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE.strip()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+member AS (
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+sized AS (
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+    FROM member GROUP BY cluster_id
+)
+SELECT m.doc_id, m.cluster_id, s.cluster_size,
+       round(1.0 / s.cluster_size, 4) AS sample_weight
+FROM member m JOIN sized s ON m.cluster_id = s.cluster_id
+""",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document survives, weighted 1/cluster_size.
+
+    Hard near-dedup (dedup_canonical_pick) throws away duplicate
+    text wholesale; the soft alternative keeps all copies but
+    downweights them so a near-dup cluster contributes one document's
+    worth of sampling mass to training — the move when duplicates
+    carry template variation you still want (and the knob between
+    them: weight = size^-alpha). Output is the (doc_id, weight)
+    manifest a weighted sampler (curation_weighted_sample) consumes.
+
+    Scale shape: reuses the cached pair graph + connected components
+    (label-propagation on long pairs, see connected_components);
+    cluster sizes are one groupBy on cluster_id and join back —
+    the frame carries only ids and longs, never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, doc_sets=_cached_doc_sets(docs))
+    cc = _cached_components(pairs.select("doc_a", "doc_b")).select(
+        F.col("node").alias("cc_doc"), F.col("component").alias("cc_id")
+    )
+    member = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("cc_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cc_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sized = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return member.join(sized, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 4).alias("sample_weight"),
+    )
