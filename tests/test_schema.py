@@ -103,3 +103,28 @@ def test_entry_queries_family_round_robin_and_complete():
     # rounds different family members occupy the lead block.
     assert entry._round_index() >= 0
     assert set(entry.oracle_sql()) <= set(names)
+
+
+def test_entry_rotation_cycles_every_query_through_lead_block(monkeypatch):
+    """Across consecutive rounds the rotation must put EVERY member of
+    every family at the front of its family exactly once per cycle —
+    the property that guarantees the driver's time-budgeted gate
+    eventually verifies the whole registry even if it only ever
+    reaches the first blocks."""
+    import __spark_entry__ as entry
+    from go_integ_spark.registry import load_all
+
+    registry = load_all()
+    fam = {n: (s.tags[0] if s.tags else "misc") for n, s in registry.items()}
+    n_families = len(set(fam.values()))
+    max_family = max(
+        sum(1 for f in fam.values() if f == g) for g in set(fam.values())
+    )
+    leads: set[str] = set()
+    for rot in range(max_family):
+        monkeypatch.setattr(entry, "_round_index", lambda r=rot: r)
+        leads.update(entry._ordered_names()[:n_families])
+    # every family of size <= max_family cycles fully within
+    # max_family rounds; families smaller than max_family wrap early,
+    # so the union of lead blocks must cover the whole registry.
+    assert leads == set(registry)
