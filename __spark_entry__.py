@@ -67,6 +67,7 @@ _MEASURED_COST = {
     "dedup_clusters": 0.36,
     "q17_small_quantity_revenue": 0.37,
     "curation_boilerplate_ngrams": 0.38,
+    "curation_mix_weights": 0.35,
     "q19_disjunctive_predicates": 0.38,
     "set_union_distinct": 0.39,
     "range_join_error_clicks": 0.4,

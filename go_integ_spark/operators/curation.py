@@ -575,3 +575,64 @@ def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("boiler_ratio"),
         (ratio < BOILER_KEEP_RATIO).alias("keep"),
     )
+
+
+# Data mixing: per-source sampling weights that pull the corpus
+# toward a target token distribution (uniform across sources here —
+# deterministic and oracle-friendly; swap the target map for the
+# DoReMi/hand-tuned shares a real run uses). Weights are capped so a
+# tiny source cannot explode its repetition factor.
+MIX_MAX_WEIGHT = 3.0
+
+
+@register(
+    "curation_mix_weights",
+    tags=("curation", "sampling", "two_pass"),
+    oracle=f"""
+WITH per_source AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+), shared AS (
+    SELECT *,
+           sum(n_tokens) OVER () AS total_tokens,
+           count(*) OVER () AS n_sources
+    FROM per_source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / total_tokens, 6) AS actual_share,
+       round(least((1.0 / n_sources) / (n_tokens * 1.0 / total_tokens),
+                   {MIX_MAX_WEIGHT}), 4) AS mix_weight
+FROM shared
+""",
+)
+def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture weights: weight = target_share /
+    actual_token_share, capped at MIX_MAX_WEIGHT (a source repeated
+    more than ~3x overfits before it balances).
+
+    Scale shape: one corpus-wide aggregation shuffle produces the
+    per-source token counts; the share/weight math is a window over
+    THAT tiny frame (one row per source), so the unpartitioned window
+    — normally a scale bug — is bounded by source cardinality, never
+    corpus size. The output is the sampling-weight manifest consumed
+    by the same weighted sampler as dedup_soft_weights.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("actual_share"),
+        F.round(F.least(target / share, F.lit(MIX_MAX_WEIGHT)), 4).alias(
+            "mix_weight"
+        ),
+    )
