@@ -75,6 +75,7 @@ _MEASURED_COST = {
     "events_pivot_type_counts": 0.42,
     "q4_late_orders": 0.42,
     "text_repetition_ratio": 0.42,
+    "text_unigram_entropy": 0.5,
     "corpus_token_stats": 0.43,
     "q13_customer_distribution": 0.43,
     "events_anomaly_mad": 0.6,

@@ -552,3 +552,54 @@ def text_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("word_entropy"),
     )
+
+
+@register(
+    "text_unigram_entropy",
+    tags=("text", "quality"),
+    oracle="""
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w,
+           len(string_split(text, ' ')) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       round(len(list_distinct(w)) * 1.0 / n, 4) AS ttr,
+       round(-list_sum(list_transform(list_sort(list_distinct(w)),
+           u -> (len(list_filter(w, x -> x = u)) * 1.0 / n)
+                * ln(len(list_filter(w, x -> x = u)) * 1.0 / n))), 4)
+           AS entropy
+FROM words WHERE n > 0
+""",
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy + type-token ratio — the classic
+    cheap quality signals (low entropy = repetitive/templated text,
+    the thing quality filters drop first).
+
+    Entirely ROW-LOCAL JVM expressions: distinct words, then a fold
+    of -p*ln(p) over the SORTED distinct list — sorting fixes the
+    float summation order so the DuckDB oracle reproduces the sum to
+    the last ulp (an unordered SUM could differ and break the
+    rounded hash). Per-doc cost is O(distinct * words); nothing
+    shuffles, the filter reaches the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    out = docs.withColumn("w", w).withColumn("n", F.size("w")).filter(F.col("n") > 0)
+    entropy = F.expr(
+        "-aggregate(array_sort(array_distinct(w)), cast(0.0 as double),"
+        " (acc, u) -> acc + (size(filter(w, x -> x = u)) / cast(n as double))"
+        "   * ln(size(filter(w, x -> x = u)) / cast(n as double)))"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.round(F.size(F.array_distinct("w")) / F.col("n").cast("double"), 4).alias(
+            "ttr"
+        ),
+        F.round(entropy, 4).alias("entropy"),
+    )
