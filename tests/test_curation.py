@@ -40,3 +40,23 @@ def test_contamination_rate_bounds_and_split(spark):
         assert r["doc_id"] % 10 == 0  # held-out split only
         assert 0 <= r["n_contaminated"] <= r["n_grams"]
         assert 0.0 <= r["contamination_rate"] <= 1.0
+
+
+def test_mix_weights_cap_on_skewed_sources(spark, tmp_path):
+    """A source with a tiny token share must hit the MIX_MAX_WEIGHT
+    cap instead of exploding its repetition factor, and dominant
+    sources must be downweighted below 1."""
+    from go_integ_spark.operators.curation import MIX_MAX_WEIGHT, curation_mix_weights
+
+    rows = (
+        [(i, "big", "word " * 99 + "word") for i in range(50)]
+        + [(100, "tiny", "one two")]
+    )
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {r["source"]: r for r in curation_mix_weights(spark, str(tmp_path)).collect()}
+    # tiny: share 2/5002 -> uncapped weight would be ~1250; capped.
+    assert out["tiny"]["mix_weight"] == MIX_MAX_WEIGHT
+    # big: share ~1 vs target 0.5 -> weight ~0.5, strictly below 1.
+    assert out["big"]["mix_weight"] < 1.0
