@@ -60,3 +60,26 @@ def test_mix_weights_cap_on_skewed_sources(spark, tmp_path):
     assert out["tiny"]["mix_weight"] == MIX_MAX_WEIGHT
     # big: share ~1 vs target 0.5 -> weight ~0.5, strictly below 1.
     assert out["big"]["mix_weight"] < 1.0
+
+
+def test_boilerplate_drop_fires_on_templated_corpus(spark, tmp_path):
+    """On a corpus that IS mostly shared template text, documents must
+    cross the ratio threshold and get keep=False (the shipped corpus
+    is clean, so the gate never exercises the drop branch)."""
+    from go_integ_spark.operators.curation import curation_boilerplate_ngrams
+
+    template = "all rights reserved contact us terms of service apply here"
+    rows = [(i, "spam", f"{template} item {i}") for i in range(10)] + [
+        # fully disjoint word streams: no trigram repeats across docs
+        (100 + i, "spam", " ".join(f"w{i}x{j}" for j in range(8)))
+        for i in range(3)
+    ]
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in curation_boilerplate_ngrams(spark, str(tmp_path)).collect()}
+    templated = [out[i] for i in range(10)]
+    assert all(not r["keep"] for r in templated), "template docs must be dropped"
+    assert all(r["boiler_ratio"] > 0.5 for r in templated)
+    fresh = [out[100 + i] for i in range(3)]
+    assert all(r["keep"] for r in fresh)
