@@ -14,10 +14,12 @@
 # dependency.
 FROM python:3.12-slim-bookworm
 
+# No JAVA_HOME: the package registers java on PATH via alternatives,
+# which works on both amd64 and arm64 (a hardcoded
+# /usr/lib/jvm/java-17-openjdk-amd64 would break arm64 builds).
 RUN apt-get update \
     && apt-get install -y --no-install-recommends openjdk-17-jre-headless \
     && rm -rf /var/lib/apt/lists/*
-ENV JAVA_HOME=/usr/lib/jvm/java-17-openjdk-amd64
 
 RUN pip install --no-cache-dir "pyspark>=4.1" pyarrow pandas numpy
 

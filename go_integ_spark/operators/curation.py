@@ -542,10 +542,14 @@ def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys like the dedup operators.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # gram term list derived from BOILER_NGRAM (kept in lockstep with
+    # the oracle's _BOILER_GRAM_SQL — a hardcoded 3-term lambda here
+    # would silently diverge from the oracle if the constant changed)
+    gram_terms = ", ".join(f"w[i - 1 + {j}]" for j in range(BOILER_NGRAM))
     grams_arr = F.array_distinct(
         F.expr(
             f"transform(sequence(1, size(w) - {BOILER_NGRAM - 1}),"
-            " i -> concat_ws(' ', w[i - 1], w[i], w[i + 1]))"
+            f" i -> concat_ws(' ', {gram_terms}))"
         )
     )
     g = (

@@ -89,6 +89,13 @@ def ivf_centroid_lit(v: DataFrame) -> Column:
     to every searcher.
     """
     (row,) = ivf_centroids(v).collect()
+    return _centroid_lit_from_row(row)
+
+
+def _centroid_lit_from_row(row) -> Column:
+    """Build the inline centroid array from an already-collected
+    ivf_centroids row — lets callers that also need the codebook
+    driver-side (PQ search's LUTs) pay the selection job once."""
     return F.array(
         *[
             F.struct(
@@ -535,10 +542,12 @@ PQ_M = 8
 PQ_DIM = 8  # 64 / PQ_M
 
 
-def _with_pq_best(v: DataFrame) -> DataFrame:
+def _with_pq_best(v: DataFrame, cents: Column | None = None) -> DataFrame:
     """Attach ``best``: per subspace the (distance, code) struct of
     the nearest codebook entry — row-local argmin over the inline
     fixed-K centroid array, shared by the encode and search paths.
+    Pass a precomputed ``cents`` literal to reuse an already-collected
+    codebook instead of re-running the selection job.
     """
     best = F.expr(
         f"""
@@ -553,7 +562,9 @@ def _with_pq_best(v: DataFrame) -> DataFrame:
               j AS code)))[0])
         """
     )
-    return v.withColumn("cents", ivf_centroid_lit(v)).withColumn("best", best)
+    if cents is None:
+        cents = ivf_centroid_lit(v)
+    return v.withColumn("cents", cents).withColumn("best", best)
 
 
 @register(
@@ -584,7 +595,7 @@ WITH v AS (
 )
 SELECT vec_id,
        list(code ORDER BY m) AS pq_codes,
-       round(sum(d), 4) AS pq_mse
+       round(list_sum(list(d ORDER BY m)), 4) AS pq_mse
 FROM best WHERE rn = 1
 GROUP BY vec_id
 """,
@@ -708,12 +719,13 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    codes = _with_pq_best(v).select(
+    # Codebook + query vectors: both FIXED-size collects (K and
+    # N_QUERIES rows), never corpus-scaling. ONE selection job serves
+    # both the inline literal and the Python-side LUT codebook.
+    (crow,) = ivf_centroids(v).collect()
+    codes = _with_pq_best(v, cents=_centroid_lit_from_row(crow)).select(
         "vec_id", F.expr("transform(best, s -> s.code)").alias("codes")
     )
-    # Codebook + query vectors: both FIXED-size collects (K and
-    # N_QUERIES rows), never corpus-scaling.
-    (crow,) = ivf_centroids(v).collect()
     cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
     qrows = sorted(
         v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect(),

@@ -579,6 +579,13 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap quality signals (low entropy = repetitive/templated text,
     the thing quality filters drop first).
 
+    Overlaps text_word_stats' word_entropy BY DESIGN, differing where
+    it matters for composition: this operator tokenizes on whitespace
+    (the same token stream the shingle/dedup family and
+    corpus_token_stats use, so its entropy is comparable with theirs),
+    while word_stats' regex tokenizer normalizes punctuation; and it
+    adds TTR, the second standard repetitiveness ratio.
+
     Entirely ROW-LOCAL JVM expressions: distinct words, then a fold
     of -p*ln(p) over the SORTED distinct list — sorting fixes the
     float summation order so the DuckDB oracle reproduces the sum to

@@ -39,7 +39,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # contract: _normalize_timestamps' NTZ -> LTZ cast is only a
     # wall-clock identity under UTC — a non-UTC session would silently
     # shift instants relative to the DuckDB oracles and unix_micros
-    # epochs, so pin it here too (also runtime-settable).
+    # epochs, so pin it here too (also runtime-settable). This is a
+    # DELIBERATE engine-level contract, not scoped-and-restored: the
+    # returned frame is lazy, so restoring the tz before the caller's
+    # action would re-break the cast; the engine operates in UTC,
+    # like the nanosAsLong conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
