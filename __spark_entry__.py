@@ -117,6 +117,7 @@ _MEASURED_COST = {
     "basket_part_pairs": 0.87,
     "text_lang_id": 0.94,
     "connector_http_paginated_read": 0.96,
+    "streaming_anomaly_mad": 1.6,
     "streaming_session_window": 0.99,
     "events_hourly_rollup": 1.05,
     "window_spend_quartiles": 1.05,

@@ -476,24 +476,39 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB swap is percentile_approx, identical plan shape.
     """
     ev = load_table(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    hourly = hourly_type_counts(ev)
+    out = hourly.join(F.broadcast(mad_thresholds(hourly)), "event_type")
+    return flag_mad_anomalies(out)
+
+
+def hourly_type_counts(ev: DataFrame) -> DataFrame:
+    """(hour_start, event_type, n) — one rollup shuffle."""
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def mad_thresholds(hourly: DataFrame) -> DataFrame:
+    """(event_type, med, mad) — UNROUNDED per-type robust thresholds
+    (one tiny row per event type; the 'trained model' the streaming
+    variant applies online). Kept raw so anomaly flags never depend
+    on output rounding."""
     med = hourly.groupBy("event_type").agg(
         F.expr("percentile(n, 0.5)").alias("med")
     )
     h_med = hourly.join(F.broadcast(med), "event_type")
-    mad = (
-        h_med.groupBy("event_type")
-        .agg(F.expr("percentile(abs(n - med), 0.5)").alias("mad"))
+    mad = h_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(n - med), 0.5)").alias("mad")
     )
-    out = h_med.join(F.broadcast(mad), "event_type")
+    return med.join(mad, "event_type")
+
+
+def flag_mad_anomalies(scored: DataFrame) -> DataFrame:
+    """Final projection shared by the batch and streaming variants:
+    rounded reporting columns, flag computed from the RAW threshold."""
     dev = F.abs(F.col("n") - F.col("med"))
-    return out.select(
+    return scored.select(
         "hour_start",
         "event_type",
         "n",

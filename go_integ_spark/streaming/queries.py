@@ -404,3 +404,47 @@ def streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("value", 4).alias("value"),
         "props",
     )
+
+
+def _batch_anomaly_oracle() -> str:
+    from go_integ_spark.operators import events as _events  # noqa: F401
+    from go_integ_spark.registry import REGISTRY
+
+    return REGISTRY["events_anomaly_mad"].oracle
+
+
+@register(
+    "streaming_anomaly_mad",
+    tags=("streaming", "anomaly", "event_time"),
+    oracle=_batch_anomaly_oracle(),
+)
+def streaming_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline-model / online-apply: per-type median+MAD thresholds
+    come from a batch pass (the 'trained model'), while the hourly
+    counts are recomputed BY THE STREAMING ENGINE (file source ->
+    event-time tumbling window through the state store, availableNow)
+    and flagged against the broadcast thresholds — the production
+    anomaly-detection shape, where detection logic runs per
+    micro-batch but its statistics are fit offline. Driven to
+    completion the result must equal the batch query exactly, so it
+    shares events_anomaly_mad's full value oracle.
+    """
+    from go_integ_spark.operators.events import (
+        flag_mad_anomalies,
+        hourly_type_counts,
+        mad_thresholds,
+    )
+
+    path, schema = _events_stream_source(spark, sf_dir)
+    thresholds = mad_thresholds(
+        hourly_type_counts(load_table(spark, sf_dir, "events"))
+    )
+    agg = (
+        read_stream(spark, path, schema)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "complete", "sam").select(
+        F.col("window.start").alias("hour_start"), "event_type", "n"
+    )
+    return flag_mad_anomalies(out.join(F.broadcast(thresholds), "event_type"))
