@@ -438,11 +438,10 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 MAD_SIGMAS = 3.0
 MAD_SCALE = 1.4826
 
-
-@register(
-    "events_anomaly_mad",
-    tags=("events", "aggregation", "two_pass"),
-    oracle=f"""
+# Shared by events_anomaly_mad AND streaming_anomaly_mad: driven to
+# completion, the streaming variant must equal this batch answer
+# value-exactly, so both register with the identical oracle.
+ANOMALY_MAD_ORACLE = f"""
 WITH hourly AS (
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
            CAST(count(*) AS BIGINT) AS n
@@ -462,7 +461,13 @@ SELECT h.hour_start, h.event_type, h.n,
 FROM hourly h
 JOIN med m ON h.event_type = m.event_type
 JOIN mad d ON h.event_type = d.event_type
-""",
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    tags=("events", "aggregation", "two_pass"),
+    oracle=ANOMALY_MAD_ORACLE,
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hours whose per-type event count is a robust outlier

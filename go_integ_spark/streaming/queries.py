@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_integ_spark.operators.events import ANOMALY_MAD_ORACLE
 from go_integ_spark.registry import register
 from go_integ_spark.streaming.pipeline import read_stream
 from go_integ_spark.tables import load_table
@@ -98,6 +99,15 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark horizon, and the memory sink becomes a table/topic
     write.
     """
+    return _streamed_hourly_counts(spark, sf_dir)
+
+
+def _streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hour_start, event_type, n) computed by the streaming engine.
+    The hour-aligned tumbling window makes ``window.start`` equal
+    ``date_trunc('hour')`` — the contract that lets the batch SQL
+    oracles apply verbatim; shared by streaming_hourly_counts and
+    streaming_anomaly_mad so that contract lives in one place."""
     path, schema = _events_stream_source(spark, sf_dir)
     agg = (
         read_stream(spark, path, schema)
@@ -406,17 +416,10 @@ def streaming_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _batch_anomaly_oracle() -> str:
-    from go_integ_spark.operators import events as _events  # noqa: F401
-    from go_integ_spark.registry import REGISTRY
-
-    return REGISTRY["events_anomaly_mad"].oracle
-
-
 @register(
     "streaming_anomaly_mad",
     tags=("streaming", "anomaly", "event_time"),
-    oracle=_batch_anomaly_oracle(),
+    oracle=ANOMALY_MAD_ORACLE,
 )
 def streaming_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline-model / online-apply: per-type median+MAD thresholds
@@ -435,16 +438,8 @@ def streaming_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         mad_thresholds,
     )
 
-    path, schema = _events_stream_source(spark, sf_dir)
     thresholds = mad_thresholds(
         hourly_type_counts(load_table(spark, sf_dir, "events"))
     )
-    agg = (
-        read_stream(spark, path, schema)
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    out = _run_to_memory(agg, "complete", "sam").select(
-        F.col("window.start").alias("hour_start"), "event_type", "n"
-    )
+    out = _streamed_hourly_counts(spark, sf_dir)
     return flag_mad_anomalies(out.join(F.broadcast(thresholds), "event_type"))
