@@ -116,3 +116,23 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_soft_weights_conserve_cluster_mass(spark):
+    """Each near-dup cluster must contribute exactly one document's
+    worth of sampling mass: member weights are 1/cluster_size, so the
+    per-cluster weight sum is 1.0 and the corpus-wide weight sum
+    equals the number of clusters (post-dedup corpus cardinality)."""
+    from collections import defaultdict
+
+    from go_integ_spark.operators.dedup import dedup_soft_weights
+
+    rows = dedup_soft_weights(spark, SF_DIR).collect()
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    for members in by_cluster.values():
+        sizes = {m["cluster_size"] for m in members}
+        assert sizes == {len(members)}  # size column is consistent
+        assert abs(sum(m["sample_weight"] for m in members) - 1.0) < 1e-2
+    assert len(rows) >= len(by_cluster)
