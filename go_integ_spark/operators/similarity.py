@@ -541,6 +541,50 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8
 PQ_DIM = 8  # 64 / PQ_M
 
+# Fixed-point scaling for EVERY per-term PQ distance: a squared
+# difference is scaled to integer micro-units and floored BEFORE the
+# subspace sum, in all three places that compute PQ distances (the
+# Spark encode argmin below, the driver-side Python LUT builder, and
+# the DuckDB oracles). Each individual IEEE double op ((x-y), *, +0.5,
+# floor) is exactly rounded and therefore bit-identical across
+# engines; the only cross-engine hazard is the ASSOCIATION ORDER of a
+# multi-term float sum — which integer summation eliminates (int64
+# addition is exact in any order). Round 4's hash-fail came from
+# applying the scaling AFTER an order-dependent 16-term double sum
+# (one ulp in the sum could flip floor(x*1e6+0.5) by 1 and swap a
+# rank); per-term flooring makes the full code-pick + ADC pipeline
+# order-free and engine-exact.
+ADC_SCALE = 1_000_000
+
+
+def pq_term_u(q: float, c: float) -> int:
+    """One squared-difference term in integer micro-units.
+
+    Mirrors the engine-side fixed point EXACTLY: (q-c)*(q-c)*SCALE
+    + 0.5 is the same left-associated chain of individually-rounded
+    IEEE double ops Spark and DuckDB evaluate, so the floored term is
+    bit-identical in all three engines (tests/test_similarity.py
+    asserts the three-way equality directly).
+    """
+    import math
+
+    d = q - c
+    return int(math.floor(d * d * ADC_SCALE + 0.5))
+
+
+def pq_lut_u(qe: list[float], cents: list[list[float]]) -> list[list[int]]:
+    """The PQ_M x len(cents) ADC lookup table for one query vector —
+    integer micro-unit subspace distances (order-free exact sums of
+    ``pq_term_u`` terms)."""
+    return [
+        [
+            sum(pq_term_u(qe[m * PQ_DIM + i], ce[m * PQ_DIM + i])
+                for i in range(PQ_DIM))
+            for ce in cents
+        ]
+        for m in range(PQ_M)
+    ]
+
 
 def _with_pq_best(v: DataFrame, cents: Column | None = None) -> DataFrame:
     """Attach ``best``: per subspace the (distance, code) struct of
@@ -548,6 +592,10 @@ def _with_pq_best(v: DataFrame, cents: Column | None = None) -> DataFrame:
     fixed-K centroid array, shared by the encode and search paths.
     Pass a precomputed ``cents`` literal to reuse an already-collected
     codebook instead of re-running the selection job.
+
+    Distances are integer micro-units (see ``ADC_SCALE``) so the
+    argmin, its ties, and the reported reconstruction error are
+    bit-identical to the DuckDB oracle.
     """
     best = F.expr(
         f"""
@@ -557,8 +605,9 @@ def _with_pq_best(v: DataFrame, cents: Column | None = None) -> DataFrame:
               aggregate(
                 zip_with(slice(e, m * {PQ_DIM} + 1, {PQ_DIM}),
                          slice(s.ce, m * {PQ_DIM} + 1, {PQ_DIM}),
-                         (x, y) -> (x - y) * (x - y)),
-                cast(0.0 as double), (acc, x) -> acc + x) AS d,
+                         (x, y) -> cast(floor(
+                             (x - y) * (x - y) * {ADC_SCALE} + 0.5d) as bigint)),
+                cast(0 as bigint), (acc, x) -> acc + x) AS du,
               j AS code)))[0])
         """
     )
@@ -583,25 +632,28 @@ WITH v AS (
 ), sub AS (
     SELECT v.vec_id, m.m, c.code,
            list_sum(list_transform(generate_series(1, {PQ_DIM}),
-               i -> (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i]) ^ 2))
-               AS d
+               i -> CAST(floor(
+                   (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * {ADC_SCALE} + 0.5) AS BIGINT)))
+               AS du
     FROM v
     CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
     CROSS JOIN cidx c
 ), best AS (
-    SELECT vec_id, m, code, d,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    SELECT vec_id, m, code, du,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) AS rn
     FROM sub
 )
 SELECT vec_id,
        list(code ORDER BY m) AS pq_codes,
-       round(list_sum(list(d ORDER BY m)), 4) AS pq_mse
+       CAST(list_sum(list(du ORDER BY m)) AS BIGINT) AS pq_mse_u
 FROM best WHERE rn = 1
 GROUP BY vec_id
 """,
 )
 def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-encode the corpus: (vec_id, pq_codes, pq_mse).
+    """PQ-encode the corpus: (vec_id, pq_codes, pq_mse_u).
 
     Entirely ROW-LOCAL: the codebook is the fixed-K inline centroid
     array (``ivf_centroid_lit``); per subspace the argmin over
@@ -611,6 +663,9 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor job compress 100 TB of embeddings in a single pass
     (codes are {PQ_M} small ints ~ {PQ_M} bytes vs 256 bytes of
     float32 — a 32x memory cut for the ANN serving tier).
+    ``pq_mse_u`` is the reconstruction error in integer micro-units
+    (see ``ADC_SCALE`` — per-term fixed point keeps the value and the
+    argmin bit-identical to the DuckDB oracle).
 
     The codebook here reuses the deterministic hash-selected centroid
     sub-slices so the DuckDB oracle reproduces codes AND
@@ -627,21 +682,10 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.expr("transform(best, s -> s.code)").alias("pq_codes"),
-            F.round(
-                F.expr("aggregate(transform(best, s -> s.d),"
-                       " cast(0.0 as double), (acc, x) -> acc + x)"),
-                4,
-            ).alias("pq_mse"),
+            F.expr("aggregate(transform(best, s -> s.du),"
+                   " cast(0 as bigint), (acc, x) -> acc + x)").alias("pq_mse_u"),
         )
     )
-
-
-# Integer scaling for ADC lookup-table entries: summing doubles is
-# association-order-dependent (Spark's fold vs DuckDB's unordered
-# SUM could differ in the last ulp and flip a rank), so LUT entries
-# are fixed-point micro-units — int64 sums are exact in any order,
-# making the ADC distance bit-identical across engines.
-ADC_SCALE = 1_000_000
 
 
 @register(
@@ -660,26 +704,32 @@ WITH v AS (
 ), sub AS (
     SELECT v.vec_id, m.m, c.code,
            list_sum(list_transform(generate_series(1, {PQ_DIM}),
-               i -> (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i]) ^ 2))
-               AS d
+               i -> CAST(floor(
+                   (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * {ADC_SCALE} + 0.5) AS BIGINT)))
+               AS du
     FROM v
     CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
     CROSS JOIN cidx c
 ), best AS (
-    SELECT vec_id, m, code, d,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+    SELECT vec_id, m, code, du,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) AS rn
     FROM sub
 ), lut AS (
     SELECT q.vec_id AS query_id, m.m, c.code,
-           CAST(floor(list_sum(list_transform(generate_series(1, {PQ_DIM}),
-               i -> (q.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i]) ^ 2))
-               * {ADC_SCALE} + 0.5) AS BIGINT) AS du
+           list_sum(list_transform(generate_series(1, {PQ_DIM}),
+               i -> CAST(floor(
+                   (q.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * (q.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * {ADC_SCALE} + 0.5) AS BIGINT))) AS du
     FROM v q
     CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
     CROSS JOIN cidx c
     WHERE q.vec_id < {N_QUERIES}
 ), scored AS (
-    SELECT l.query_id, b.vec_id AS neighbor_id, sum(l.du) AS adc_dist2_u
+    SELECT l.query_id, b.vec_id AS neighbor_id,
+           CAST(sum(l.du) AS BIGINT) AS adc_dist2_u
     FROM best b
     JOIN lut l ON l.m = b.m AND l.code = b.code
     WHERE b.rn = 1 AND b.vec_id <> l.query_id
@@ -711,10 +761,8 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scores are fixed-point micro-units (bit-identical across engines;
     approximate relative to exact distance by PQ construction —
-    encode's ``pq_mse`` is the per-vector error budget).
+    encode's ``pq_mse_u`` is the per-vector error budget).
     """
-    import math
-
     from go_integ_spark.functions.vector import with_norm
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -731,25 +779,6 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect(),
         key=lambda r: r["vec_id"],
     )
-
-    def lut_for(qe: list[float]) -> list[list[int]]:
-        return [
-            [
-                int(
-                    math.floor(
-                        sum(
-                            (qe[m * PQ_DIM + i] - ce[m * PQ_DIM + i]) ** 2
-                            for i in range(PQ_DIM)
-                        )
-                        * ADC_SCALE
-                        + 0.5
-                    )
-                )
-                for ce in cents
-            ]
-            for m in range(PQ_M)
-        ]
-
     luts = F.array(
         *[
             F.struct(
@@ -757,7 +786,7 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(
                     *[
                         F.array(*[F.lit(du) for du in row])
-                        for row in lut_for([float(x) for x in r["e"]])
+                        for row in pq_lut_u([float(x) for x in r["e"]], cents)
                     ]
                 ).alias("lut"),
             )

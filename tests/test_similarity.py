@@ -61,6 +61,96 @@ def test_ivf_no_false_scores(spark, exact):
             assert abs(r["cos_sim"] - brute[key]) < 1e-9
 
 
+def test_pq_lut_cross_engine_exact(spark):
+    """The ADC lookup table must be BIT-IDENTICAL across all three
+    places that compute PQ subspace distances: the Python driver-side
+    LUT builder (``pq_lut_u``), the Spark encode-side expression (the
+    same per-term fixed point ``_with_pq_best`` uses), and the DuckDB
+    gate oracle. This is the class of bug behind round 4's
+    ``similarity_pq_search`` hash-fail — an order-dependent float sum
+    scaled only after summation — so the equality is asserted on every
+    (query, subspace, code) entry, pre-gate."""
+    from go_integ_spark.functions.vector import with_norm
+    from go_integ_spark.operators.similarity import (
+        ADC_SCALE,
+        IVF_K,
+        N_QUERIES,
+        PQ_DIM,
+        PQ_M,
+        _centroid_lit_from_row,
+        ivf_centroids,
+        pq_lut_u,
+    )
+    from go_integ_spark.tables import load_table
+    from tests.oracle_utils import run_oracle
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    (crow,) = ivf_centroids(v).collect()
+    cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
+    qrows = v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect()
+    py = {
+        int(r["vec_id"]): pq_lut_u([float(x) for x in r["e"]], cents)
+        for r in qrows
+    }
+
+    mat = F.expr(
+        f"""
+        transform(sequence(0, {PQ_M - 1}), m ->
+          transform(cents, s ->
+            aggregate(
+              zip_with(slice(e, m * {PQ_DIM} + 1, {PQ_DIM}),
+                       slice(s.ce, m * {PQ_DIM} + 1, {PQ_DIM}),
+                       (x, y) -> cast(floor(
+                           (x - y) * (x - y) * {ADC_SCALE} + 0.5d) as bigint)),
+              cast(0 as bigint), (acc, x) -> acc + x)))
+        """
+    )
+    sp_rows = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("cents", _centroid_lit_from_row(crow))
+        .select("vec_id", mat.alias("lut"))
+        .collect()
+    )
+    sp = {
+        int(r["vec_id"]): [[int(x) for x in row] for row in r["lut"]]
+        for r in sp_rows
+    }
+    assert sp == py, "Spark LUT diverges from Python LUT"
+
+    _, rows = run_oracle(
+        f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), cidx AS (
+    SELECT ce, CAST(row_number() OVER (ORDER BY cent_id) - 1 AS INT) AS code
+    FROM cent
+)
+SELECT q.vec_id AS query_id, m.m, c.code,
+       list_sum(list_transform(generate_series(1, {PQ_DIM}),
+           i -> CAST(floor(
+               (q.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+               * (q.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+               * {ADC_SCALE} + 0.5) AS BIGINT))) AS du
+FROM v q
+CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+CROSS JOIN cidx c
+WHERE q.vec_id < {N_QUERIES}
+""",
+        SF_DIR,
+    )
+    duck: dict[int, list[list[int]]] = {
+        qid: [[-1] * IVF_K for _ in range(PQ_M)] for qid in py
+    }
+    for qid, m, code, du in rows:
+        duck[int(qid)][int(m)][int(code)] = int(du)
+    assert duck == py, "DuckDB LUT diverges from Python LUT"
+
+
 def test_salted_topk_matches_naive_window(spark):
     df = spark.range(0, 1000).select(
         (F.col("id") % 7).alias("g"),
@@ -92,8 +182,8 @@ def test_pq_encode_invariants(spark):
     rows = df.collect()
     assert all(len(r["pq_codes"]) == PQ_M for r in rows)
     assert all(0 <= c < IVF_K for r in rows for c in r["pq_codes"])
-    assert sum(r["pq_mse"] == 0.0 for r in rows) == IVF_K
-    assert all(r["pq_mse"] >= 0.0 for r in rows)
+    assert sum(r["pq_mse_u"] == 0 for r in rows) == IVF_K
+    assert all(r["pq_mse_u"] >= 0 for r in rows)
 
 
 def test_pq_search_approximates_exact(spark, exact):
