@@ -5,20 +5,24 @@
 from go_integ_spark (SURVEY.md §2 inventory + the analytics layer)
 for the driver's DuckDB correctness gate.
 
-Query order: rotated family round-robin. Pure cost-ascending order
-(rounds 1-3) maximized the COUNT of gate rows but starved the
-expensive tail — 35 of 102 queries (every streaming_*, the heavy
-TPC-H joins, ann_*) never got a driver CORRECTNESS row. Now the
-first len(families) entries cover every operator family exactly
-once (cheapest member first, rotated per round so the tail cycles
-through the lead slot), then every family's second member, and so
-on. A time-budgeted sweep therefore verifies EVERY family every
-round, and across rounds every member of every family.
+Query order: staleness-driven family round-robin. Pure
+cost-ascending order (rounds 1-3) maximized the COUNT of gate rows
+but starved the expensive tail; round 4's blind rotation put every
+family in front but cycled without memory, so a query the driver
+never reached could stay unreached for many rounds. The committed
+``CORRECTNESS_r*.json`` files at the repo root ARE the memory: each
+query's priority is the last round in which the driver recorded a
+GREEN row for it (never-checked or last-seen-failing sorts first),
+so a time-budgeted sweep always spends its budget on the least-
+recently-verified work. Family round-robin interleaving is kept on
+top (rank-k block = every family's k-th stalest member) so even a
+tiny budget still touches every operator family.
 """
 
 from __future__ import annotations
 
 import glob
+import json
 import os
 from collections.abc import Callable
 
@@ -143,39 +147,75 @@ _MEASURED_COST = {
 }
 
 
-def _round_index() -> int:
-    """Completed driver rounds = CORRECTNESS_r*.json files at the repo
-    root. Deterministic within a round; advances once per round, which
-    rotates the family-lead slot below so a different member of each
-    operator family heads the gate sweep each round."""
+def _last_green_rounds() -> dict[str, int]:
+    """Per query, the highest round whose committed
+    ``CORRECTNESS_r*.json`` records a GREEN row: no error, row count
+    and schema match, and the value hash either matches or is absent
+    (rows-only queries carry ``hash_match: null``). A query whose only
+    rows are errors or hash-fails — like ``events_sessionize``'s stale
+    r1 traceback or ``similarity_pq_search``'s r4 fail — stays at -1
+    and therefore leads its family in the next sweep.
+    """
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        stem = os.path.basename(path)
+        try:
+            rnd = int(stem.removeprefix("CORRECTNESS_r").removesuffix(".json"))
+            with open(path) as f:
+                rows = json.load(f)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is not False
+            )
+            if green:
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+_ORDER_CACHE: list[str] | None = None
 
 
 def _ordered_names() -> list[str]:
-    """Rotated family round-robin (see module docstring).
+    """Staleness-driven family round-robin (see module docstring).
 
-    Key = (rank-within-family after rotation, measured cost, name):
-    rank-0 block = one representative per family (every family gets a
-    CORRECTNESS row even under a tight time budget), rank-1 block =
-    the seconds, ... Within a rank block, cheapest first.
+    Primary key is the last-green round itself: the ENTIRE
+    never-verified bucket precedes everything already green (a family
+    with a deep unverified tail — the ten TPC-H joins in round 4 —
+    must not queue behind other families' already-green members).
+    Within a staleness bucket, families interleave via
+    rank-within-family, cheapest first, so the sweep still spreads
+    across operator families. Memoized for the process lifetime: the
+    driver may write this round's CORRECTNESS file mid-run, and
+    re-deriving the order from it would shift the sequence between
+    ``queries()`` and ``oracle_sql()``.
     """
+    global _ORDER_CACHE
+    if _ORDER_CACHE is not None:
+        return _ORDER_CACHE
     registry = load_all()
+    last_green = _last_green_rounds()
     families: dict[str, list[str]] = {}
     for name, spec in registry.items():
         families.setdefault(spec.tags[0] if spec.tags else "misc", []).append(name)
-    rot = _round_index()
-    keyed: list[tuple[int, float, str]] = []
+    keyed: list[tuple[int, int, float, str]] = []
     for members in families.values():
-        members.sort(key=lambda n: (_MEASURED_COST.get(n, 99.0), n))
-        k = rot % len(members)
-        rotated = members[k:] + members[:k]
+        members.sort(
+            key=lambda n: (last_green.get(n, -1), _MEASURED_COST.get(n, 99.0), n)
+        )
         keyed.extend(
-            (rank, _MEASURED_COST.get(name, 99.0), name)
-            for rank, name in enumerate(rotated)
+            (last_green.get(name, -1), rank, _MEASURED_COST.get(name, 99.0), name)
+            for rank, name in enumerate(members)
         )
     keyed.sort()
-    return [name for _, _, name in keyed]
+    _ORDER_CACHE = [name for _, _, _, name in keyed]
+    return _ORDER_CACHE
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -69,13 +69,13 @@ def test_timestamp_and_binary_json_schema():
     assert js["properties"]["blob"]["contentEncoding"] == "base64"
 
 
-def test_entry_queries_family_round_robin_and_complete():
+def test_entry_queries_staleness_first_and_complete():
     """The driver-gate ordering contract: every registered query has a
     measured cost entry (new queries must be timed via
-    scripts/time_queries.py), and queries() iterates in rotated family
-    round-robin order so a time-budgeted gate sweep verifies every
-    operator family every round (cost-ascending starved the tail: 35
-    queries never got a driver CORRECTNESS row in rounds 1-3)."""
+    scripts/time_queries.py), and queries() iterates least-recently-
+    verified first — a query with no green CORRECTNESS row ever must
+    precede every query that already has one, so a time-budgeted gate
+    sweep always spends its budget on unverified work."""
     import __spark_entry__ as entry
     from go_integ_spark.registry import load_all
 
@@ -85,46 +85,43 @@ def test_entry_queries_family_round_robin_and_complete():
     missing = [n for n in names if n not in entry._MEASURED_COST]
     assert not missing, f"untimed queries (run scripts/time_queries.py): {missing}"
 
+    last_green = entry._last_green_rounds()
+    seq = [last_green.get(n, -1) for n in names]
+    assert seq == sorted(seq), "least-recently-green must come first"
+
+    # Within a staleness bucket, families interleave: the i-th
+    # occurrence of a family must come after all (i-1)-th occurrences.
     fam = {n: (s.tags[0] if s.tags else "misc") for n, s in registry.items()}
-    n_families = len(set(fam.values()))
-    lead_block = names[:n_families]
-    assert len({fam[n] for n in lead_block}) == n_families, (
-        "first block must cover every operator family exactly once"
-    )
-    # Rank blocks: the i-th occurrence of a family must come after all
-    # (i-1)-th occurrences — i.e. occurrence index is non-decreasing.
     seen: dict[str, int] = {}
-    ranks = []
+    by_bucket: dict[int, list[int]] = {}
     for n in names:
-        ranks.append(seen.get(fam[n], 0))
-        seen[fam[n]] = ranks[-1] + 1
-    assert ranks == sorted(ranks)
-    # Rotation advances with the completed-round count, so across
-    # rounds different family members occupy the lead block.
-    assert entry._round_index() >= 0
+        r = seen.get(fam[n], 0)
+        seen[fam[n]] = r + 1
+        by_bucket.setdefault(last_green.get(n, -1), []).append(r)
+    for bucket, ranks in by_bucket.items():
+        assert ranks == sorted(ranks), f"bucket {bucket} not family-interleaved"
     assert set(entry.oracle_sql()) <= set(names)
 
 
-def test_entry_rotation_cycles_every_query_through_lead_block(monkeypatch):
-    """Across consecutive rounds the rotation must put EVERY member of
-    every family at the front of its family exactly once per cycle —
-    the property that guarantees the driver's time-budgeted gate
-    eventually verifies the whole registry even if it only ever
-    reaches the first blocks."""
+def test_entry_staleness_order_burns_down_whole_registry(monkeypatch):
+    """Simulated driver rounds with a fixed per-round budget B: if the
+    gate greens the first B queries each round, the staleness ordering
+    must verify the ENTIRE registry within ceil(N/B) rounds — the
+    burn-down guarantee the round-4 blind rotation lacked (a query the
+    budget never reached could stay unreached indefinitely)."""
     import __spark_entry__ as entry
     from go_integ_spark.registry import load_all
 
     registry = load_all()
-    fam = {n: (s.tags[0] if s.tags else "misc") for n, s in registry.items()}
-    n_families = len(set(fam.values()))
-    max_family = max(
-        sum(1 for f in fam.values() if f == g) for g in set(fam.values())
-    )
-    leads: set[str] = set()
-    for rot in range(max_family):
-        monkeypatch.setattr(entry, "_round_index", lambda r=rot: r)
-        leads.update(entry._ordered_names()[:n_families])
-    # every family of size <= max_family cycles fully within
-    # max_family rounds; families smaller than max_family wrap early,
-    # so the union of lead blocks must cover the whole registry.
-    assert leads == set(registry)
+    budget = 40
+    greened: dict[str, int] = {}
+    max_rounds = -(-len(registry) // budget)
+    for rnd in range(1, max_rounds + 1):
+        monkeypatch.setattr(entry, "_ORDER_CACHE", None)
+        monkeypatch.setattr(
+            entry, "_last_green_rounds", lambda d=dict(greened): d
+        )
+        for n in entry._ordered_names()[:budget]:
+            greened[n] = rnd
+    monkeypatch.setattr(entry, "_ORDER_CACHE", None)
+    assert set(greened) == set(registry)
