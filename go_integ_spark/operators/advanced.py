@@ -189,20 +189,29 @@ def connector_file_incremental_read(spark: SparkSession, sf_dir: str) -> DataFra
     return df.select("event_id", "ts", "user_id", "event_type", "value")
 
 
+WINNOW_K = 8  # char k-gram width
+WINNOW_WINDOW = 4  # winnowing window (guarantee gap = K + WINDOW - 1)
+
+
 def winnow_fingerprints(
-    docs: DataFrame, k: int = 8, window: int = 4
+    docs: DataFrame, k: int = WINNOW_K, window: int = WINNOW_WINDOW
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., MOSS):
     rolling k-gram hashes, minimum per sliding window of ``window``
     hashes -> (doc_id, fingerprint) rows.
 
-    Entirely JVM-side: char k-grams via transform+sequence, hash via
-    xxhash64, window-min via transform+slice+array_min. Linear per
-    document, no shuffle until the final distinct.
+    Entirely JVM-side: char k-grams via transform+sequence, hashed
+    with the engine-portable 60-bit md5 slice (functions/hashing.py —
+    fingerprints reach query output, so the hash must be reproducible
+    by the DuckDB gate oracle), window-min via
+    transform+slice+array_min. Linear per document, no shuffle until
+    the final distinct.
     """
+    from go_integ_spark.functions.hashing import h60_expr
+
     grams = F.expr(
         f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
-        f" i -> xxhash64(substring(text, i, {k})))"
+        f" i -> {h60_expr(f'substring(text, i, {k})')})"
     )
     mins = F.expr(
         f"transform(sequence(1, greatest(size(hashes) - {window - 1}, 0)),"
@@ -215,12 +224,35 @@ def winnow_fingerprints(
     )
 
 
-@register("text_winnow_fingerprint", tags=("text", "fingerprint", "dedup"), oracle=None)
+@register(
+    "text_winnow_fingerprint",
+    tags=("text", "fingerprint", "dedup"),
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 0)),
+               i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), {WINNOW_K})),
+                     1, 15))::BIGINT) AS hashes
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len(hashes) - {WINNOW_WINDOW - 1}),
+               i -> list_min(hashes[CAST(i AS INT):CAST(i + {WINNOW_WINDOW - 1} AS INT)])))
+               AS fps
+    FROM g WHERE len(hashes) >= {WINNOW_WINDOW}
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_min(fps) AS min_fingerprint
+FROM f
+""",
+)
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint summary per document (fingerprint count +
-    min fingerprint). xxhash64-based, so rows-only for the driver;
-    near-dup detection equivalence with Jaccard is pinned in
-    tests/test_dedup.py.
+    min fingerprint). The engine-portable h60 k-gram hash gives this
+    query a full value-level DuckDB oracle (it was rows-only while
+    xxhash64-based); near-dup detection equivalence with Jaccard is
+    pinned in tests/test_dedup.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     fp = winnow_fingerprints(docs)

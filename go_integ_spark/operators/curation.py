@@ -49,11 +49,12 @@ DEFAULT_RATE = 60
 
 
 def hash_bucket(col: F.Column) -> F.Column:
-    """Deterministic [0, 100) bucket from md5 — engine-portable
-    (DuckDB computes the identical bucket, see the oracles below).
-    15 hex chars < 2^60, so the conv() result fits a signed long.
-    """
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % 100
+    """Deterministic [0, 100) bucket from the shared engine-portable
+    60-bit md5 slice (functions/hashing.py — DuckDB computes the
+    identical bucket, see the oracles below)."""
+    from go_integ_spark.functions.hashing import h60
+
+    return h60(col) % 100
 
 
 @register(

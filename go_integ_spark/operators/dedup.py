@@ -4,7 +4,7 @@
 - n-gram Jaccard       shingle buckets + pair enumeration (exact)
 - MinHash + LSH        signature -> banded bucket join    (approx
                        candidates, exact verification)
-- SimHash              64-bit sketch + pigeonhole chunks  (hamming)
+- SimHash              60-bit sketch + pigeonhole chunks  (hamming)
 
 Scale design (the part that matters at 100 TB):
 
@@ -31,8 +31,12 @@ Scale design (the part that matters at 100 TB):
   the classic LSH skew bomb; ``max_bucket`` drops degenerate buckets
   (documented precision/recall trade, logged not silent).
 
-All hashing is xxhash64 (JVM built-in, seeded per permutation via a
-leading literal column) — no Python in any hot path.
+Internal-only hashing (shingle IDs, minhash permutations) is xxhash64
+(JVM built-in, seeded per permutation via a leading literal column) —
+only equality matters there, so the fastest hash wins. Hash values
+that REACH QUERY OUTPUT (the SimHash sketch) use the engine-portable
+60-bit md5 slice (functions/hashing.py) so the driver's DuckDB oracle
+can check them value-exactly. No Python in any hot path.
 """
 
 from __future__ import annotations
@@ -365,32 +369,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_select(pairs, JACCARD_THRESHOLD)
 
 
+SIMHASH_BITS = 60  # h60 width — the engine-portable md5 slice
+
+# 8 chunk boundaries over the 60 sketch bits (widths 8,8,8,8,7,7,7,7):
+# any pair with hamming <= 7 differs in at most 7 chunks, so it MUST
+# agree exactly on at least one of the 8 — the pigeonhole guarantee
+# pair enumeration relies on.
+SIMHASH_CHUNKS = [(0, 8), (8, 8), (16, 8), (24, 8), (32, 7), (39, 7), (46, 7), (53, 7)]
+
+
 def simhash_sketches(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 64-bit SimHash per doc: bit j is the sign
-    of the sum over distinct words of (bit j of xxhash64(word) ? +1
-    : -1), computed ROW-LOCALLY (hash array + 64 JVM filter passes +
-    a bit-fold), so sketching costs zero shuffles.
+    """(doc_id, simhash) — 60-bit SimHash per doc: bit j is the sign
+    of the sum over distinct words of (bit j of h60(word) ? +1 : -1),
+    computed ROW-LOCALLY (hash array + per-bit counter fold), so
+    sketching costs zero shuffles. Word hashes are the engine-portable
+    md5 slice (functions/hashing.py), which is what lets the driver
+    gate check sketch VALUES against DuckDB rather than row counts.
     """
+    from go_integ_spark.functions.hashing import h60
+
     hs = F.transform(
-        F.array_distinct(F.split(F.col("text"), " ")), lambda w: F.xxhash64(w)
+        F.array_distinct(F.split(F.col("text"), " ")), lambda w: h60(w)
     )
     with_h = _spread(docs.filter(F.length("text") > 0)).select(
         "doc_id", hs.alias("hs")
     )
-    # Single traversal: fold the word hashes into 64 per-bit counters
+    # Single traversal: fold the word hashes into 60 per-bit counters
     # (one zip_with per word), then fold the counters into the sketch.
     # Bit j set iff strictly more set than unset bits among word
-    # hashes; 1L << 63 wraps to Long.MIN_VALUE so the sign bit needs
-    # no special case. One compact expression instead of 64 separate
-    # filter passes — the 64-term expression tree cost ~4.5s of
-    # codegen per process, which is pure overhead in a cold gate run.
+    # hashes. One compact expression instead of 60 separate filter
+    # passes — the 60-term expression tree cost ~4.5s of codegen per
+    # process, which is pure overhead in a cold gate run.
     counts = (
-        "aggregate(hs, array_repeat(0L, 64), (acc, h) -> "
-        "zip_with(acc, transform(sequence(0, 63), j -> shiftright(h, j) & 1), "
+        f"aggregate(hs, array_repeat(0L, {SIMHASH_BITS}), (acc, h) -> "
+        f"zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}), "
+        "j -> shiftright(h, j) & 1), "
         "(a, b) -> a + b))"
     )
     fold_bits = (
-        "aggregate(transform(sequence(0, 63), j -> "
+        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), j -> "
         "IF(cnts[j] * 2 > size(hs), shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"
     )
     return (
@@ -399,26 +416,53 @@ def simhash_sketches(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_simhash", tags=("dedup", "simhash"), oracle=None)
+@register(
+    "dedup_simhash",
+    tags=("dedup", "simhash"),
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id,
+           list_transform(list_distinct(string_split(text, ' ')),
+               w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+    FROM documents WHERE length(text) > 0
+), sk AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
+               j -> CASE WHEN 2 * len(list_filter(hs,
+                        x -> (x >> CAST(j AS INT)) & 1 = 1)) > len(hs)
+                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                    ELSE 0 END)) AS BIGINT) AS simhash
+    FROM h
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64) near-dup pairs with hamming distance <= 7.
+    """SimHash(60) near-dup pairs with hamming distance <= 7.
 
-    Pair generation uses the pigeonhole principle: 8 chunks of 8
-    bits — any pair with hamming <= 7 shares at least one exact
-    chunk. Chunk buckets are grouped and enumerated (one shuffle),
-    then exact hamming verifies. No SQL oracle (xxhash64 is Spark-
-    specific); tests/test_dedup.py pins enumeration completeness
-    against a brute-force hamming pass over the sketches.
+    Pair generation uses the pigeonhole principle over the 8 chunk
+    slices in ``SIMHASH_CHUNKS`` — any pair with hamming <= 7 shares
+    at least one exact chunk. Chunk buckets are grouped and enumerated
+    (one shuffle), then exact hamming verifies, so the bucketed path
+    returns EXACTLY the all-pairs hamming result the brute-force
+    DuckDB oracle computes (completeness also pinned in
+    tests/test_dedup.py). Sketches use the engine-portable h60 word
+    hash, which is what upgraded this query from a rows-only driver
+    check to a full value oracle.
     """
     sim = simhash_sketches(load_table(spark, sf_dir, "documents"))
-    # 8 chunks of 8 bits: hamming <= 7 guarantees one equal chunk.
     chunk_keys = F.array(
         *[
-            F.xxhash64(
-                F.lit(c),
-                F.shiftright(F.col("simhash"), c * 8).bitwiseAND(F.lit(255)),
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("v"),
             )
-            for c in range(8)
+            for c, (off, w) in enumerate(SIMHASH_CHUNKS)
         ]
     )
     buckets = (
