@@ -6,6 +6,12 @@ Each query is materialized via a count-like action (collect on the
 aggregated/limited result) — full plan execution, no driver blowup.
 A warmup query runs first so JVM/codegen startup is not billed to the
 first measured query.
+
+The JSON line carries ``"contended": bool`` — round 3's 47 s artifact
+was a second Spark JVM sharing the box (the same build measured ~17 s
+solo), so the bench self-reports whether foreign JVMs or high system
+load were present at start or end; a contended number should be
+re-measured solo rather than recorded as a regression.
 """
 
 from __future__ import annotations
@@ -15,11 +21,36 @@ import os
 import sys
 import time
 
-from go_integ_spark.registry import load_all
-from go_integ_spark.session import get_spark
+
+def _foreign_jvms() -> list[int]:
+    """PIDs of java processes NOT parented by this bench process (our
+    own Spark driver JVM is a direct child and is excluded)."""
+    me = os.getpid()
+    pids: list[int] = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/cmdline", "rb") as f:
+                argv0 = f.read().split(b"\0", 1)[0].decode(errors="replace")
+            if "java" not in os.path.basename(argv0):
+                continue
+            with open(f"/proc/{p}/stat") as f:
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        if ppid != me:
+            pids.append(int(p))
+    return pids
 
 
 def main() -> None:
+    from go_integ_spark.registry import load_all
+    from go_integ_spark.session import get_spark
+
+    ncpus = os.cpu_count() or 1
+    jvms_start = _foreign_jvms()
+    load1_start = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     bench_queries = [name for name, spec in registry.items() if spec.bench]
@@ -53,6 +84,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    jvms_end = _foreign_jvms()
+    contended = bool(jvms_start or jvms_end) or load1_start > 0.5 * ncpus
+    if contended:
+        print(
+            f"# CONTENDED RUN: foreign JVMs start={jvms_start} "
+            f"end={jvms_end}, load1 at start {load1_start:.1f} on "
+            f"{ncpus} cpus — timings unreliable, re-run solo",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -61,6 +101,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "contended": contended,
+                "contention": {
+                    "foreign_jvms_start": len(jvms_start),
+                    "foreign_jvms_end": len(jvms_end),
+                    "load1_start": round(load1_start, 2),
+                    "cpus": ncpus,
+                },
             }
         )
     )
