@@ -586,6 +586,88 @@ def pq_lut_u(qe: list[float], cents: list[list[float]]) -> list[list[int]]:
     ]
 
 
+PQ_TRAIN_ITERS = 3  # Lloyd refinement passes for the trained codebook
+
+
+def _pq_codebook_lit(vectors: list[list[float]]) -> Column:
+    """Inline codebook literal from plain full-dim vectors; field shape
+    matches ``_centroid_lit_from_row`` minus the (PQ-unused) norm, so
+    ``_with_pq_best`` serves both the hash and trained codebooks."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("ce"),
+            )
+            for j, vec in enumerate(vectors)
+        ]
+    )
+
+
+def train_pq_codebook(v: DataFrame, iters: int = PQ_TRAIN_ITERS) -> list[list[float]]:
+    """REAL PQ training: per-subspace Lloyd's k-means, initialised
+    from the deterministic hash-selected codebook and returned as
+    IVF_K full-dim vectors (per-subspace codebooks re-concatenated, so
+    the same ``_with_pq_best`` slicing serves either codebook flavor).
+
+    All PQ_M subspaces train in the SAME pair of Spark jobs per
+    iteration: vectors explode row-locally into (m, subvector) rows,
+    assignment is a map-side argmin against the broadcast-literal
+    codebook stack (PQ_M*K*PQ_DIM ~ 1k floats — O(1) in corpus size),
+    and the update is one (m, code, pos) average — dimension-parallel,
+    collecting only codebook-sized state to the driver, exactly the
+    ``embedding_kmeans`` shape. Lloyd from the hash init can only
+    lower quantization MSE, which is what makes the trained book
+    strictly better (pinned in tests/test_similarity.py). At 100 TB
+    this would run on a sample of the corpus — training state is
+    already O(1), only the scan would shrink.
+    """
+    (crow,) = ivf_centroids(v).collect()
+    full = [[float(x) for x in c["ce"]] for c in crow["cents"]]
+    books = [
+        [vec[m * PQ_DIM : (m + 1) * PQ_DIM] for vec in full] for m in range(PQ_M)
+    ]
+    sub = v.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m ->"
+                f" struct(m AS m, slice(e, m * {PQ_DIM} + 1, {PQ_DIM}) AS sv))"
+            )
+        ).alias("s")
+    ).select(F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    for _ in range(iters):
+        bk = F.array(
+            *[
+                F.array(
+                    *[F.array(*[F.lit(float(x)) for x in entry]) for entry in book]
+                )
+                for book in books
+            ]
+        )
+        code = F.expr(
+            """
+            array_min(transform(element_at(bk, m + 1), (c, j) -> struct(
+              aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)),
+                        cast(0.0 as double), (acc, x) -> acc + x) AS d,
+              j AS code))).code
+            """
+        )
+        rows = (
+            sub.withColumn("bk", bk)
+            .select("m", "sv", code.alias("code"))
+            .select("m", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        books = [[list(entry) for entry in book] for book in books]
+        for r in rows:  # empty clusters keep their previous entry
+            books[r["m"]][r["code"]][r["pos"]] = float(r["mu"])
+    return [
+        [x for m in range(PQ_M) for x in books[m][j]] for j in range(len(full))
+    ]
+
+
 def _with_pq_best(v: DataFrame, cents: Column | None = None) -> DataFrame:
     """Attach ``best``: per subspace the (distance, code) struct of
     the nearest codebook entry — row-local argmin over the inline
@@ -652,7 +734,9 @@ FROM best WHERE rn = 1
 GROUP BY vec_id
 """,
 )
-def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_pq_encode(
+    spark: SparkSession, sf_dir: str, codebook: str = "hash"
+) -> DataFrame:
     """PQ-encode the corpus: (vec_id, pq_codes, pq_mse_u).
 
     Entirely ROW-LOCAL: the codebook is the fixed-K inline centroid
@@ -667,18 +751,21 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see ``ADC_SCALE`` — per-term fixed point keeps the value and the
     argmin bit-identical to the DuckDB oracle).
 
-    The codebook here reuses the deterministic hash-selected centroid
-    sub-slices so the DuckDB oracle reproduces codes AND
-    reconstruction error value-exactly; production would train
-    per-subspace k-means codebooks offline (same plumbing as
-    ``embedding_kmeans``) and swap the literal.
+    The default codebook reuses the deterministic hash-selected
+    centroid sub-slices so the DuckDB oracle reproduces codes AND
+    reconstruction error value-exactly; ``codebook="trained"`` swaps
+    in the per-subspace Lloyd-refined book (``train_pq_codebook``),
+    which strictly lowers reconstruction error — the production
+    path, kept out of the registered oracle query because k-means is
+    iterative and not SQL-expressible.
     """
     from go_integ_spark.functions.vector import with_norm
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
+    cents = _pq_codebook_lit(train_pq_codebook(v)) if codebook == "trained" else None
     return (
-        _with_pq_best(v)
+        _with_pq_best(v, cents=cents)
         .select(
             "vec_id",
             F.expr("transform(best, s -> s.code)").alias("pq_codes"),
@@ -745,7 +832,9 @@ FROM (
 WHERE rn <= {TOP_K}
 """,
 )
-def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_pq_search(
+    spark: SparkSession, sf_dir: str, codebook: str = "hash"
+) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes — the PQ serving
     path: queries stay full-precision, the corpus is only its
     {PQ_M}-code compression.
@@ -768,13 +857,18 @@ def similarity_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
     # Codebook + query vectors: both FIXED-size collects (K and
-    # N_QUERIES rows), never corpus-scaling. ONE selection job serves
-    # both the inline literal and the Python-side LUT codebook.
-    (crow,) = ivf_centroids(v).collect()
-    codes = _with_pq_best(v, cents=_centroid_lit_from_row(crow)).select(
+    # N_QUERIES rows), never corpus-scaling. ONE selection/training
+    # job serves both the inline literal and the Python-side LUT
+    # codebook. codebook="trained" uses the Lloyd-refined book (not
+    # the oracle path — k-means is iterative).
+    if codebook == "trained":
+        cents = train_pq_codebook(v)
+    else:
+        (crow,) = ivf_centroids(v).collect()
+        cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
+    codes = _with_pq_best(v, cents=_pq_codebook_lit(cents)).select(
         "vec_id", F.expr("transform(best, s -> s.code)").alias("codes")
     )
-    cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
     qrows = sorted(
         v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect(),
         key=lambda r: r["vec_id"],

@@ -253,6 +253,54 @@ def test_pq_recall_high_on_clustered_embeddings(spark, tmp_path):
     assert recall >= 0.9, f"clustered-data PQ recall {recall:.2f}"
 
 
+def test_pq_trained_codebook_beats_hash(spark, tmp_path):
+    """The Lloyd-trained per-subspace codebook must strictly lower
+    total quantization error versus the hash-selected init (Lloyd
+    from that init can only descend), and must not lose top-k recall
+    on clusterable data. This pins that codebook=\"trained\" is the
+    better production path, while the hash book remains the
+    deterministic oracle path."""
+    import numpy as np
+
+    from go_integ_spark.operators.similarity import (
+        similarity_pq_encode,
+        similarity_pq_search,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(0, 10.0, size=(10, 64))
+    rows = []
+    for vid in range(200):
+        c = centers[vid % 10]
+        rows.append(
+            (vid, (c + rng.normal(0, 2.0, 64)).astype("float32").tolist(), f"l{vid % 10}")
+        )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    mse = {}
+    for cb in ("hash", "trained"):
+        mse[cb] = sum(
+            r["pq_mse_u"]
+            for r in similarity_pq_encode(spark, str(tmp_path), codebook=cb).collect()
+        )
+    assert mse["trained"] < mse["hash"], f"trained MSE {mse['trained']} !< {mse['hash']}"
+
+    recall = {}
+    for cb in ("hash", "trained"):
+        got: dict[int, set[int]] = {}
+        for r in similarity_pq_search(spark, str(tmp_path), codebook=cb).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = total = 0
+        for qid, neigh in got.items():
+            same = {v for v in range(200) if v % 10 == qid % 10 and v != qid}
+            hits += len(neigh & same)
+            total += TOP_K
+        recall[cb] = hits / total
+    assert recall["trained"] >= recall["hash"], f"recall {recall}"
+
+
 def test_ivf_cell_partitioning_prunes_scan(spark, tmp_path):
     """The 100 TB IVF story made concrete: write the corpus
     partitioned by cell_id, and a probe-cell filter must prune the
