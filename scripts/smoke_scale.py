@@ -1,0 +1,162 @@
+"""sf1-scale smoke for the two skew-sensitive scale paths.
+
+The sf0.1 gate corpus (5k docs / 2k vectors) is too small to observe
+LSH bucket skew or IVF cell balance, so this script generates a 10x
+corpus (50k docs / 20k vectors, deterministic seed, with injected
+near-dup clusters AND a heavy boilerplate phrase to pressure the LSH
+``max_bucket`` cap), runs ``dedup_minhash_lsh`` and ``ann_ivf_topk``
+against it, and reports per-stage shuffle volume and task-time skew
+from the Spark UI REST API. The pass criterion (recorded in
+STATUS.md) is no task over 10x the median task time in any shuffle
+stage of the LSH bucket pipeline.
+
+Usage: python scripts/smoke_scale.py   (~2 min on local[32])
+Data lands in .smoke_sf1/ (gitignored); delete to regenerate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = 50_000
+N_VECS = 20_000
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        ".smoke_sf1")
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query big key window row table stream merge data join "
+    "shuffle stage task executor driver broadcast skew salt bucket band probe"
+).split()
+
+BOILERPLATE = "click here to subscribe to our newsletter today"
+
+
+def generate() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DATA_DIR, exist_ok=True)
+    rng = np.random.RandomState(42)
+
+    texts: list[str] = []
+    for i in range(N_DOCS):
+        n = int(rng.randint(30, 60))
+        words = [VOCAB[j] for j in rng.randint(0, len(VOCAB), n)]
+        if i % 20 == 0:
+            # Heavy shared boilerplate: ~2.5k docs share these exact
+            # 8 words -> mega-buckets that MUST hit the max_bucket cap.
+            words = BOILERPLATE.split() + words
+        if i % 17 == 0 and i > 0:
+            # Near-dup: copy an earlier doc, perturb one word.
+            base = texts[i - 1].split()
+            base[int(rng.randint(0, len(base)))] = VOCAB[int(rng.randint(0, len(VOCAB)))]
+            words = base
+        texts.append(" ".join(words))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([("en", "zh", "de", "fr")[i % 4] for i in range(N_DOCS)]),
+            "source": pa.array([f"src{i % 7}" for i in range(N_DOCS)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{DATA_DIR}/documents.parquet")
+
+    centers = rng.normal(0, 5.0, size=(10, 64))
+    emb = centers[np.arange(N_VECS) % 10] + rng.normal(0, 1.0, size=(N_VECS, 64))
+    vecs = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [row.astype("float32") for row in emb],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 10 for i in range(N_VECS)], pa.int32()),
+        }
+    )
+    pq.write_table(vecs, f"{DATA_DIR}/embeddings.parquet")
+    print(f"generated {N_DOCS} docs / {N_VECS} vectors in {DATA_DIR}")
+
+
+def stage_report(ui: str) -> list[dict]:
+    """Per completed stage: shuffle bytes + task-time quantiles."""
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages?status=complete")
+    )
+    out = []
+    for s in stages:
+        sid, att = s["stageId"], s["attemptId"]
+        try:
+            q = json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app_id}/stages/{sid}/{att}/"
+                    "taskSummary?quantiles=0.5,1.0"
+                )
+            )
+            med, mx = q["executorRunTime"]
+        except Exception:
+            med = mx = 0.0
+        out.append(
+            {
+                "stage": sid,
+                "name": s["name"].split("\n")[0][:60],
+                "tasks": s["numCompleteTasks"],
+                "shuffle_write_mb": round(s["shuffleWriteBytes"] / 1e6, 2),
+                "shuffle_read_mb": round(s["shuffleReadBytes"] / 1e6, 2),
+                "task_med_ms": med,
+                "task_max_ms": mx,
+                "skew": round(mx / med, 1) if med else None,
+            }
+        )
+    return out
+
+
+def main() -> None:
+    if not os.path.exists(f"{DATA_DIR}/documents.parquet"):
+        generate()
+
+    from go_integ_spark.registry import load_all
+    from go_integ_spark.session import get_spark
+
+    spark = get_spark(app_name="smoke_scale", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = "http://localhost:4040"
+    reg = load_all()
+
+    results = {}
+    for name in ("dedup_minhash_lsh", "ann_ivf_topk"):
+        t0 = time.perf_counter()
+        n = reg[name].fn(spark, DATA_DIR).count()
+        secs = round(time.perf_counter() - t0, 2)
+        results[name] = {"rows": n, "sec": secs}
+        print(f"\n== {name}: {n} rows in {secs}s ==")
+
+    report = stage_report(ui)
+    shuffly = [s for s in report if s["shuffle_write_mb"] or s["shuffle_read_mb"]]
+    worst = max((s["skew"] or 0) for s in shuffly) if shuffly else 0
+    for s in shuffly:
+        print(
+            f"stage {s['stage']:>3} tasks={s['tasks']:>3} "
+            f"shufW={s['shuffle_write_mb']:>8}MB shufR={s['shuffle_read_mb']:>8}MB "
+            f"task med/max={s['task_med_ms']:.0f}/{s['task_max_ms']:.0f}ms "
+            f"skew={s['skew']} | {s['name']}"
+        )
+    print(f"\nworst shuffle-stage task skew (max/median): {worst}x "
+          f"({'PASS' if worst < 10 else 'FAIL'} vs the 10x bound)")
+    print(json.dumps({"queries": results, "worst_skew": worst}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
