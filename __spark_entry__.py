@@ -34,116 +34,116 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
-    "text_fingerprint": 0.12,
-    "text_pii_redact": 0.12,
-    "sample_stratified": 0.14,
-    "text_repetition_ratio": 0.15,
-    "window_running_customer_spend": 0.15,
-    "agg_sketch_accuracy": 0.16,
-    "window_order_gaps": 0.16,
-    "text_token_count": 0.17,
-    "asof_join_purchase_click": 0.18,
+    "text_token_count": 0.12,
+    "incremental_cursor_read": 0.14,
+    "text_fingerprint": 0.14,
+    "sink_airbyte_envelope": 0.16,
+    "text_pii_redact": 0.16,
     "multimodal_metadata": 0.18,
-    "agg_grouping_sets": 0.19,
-    "curation_domain_cap": 0.19,
-    "text_unigram_entropy": 0.2,
-    "agg_distinct_counts": 0.21,
-    "dedup_exact": 0.22,
-    "events_sessionize": 0.22,
-    "join_semi_customers_with_orders": 0.22,
-    "agg_percentiles": 0.23,
-    "contamination_ngram_overlap": 0.23,
-    "dedup_keep_latest": 0.23,
+    "sample_stratified": 0.18,
+    "text_unigram_entropy": 0.18,
+    "window_running_customer_spend": 0.18,
+    "text_repetition_ratio": 0.19,
+    "window_order_gaps": 0.19,
+    "text_word_stats": 0.2,
+    "agg_cube_status_priority": 0.21,
+    "asof_join_purchase_click": 0.21,
+    "curation_mix_weights": 0.22,
+    "q6_forecast_revenue": 0.22,
     "corpus_token_stats": 0.24,
-    "curation_mix_weights": 0.24,
-    "join_anti_customers_without_orders": 0.24,
-    "q14_promo_effect": 0.24,
-    "text_word_stats": 0.26,
+    "sort_limit_top_lineitems": 0.24,
+    "connector_file_incremental_read": 0.25,
+    "curation_domain_cap": 0.25,
+    "dedup_exact": 0.25,
+    "join_anti_customers_without_orders": 0.25,
+    "dedup_keep_latest": 0.26,
+    "contamination_ngram_overlap": 0.27,
     "events_hourly_rollup": 0.27,
-    "curation_pack_sequences": 0.28,
-    "connector_file_incremental_read": 0.29,
-    "dedup_clusters": 0.3,
-    "sink_airbyte_envelope": 0.3,
-    "incremental_cursor_read": 0.31,
-    "text_lang_id": 0.31,
-    "agg_cube_status_priority": 0.32,
+    "q1_pricing_summary": 0.27,
+    "subquery_orders_above_avg": 0.27,
+    "events_pivot_type_counts": 0.28,
+    "agg_percentiles": 0.29,
+    "curation_pack_sequences": 0.29,
+    "q14_promo_effect": 0.29,
+    "agg_distinct_counts": 0.3,
+    "join_semi_customers_with_orders": 0.3,
+    "agg_grouping_sets": 0.31,
+    "events_json_extract": 0.31,
+    "range_join_error_clicks": 0.31,
+    "cdc_snapshot_diff": 0.32,
+    "curation_quality_filter": 0.32,
+    "set_except_rich_not_building": 0.33,
     "set_union_distinct": 0.33,
     "events_funnel": 0.34,
-    "events_pivot_type_counts": 0.34,
-    "q12_priority_shipping": 0.34,
-    "curation_quality_filter": 0.35,
-    "sort_limit_top_lineitems": 0.35,
-    "set_intersect_rich_building": 0.36,
+    "multimodal_resize_thumbs": 0.34,
+    "set_intersect_rich_building": 0.34,
+    "text_lang_id": 0.34,
+    "events_transition_matrix": 0.35,
     "multimodal_decode_features": 0.38,
-    "q15_top_supplier": 0.38,
-    "range_join_error_clicks": 0.38,
-    "text_embed_hash": 0.38,
-    "q6_forecast_revenue": 0.39,
-    "multimodal_frame_sample": 0.4,
-    "agg_rollup_nation_segment": 0.41,
-    "q13_customer_distribution": 0.42,
-    "q1_pricing_summary": 0.42,
-    "q4_late_orders": 0.42,
-    "curation_weighted_sample": 0.44,
+    "agg_rollup_nation_segment": 0.39,
+    "window_top_orders_per_customer": 0.39,
+    "q12_priority_shipping": 0.4,
+    "dedup_exact_substring": 0.41,
+    "q4_late_orders": 0.43,
     "events_cohort_retention": 0.44,
-    "text_tfidf_topk": 0.44,
-    "q19_disjunctive_predicates": 0.45,
-    "events_transition_matrix": 0.46,
-    "q16_supplier_part_count": 0.46,
-    "q3_shipping_priority": 0.46,
-    "text_quality_score": 0.48,
-    "window_share_of_segment": 0.48,
-    "events_json_extract": 0.49,
-    "text_heavy_hitters": 0.49,
-    "q9_product_profit": 0.5,
-    "q10_returned_items": 0.51,
-    "subquery_orders_above_avg": 0.51,
-    "window_top_orders_per_customer": 0.51,
-    "cdc_snapshot_diff": 0.52,
-    "curation_boilerplate_ngrams": 0.52,
-    "q20_promotion_candidates": 0.52,
-    "q11_important_part_value": 0.53,
-    "events_anomaly_mad": 0.55,
-    "dedup_canonical_pick": 0.56,
-    "q18_large_volume_customers": 0.56,
-    "streaming_pk_dedup": 0.56,
-    "q21_late_supplier_wait": 0.59,
-    "similarity_threshold_join": 0.61,
-    "q7_volume_shipping": 0.62,
-    "text_winnow_fingerprint": 0.63,
-    "ann_bruteforce_topk": 0.64,
-    "dedup_exact_substring": 0.64,
-    "q5_local_supplier_volume": 0.64,
-    "q22_idle_customers": 0.65,
-    "q17_small_quantity_revenue": 0.72,
-    "q2_min_cost_supplier": 0.72,
-    "q8_market_share": 0.72,
-    "connector_graphql_cursor_read": 0.76,
-    "set_except_rich_not_building": 0.76,
-    "streaming_hourly_counts": 0.78,
-    "similarity_pq_encode": 0.81,
-    "curation_pipeline_funnel": 0.82,
-    "basket_part_pairs": 0.85,
-    "embedding_outliers": 0.85,
-    "connector_http_paginated_read": 0.88,
-    "streaming_session_window": 0.91,
-    "streaming_running_max_cursor": 0.98,
-    "window_spend_quartiles": 1.15,
-    "dedup_ngram_jaccard": 1.16,
-    "events_hourly_gapfill": 1.33,
-    "dedup_incremental_lsh": 1.35,
-    "dedup_minhash_lsh": 1.5,
-    "dedup_simhash": 1.5,
-    "multimodal_resize_thumbs": 1.61,
-    "ann_ivf_topk": 1.73,
-    "streaming_anomaly_mad": 1.78,
-    "dedup_embedding_cosine": 1.93,
-    "similarity_pq_search": 1.96,
-    "streaming_stream_join": 2.15,
-    "embedding_kmeans": 2.55,
-    "streaming_foreach_batch_merge": 2.7,
-    "dedup_soft_weights": 2.86,
-    "connector_datasource_distributed_read": 3.46,
+    "q17_small_quantity_revenue": 0.45,
+    "q22_idle_customers": 0.45,
+    "window_share_of_segment": 0.45,
+    "dedup_clusters": 0.46,
+    "text_quality_score": 0.47,
+    "events_anomaly_mad": 0.48,
+    "q15_top_supplier": 0.49,
+    "q3_shipping_priority": 0.5,
+    "q13_customer_distribution": 0.51,
+    "multimodal_frame_sample": 0.52,
+    "text_heavy_hitters": 0.53,
+    "agg_sketch_accuracy": 0.54,
+    "embedding_outliers": 0.55,
+    "q10_returned_items": 0.55,
+    "curation_weighted_sample": 0.57,
+    "dedup_ngram_jaccard": 0.57,
+    "dedup_canonical_pick": 0.64,
+    "events_hourly_gapfill": 0.65,
+    "curation_boilerplate_ngrams": 0.68,
+    "q5_local_supplier_volume": 0.72,
+    "connector_graphql_cursor_read": 0.73,
+    "events_sessionize": 0.73,
+    "basket_part_pairs": 0.75,
+    "q11_important_part_value": 0.75,
+    "q18_large_volume_customers": 0.76,
+    "q7_volume_shipping": 0.83,
+    "q20_promotion_candidates": 0.85,
+    "q16_supplier_part_count": 0.91,
+    "q21_late_supplier_wait": 0.94,
+    "ann_bruteforce_topk": 0.96,
+    "text_winnow_fingerprint": 0.96,
+    "q8_market_share": 0.99,
+    "q19_disjunctive_predicates": 1.01,
+    "streaming_session_window": 1.01,
+    "similarity_threshold_join": 1.02,
+    "q2_min_cost_supplier": 1.07,
+    "window_spend_quartiles": 1.1,
+    "q9_product_profit": 1.18,
+    "streaming_hourly_counts": 1.29,
+    "curation_pipeline_funnel": 1.37,
+    "streaming_running_max_cursor": 1.4,
+    "similarity_pq_encode": 1.43,
+    "streaming_anomaly_mad": 1.43,
+    "dedup_minhash_lsh": 1.46,
+    "streaming_foreach_batch_merge": 1.51,
+    "connector_http_paginated_read": 1.78,
+    "text_tfidf_topk": 1.88,
+    "ann_ivf_topk": 1.92,
+    "streaming_stream_join": 2.18,
+    "text_embed_hash": 2.19,
+    "similarity_pq_search": 2.23,
+    "dedup_embedding_cosine": 2.45,
+    "dedup_simhash": 2.45,
+    "streaming_pk_dedup": 2.74,
+    "embedding_kmeans": 2.89,
+    "dedup_incremental_lsh": 3.0,
+    "connector_datasource_distributed_read": 3.49,
+    "dedup_soft_weights": 3.51,
 }
 
 
