@@ -74,6 +74,7 @@ _MEASURED_COST = {
     "curation_quality_filter": 0.32,
     "set_except_rich_not_building": 0.33,
     "set_union_distinct": 0.33,
+    "curation_shuffle_shards": 0.35,
     "events_funnel": 0.34,
     "multimodal_resize_thumbs": 0.34,
     "set_intersect_rich_building": 0.34,
@@ -112,6 +113,7 @@ _MEASURED_COST = {
     "q11_important_part_value": 0.75,
     "q18_large_volume_customers": 0.76,
     "q7_volume_shipping": 0.83,
+    "text_chunk_overlap": 0.84,
     "q20_promotion_candidates": 0.85,
     "q16_supplier_part_count": 0.91,
     "q21_late_supplier_wait": 0.94,

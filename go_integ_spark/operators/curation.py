@@ -641,3 +641,49 @@ def curation_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_weight"
         ),
     )
+
+
+# Deterministic corpus shuffle-sharding: the write-side layout step
+# between curation and training.
+N_SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "epoch0"
+
+
+@register(
+    "curation_shuffle_shards",
+    tags=("curation", "sharding"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % {N_SHUFFLE_SHARDS} AS INT) AS shard,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SALT}'),
+        1, 15))::BIGINT AS sort_key,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents
+""",
+)
+def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding manifest: every doc gets
+    a shard (h60(doc_id) mod N) and an independent salted sort key
+    (h60(doc_id:salt)) — reproducible pseudo-random training order,
+    re-shuffleable per epoch by changing the salt, no RNG state.
+
+    The query itself is a pure map-side Project (zero shuffles —
+    pinned in tests/test_curation.py). The 100 TB write is
+    ``df.repartition(N, "shard").sortWithinPartitions("sort_key")``:
+    local sorts inside each shard partition, NO global rank — a
+    row_number over shard (8 groups) would put corpus/8 rows in one
+    window task, which is exactly the skew this layout avoids. Readers
+    stream shards in sort_key order and the concatenation is the
+    deterministic shuffled corpus.
+    """
+    from go_integ_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        (h60(did) % N_SHUFFLE_SHARDS).cast("int").alias("shard"),
+        h60(F.concat(did, F.lit(f":{SHUFFLE_SALT}"))).alias("sort_key"),
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )

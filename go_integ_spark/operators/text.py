@@ -610,3 +610,68 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(entropy, 4).alias("entropy"),
     )
+
+
+# Retrieval/training chunking: 64-token windows, stride 48 (16-token
+# overlap) — the standard context-chunking move for RAG indexing and
+# long-document training splits.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "text_chunk_overlap",
+    tags=("text", "chunking"),
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), n AS (
+    SELECT doc_id, ws,
+           1 + (greatest(len(ws) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1})
+               // {CHUNK_STRIDE} AS n_chunks
+    FROM w
+), c AS (
+    SELECT doc_id, t.i AS chunk_id,
+           ws[t.i * {CHUNK_STRIDE} + 1 : t.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS cw
+    FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(cw) AS INT) AS n_tokens,
+       ('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15))::BIGINT AS chunk_hash
+FROM c
+""",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48):
+    one row per (doc, chunk) with token count and the engine-portable
+    h60 content hash — the chunk manifest a RAG indexer or a
+    long-document training splitter consumes.
+
+    Entirely ROW-LOCAL: the chunk list is a JVM ``transform`` over a
+    per-doc ``sequence`` (chunk count is closed-form integer math, so
+    both engines derive the identical chunking), then one explode —
+    no shuffle anywhere, the whole query is a map-side Project over
+    the scan, which is what lets a 1000-executor job chunk 100 TB in
+    a single pass. Every doc yields >= 1 chunk (short docs produce
+    one partial chunk); consecutive full chunks overlap by
+    CHUNK_TOKENS - CHUNK_STRIDE tokens.
+    """
+    from go_integ_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = F.expr(
+        f"transform(sequence(0, (greatest(size(ws) - {CHUNK_TOKENS}, 0)"
+        f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}), i ->"
+        f" struct(i AS chunk_id, slice(ws, i * {CHUNK_STRIDE} + 1,"
+        f" {CHUNK_TOKENS}) AS cw))"
+    )
+    return (
+        docs.withColumn("ws", F.split("text", " "))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("int").alias("chunk_id"),
+            F.size("c.cw").cast("int").alias("n_tokens"),
+            h60(F.array_join("c.cw", " ")).alias("chunk_hash"),
+        )
+    )
