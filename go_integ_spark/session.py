@@ -15,6 +15,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_engine_contract(spark: SparkSession) -> None:
+    """Pin the two runtime-settable confs the ENGINE CONTRACT requires,
+    in one advertised place (every table/file read routes through
+    here — tables.load_table, sources.files.FileStream):
+
+    - ``nanosAsLong``: the driver's events.parquet stores
+      TIMESTAMP(NANOS), unreadable without it;
+    - UTC session timezone: the NTZ -> LTZ normalization cast is only
+      a wall-clock identity under UTC — a non-UTC session would
+      silently shift instants relative to the DuckDB oracles and
+      unix_micros epochs.
+
+    DELIBERATELY permanent, not scoped-and-restored: returned frames
+    are lazy, so restoring the timezone before the caller's action
+    would re-break the cast. The engine operates in UTC; callers
+    mixing these reads with local-time timestamp logic in one session
+    are outside the contract (documented in README/STATUS).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def get_spark(
     app_name: str = "go_integ_spark",
     master: str | None = None,

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_integ_spark.schema.stream import StreamSchema
+from go_integ_spark.session import ensure_engine_contract
 
 
 @dataclass
@@ -31,15 +32,10 @@ class FileStream:
     def dataframe(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-        if self.format == "parquet":
-            # TIMESTAMP(NANOS) parquet is unreadable without this conf;
-            # set it at runtime so callers with a vanilla session work.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ -> LTZ cast below is only a wall-clock identity under
-        # UTC; pin the session timezone so a vanilla non-UTC session
-        # doesn't silently shift instants (same contract as
-        # tables.load_table).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Engine-contract confs (nanosAsLong for TIMESTAMP(NANOS)
+        # parquet, UTC for the NTZ -> LTZ cast below) — pinned via the
+        # single session-contract helper, same as tables.load_table.
+        ensure_engine_contract(spark)
         reader = spark.read.format(self.format).options(**self.options)
         if self.format in ("json", "csv"):
             reader = reader.schema(self.schema.struct)

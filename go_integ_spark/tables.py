@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from go_integ_spark.session import ensure_engine_contract
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -32,20 +34,10 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # events.parquet stores TIMESTAMP(NANOS); a vanilla session (no
-    # session.py confs) throws PARQUET_TYPE_ILLEGAL on read. The conf
-    # is runtime-settable, so set it here rather than relying on the
-    # caller's session build. The UTC timezone is part of the same
-    # contract: _normalize_timestamps' NTZ -> LTZ cast is only a
-    # wall-clock identity under UTC — a non-UTC session would silently
-    # shift instants relative to the DuckDB oracles and unix_micros
-    # epochs, so pin it here too (also runtime-settable). This is a
-    # DELIBERATE engine-level contract, not scoped-and-restored: the
-    # returned frame is lazy, so restoring the tz before the caller's
-    # action would re-break the cast; the engine operates in UTC,
-    # like the nanosAsLong conf.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Runtime-settable engine-contract confs (nanosAsLong + UTC) live
+    # in ONE advertised place — see its docstring for why the
+    # mutation is deliberately permanent.
+    ensure_engine_contract(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _normalize_timestamps(df)
 
