@@ -139,6 +139,7 @@ _MEASURED_COST = {
     "streaming_stream_join": 2.18,
     "text_embed_hash": 2.19,
     "similarity_pq_search": 2.23,
+    "ann_ivfpq_topk": 2.6,
     "dedup_embedding_cosine": 2.45,
     "dedup_simhash": 2.45,
     "streaming_pk_dedup": 2.74,

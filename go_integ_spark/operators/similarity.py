@@ -908,3 +908,193 @@ def similarity_pq_search(
         "adc_dist2_u",
         F.col("rn").cast("int").alias("rank"),
     )
+
+@register(
+    "ann_ivfpq_topk",
+    tags=("similarity", "ivf", "vector", "compression"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), cidx AS (
+    SELECT ce, CAST(row_number() OVER (ORDER BY cent_id) - 1 AS INT) AS code
+    FROM cent
+), assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS arn
+        FROM v CROSS JOIN cent c
+    ) WHERE arn = 1
+), sub AS (
+    SELECT v.vec_id, m.m, c.code,
+           list_sum(list_transform(generate_series(1, {PQ_DIM}),
+               i -> CAST(floor(
+                   (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * (v.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * {ADC_SCALE} + 0.5) AS BIGINT)))
+               AS du
+    FROM v
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    CROSS JOIN cidx c
+), best AS (
+    SELECT vec_id, m, code, du,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) AS rn
+    FROM sub
+), probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT v.vec_id AS query_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS prn
+        FROM v CROSS JOIN cent c
+        WHERE v.vec_id < {N_QUERIES}
+    ) WHERE prn <= {IVF_NPROBE}
+), lut AS (
+    SELECT q.vec_id AS query_id, m.m, c.code,
+           list_sum(list_transform(generate_series(1, {PQ_DIM}),
+               i -> CAST(floor(
+                   (q.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * (q.e[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * {ADC_SCALE} + 0.5) AS BIGINT))) AS du
+    FROM v q
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    CROSS JOIN cidx c
+    WHERE q.vec_id < {N_QUERIES}
+), cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p
+    JOIN assigned a ON a.cell_id = p.cell_id
+    WHERE a.vec_id <> p.query_id
+), scored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           CAST(sum(l.du) AS BIGINT) AS adc_dist2_u
+    FROM cand cd
+    JOIN best b ON b.vec_id = cd.neighbor_id AND b.rn = 1
+    JOIN lut l ON l.query_id = cd.query_id AND l.m = b.m AND l.code = b.code
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist2_u, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist2_u, neighbor_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {TOP_K}
+""",
+)
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, codebook: str = "hash"
+) -> DataFrame:
+    """IVF-PQ composed search — the billion-scale ANN index layout
+    (coarse quantizer prunes cells, PQ codes replace vectors inside
+    them): each corpus vector is stored as (cell_id, {PQ_M} codes);
+    a query probes its {IVF_NPROBE} nearest cells and ADC-scores only
+    those cells' codes.
+
+    This is the composition of the two pieces already proven
+    individually (``ann_ivf_topk``'s row-local cell assignment and
+    ``similarity_pq_search``'s integer-exact ADC): the index build is
+    ONE map-side Project over the scan (cell argmax + per-subspace
+    code argmin against the same inline fixed-K codebook — no join,
+    no shuffle), and serving joins the tiny probe list (queries x
+    nprobe rows, broadcast, each row carrying its int64 LUT literal)
+    against the codes on cell_id — so a query reads nprobe/{IVF_K}
+    of the corpus AND only ~{PQ_M} bytes per row of it. That double
+    reduction (partition pruning x 32x compression) is the property
+    that makes 100 TB of embeddings servable: written partitioned by
+    cell_id, a probe is a partition-pruned scan of code arrays at
+    memory bandwidth, then the bounded salted top-k.
+
+    Scores are ADC micro-units (fixed point per term, see
+    ``ADC_SCALE``) — bit-identical across engines, so the full
+    assign->encode->probe->ADC pipeline carries a value-level oracle.
+    Recall vs brute force is pinned in tests/test_similarity.py.
+    ``codebook="trained"`` swaps the Lloyd-refined book into BOTH the
+    encode and LUT sides (not the oracle path — k-means is
+    iterative).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    # ONE fixed-size selection job serves the cell literal, the PQ
+    # codebook, and the Python LUT builder.
+    (crow,) = ivf_centroids(v).collect()
+    cents_lit = _centroid_lit_from_row(crow)
+    if codebook == "trained":
+        cents = train_pq_codebook(v)
+        book_lit = _pq_codebook_lit(cents)
+    else:
+        cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
+        book_lit = cents_lit
+    # Index build: cell assignment + PQ encode in one map-side pass.
+    assigned = (
+        v.withColumn("cents", cents_lit)
+        .withColumn("cell_id", F.element_at(nearest_cells(1), 1))
+        .drop("cents")
+    )
+    indexed = _with_pq_best(assigned, cents=book_lit).select(
+        "vec_id",
+        "cell_id",
+        F.expr("transform(best, s -> s.code)").alias("codes"),
+    )
+    # Probe list: row-local nprobe-nearest cells per query, then the
+    # per-query LUT attached as an int64 literal (fixed query set).
+    qrows = sorted(
+        v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    luts = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("query_id"),
+                F.array(
+                    *[
+                        F.array(*[F.lit(du) for du in row])
+                        for row in pq_lut_u([float(x) for x in r["e"]], cents)
+                    ]
+                ).alias("lut"),
+            )
+            for r in qrows
+        ]
+    )
+    probes = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("cents", cents_lit)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(nearest_cells(IVF_NPROBE)).alias("cell_id"),
+        )
+        .withColumn("luts", luts)
+        .withColumn(
+            "lut", F.expr("filter(luts, l -> l.query_id = query_id)[0].lut")
+        )
+        .drop("luts")
+    )
+    scored = (
+        indexed.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"aggregate(sequence(0, {PQ_M - 1}), cast(0 as bigint),"
+                " (acc, m) -> acc + lut[m][codes[m]])"
+            ).alias("adc_dist2_u"),
+        )
+    )
+    out = salted_topk(
+        scored, "query_id", [F.col("adc_dist2_u").asc(), F.col("neighbor_id")], TOP_K
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "adc_dist2_u",
+        F.col("rn").cast("int").alias("rank"),
+    )

@@ -343,3 +343,53 @@ def test_ivf_cell_partitioning_prunes_scan(spark, tmp_path):
     # and the pruned read is still correct
     expect = {r["vec_id"] for r in assigned.filter(F.col("cell_id").isin(probes)).collect()}
     assert {r["vec_id"] for r in pruned.collect()} == expect
+
+
+def test_ivfpq_above_chance_and_beats_unpruned_pq(spark, exact):
+    """IVF-PQ composes the two approximations, so its recall bar is
+    the PQ one (clearly above chance on this incompressible random
+    corpus — see test_pq_search_approximates_exact), and pruning to
+    the query's nearest cells must not LOSE accuracy vs unpruned ADC
+    over the whole corpus (the candidates it drops are mostly
+    far-away vectors): deterministic values here are 0.18 pruned vs
+    0.08 unpruned. Ranks must be dense and ADC-monotone."""
+    from go_integ_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        similarity_pq_search,
+    )
+
+    ivfpq_rows = ann_ivfpq_topk(spark, SF_DIR).collect()
+    ivfpq = {(r["query_id"], r["neighbor_id"]) for r in ivfpq_rows}
+    assert all(r["adc_dist2_u"] >= 0 for r in ivfpq_rows)
+    flat_pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity_pq_search(spark, SF_DIR).collect()
+    }
+    chance = TOP_K / 499
+    pruned_recall = len(ivfpq & exact) / len(exact)
+    unpruned_recall = len(flat_pq & exact) / len(exact)
+    assert pruned_recall >= 3 * chance, (pruned_recall, chance)
+    assert pruned_recall >= unpruned_recall, (pruned_recall, unpruned_recall)
+    by_q = {}
+    for r in ivfpq_rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist2_u"]))
+    for ranked in by_q.values():
+        ranked.sort()
+        assert [r for r, _ in ranked] == list(range(1, len(ranked) + 1))
+        dists = [d for _, d in ranked]
+        assert dists == sorted(dists)
+
+
+def test_ivfpq_trained_codebook_runs(spark):
+    """The trained-codebook variant swaps the Lloyd book into BOTH
+    the encode and LUT sides and must stay self-consistent: full
+    per-query result sets with non-negative integer ADC scores."""
+    from collections import Counter
+
+    from go_integ_spark.operators.similarity import N_QUERIES, ann_ivfpq_topk
+
+    rows = ann_ivfpq_topk(spark, SF_DIR, codebook="trained").collect()
+    per_q = Counter(r["query_id"] for r in rows)
+    assert len(per_q) == N_QUERIES
+    assert all(n <= TOP_K for n in per_q.values())
+    assert all(r["adc_dist2_u"] >= 0 for r in rows)
