@@ -104,6 +104,7 @@ _MEASURED_COST = {
     "curation_weighted_sample": 0.57,
     "dedup_ngram_jaccard": 0.57,
     "dedup_canonical_pick": 0.64,
+    "dedup_paragraph": 0.5,
     "events_hourly_gapfill": 0.65,
     "curation_boilerplate_ngrams": 0.68,
     "q5_local_supplier_volume": 0.72,

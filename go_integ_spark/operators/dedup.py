@@ -980,3 +980,103 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 4).alias("sample_weight"),
     )
+
+
+# -- paragraph-level dedup -------------------------------------------------
+
+PARA_TOKENS = 16  # tokens per paragraph unit
+PARA_KEEP_MAX_DUP = 0.5  # drop docs more than half made of seen paragraphs
+
+
+@register(
+    "dedup_paragraph",
+    tags=("dedup", "paragraph", "llm_pipeline"),
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), p AS (
+    SELECT doc_id, t.i AS para_id,
+           ('0x' || substr(md5(array_to_string(
+               ws[t.i * {PARA_TOKENS} + 1 : t.i * {PARA_TOKENS} + {PARA_TOKENS}],
+               ' ')), 1, 15))::BIGINT AS ph
+    FROM w, unnest(generate_series(0, (len(ws) - 1) // {PARA_TOKENS})) AS t(i)
+), r AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY ph ORDER BY doc_id, para_id) AS rn
+    FROM p
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+           AS dup_frac,
+       (sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*))
+           <= {PARA_KEEP_MAX_DUP} AS keep
+FROM r
+GROUP BY doc_id
+""",
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup (the C4/Dolma preprocessing step: drop
+    repeated paragraphs corpus-wide, keeping only their first
+    occurrence): every doc is split into fixed {PARA_TOKENS}-token
+    paragraph units (the corpus has no newlines; with real documents
+    the splitter would be ``split(text, '\\n\\n')`` and nothing else
+    changes), each unit is content-hashed, and an occurrence counts
+    as DUPLICATE iff it is not the globally first occurrence of its
+    hash (ordered by doc_id, then position — so within-doc repetition
+    counts too). Output is the per-doc retention verdict a curation
+    funnel consumes: paragraph counts, duplicate fraction, and a keep
+    flag at the {PARA_KEEP_MAX_DUP} threshold.
+
+    Differs from ``dedup_exact_substring`` (which REPORTS duplicated
+    character spans) by scoring and gating DOCUMENTS; the unit is an
+    aligned token window, not a sliding character window, so each
+    token is hashed once — index size O(tokens/{PARA_TOKENS}), not
+    O(chars/stride).
+
+    Scale shape: paragraph extraction is row-local (split + transform
+    + explode, JVM codegen); the only shuffles move (doc_id, para_id,
+    8-byte hash) — never text. First-occurrence ranking groups by the
+    hash itself, so group size equals that paragraph's global
+    occurrence count: a viral boilerplate paragraph makes a hot key,
+    but its group holds only ids (no payload), and partial map-side
+    aggregation does not apply to ranking — if a corpus is known to
+    have mega-paragraph skew, cap with the same two-phase min trick
+    as ``salted_join``. The final per-doc rollup shuffles on doc_id,
+    uniform by construction.
+    """
+    from pyspark.sql import Window
+
+    from go_integ_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paras = (
+        docs.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(ws) - 1) div {PARA_TOKENS}),"
+                    f" i -> struct(i AS para_id, array_join(slice(ws,"
+                    f" i * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' ') AS ptxt))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.para_id").alias("para_id"),
+                h60(F.col("p.ptxt")).alias("ph"))
+    )
+    first = Window.partitionBy("ph").orderBy("doc_id", "para_id")
+    ranked = paras.withColumn("rn", F.row_number().over(first))
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum((F.col("rn") > 1).cast("bigint")).alias("n_dup_paras"),
+    )
+    frac = F.col("n_dup_paras").cast("double") / F.col("n_paras")
+    return per_doc.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.round(frac, 4).alias("dup_frac"),
+        (frac <= PARA_KEEP_MAX_DUP).alias("keep"),
+    )

@@ -136,3 +136,37 @@ def test_soft_weights_conserve_cluster_mass(spark):
         assert sizes == {len(members)}  # size column is consistent
         assert abs(sum(m["sample_weight"] for m in members) - 1.0) < 1e-2
     assert len(rows) >= len(by_cluster)
+
+
+def test_paragraph_dedup_first_occurrence_semantics(spark, tmp_path):
+    """On a micro-corpus with injected duplication: the globally first
+    occurrence of a paragraph is never counted as duplicate, every
+    later occurrence is (including repetition INSIDE one doc), and the
+    keep flag trips strictly above the 0.5 dup-fraction threshold."""
+    from go_integ_spark.operators.dedup import PARA_TOKENS, dedup_paragraph
+
+    para_a = " ".join(["alpha"] * PARA_TOKENS)
+    para_b = " ".join(["beta"] * PARA_TOKENS)
+    uniq = [" ".join([f"u{i}w{j}" for j in range(PARA_TOKENS)]) for i in range(4)]
+    rows = [
+        # doc 0 owns the first occurrences of A and B
+        (0, f"{para_a} {para_b}"),
+        # doc 1: one seen paragraph, one unique -> frac 0.5, kept
+        (1, f"{para_a} {uniq[0]}"),
+        # doc 2: two seen paragraphs + within-doc repeat -> frac 1.0
+        (2, f"{para_b} {para_b} {para_a}"),
+        # doc 3: all unique
+        (3, f"{uniq[1]} {uniq[2]} {uniq[3]}"),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        path + "/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"], r["keep"])
+        for r in dedup_paragraph(spark, path).collect()
+    }
+    assert got[0] == (2, 0, True)
+    assert got[1] == (2, 1, True)  # exactly at the 0.5 threshold
+    assert got[2] == (3, 3, False)  # all three already seen in doc 0/2
+    assert got[3] == (3, 0, True)
