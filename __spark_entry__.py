@@ -137,6 +137,7 @@ _MEASURED_COST = {
     "connector_http_paginated_read": 1.78,
     "text_tfidf_topk": 1.88,
     "ann_ivf_topk": 1.92,
+    "streaming_chunk_manifest": 2.1,
     "streaming_stream_join": 2.18,
     "text_embed_hash": 2.19,
     "similarity_pq_search": 2.23,

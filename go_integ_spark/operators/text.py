@@ -618,11 +618,9 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
-
-@register(
-    "text_chunk_overlap",
-    tags=("text", "chunking"),
-    oracle=f"""
+# Shared by the batch query and streaming_chunk_manifest (the
+# availableNow streaming run of the identical transform).
+CHUNK_ORACLE = f"""
 WITH w AS (
     SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), n AS (
@@ -639,26 +637,15 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
        CAST(len(cw) AS INT) AS n_tokens,
        ('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15))::BIGINT AS chunk_hash
 FROM c
-""",
-)
-def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking (64-token chunks, stride 48):
-    one row per (doc, chunk) with token count and the engine-portable
-    h60 content hash — the chunk manifest a RAG indexer or a
-    long-document training splitter consumes.
+"""
 
-    Entirely ROW-LOCAL: the chunk list is a JVM ``transform`` over a
-    per-doc ``sequence`` (chunk count is closed-form integer math, so
-    both engines derive the identical chunking), then one explode —
-    no shuffle anywhere, the whole query is a map-side Project over
-    the scan, which is what lets a 1000-executor job chunk 100 TB in
-    a single pass. Every doc yields >= 1 chunk (short docs produce
-    one partial chunk); consecutive full chunks overlap by
-    CHUNK_TOKENS - CHUNK_STRIDE tokens.
-    """
+
+def chunk_manifest(docs: DataFrame) -> DataFrame:
+    """The chunk transform itself — a pure map-side Project over any
+    (doc_id, text) frame, batch or streaming (it is stateless, so the
+    streaming engine runs it without watermarks or state stores)."""
     from go_integ_spark.functions.hashing import h60
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     chunks = F.expr(
         f"transform(sequence(0, (greatest(size(ws) - {CHUNK_TOKENS}, 0)"
         f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}), i ->"
@@ -675,3 +662,27 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             h60(F.array_join("c.cw", " ")).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "text_chunk_overlap",
+    tags=("text", "chunking"),
+    oracle=CHUNK_ORACLE,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, stride 48):
+    one row per (doc, chunk) with token count and the engine-portable
+    h60 content hash — the chunk manifest a RAG indexer or a
+    long-document training splitter consumes.
+
+    Entirely ROW-LOCAL: the chunk list is a JVM ``transform`` over a
+    per-doc ``sequence`` (chunk count is closed-form integer math, so
+    both engines derive the identical chunking), then one explode —
+    no shuffle anywhere, the whole query is a map-side Project over
+    the scan, which is what lets a 1000-executor job chunk 100 TB in
+    a single pass. Every doc yields >= 1 chunk (short docs produce
+    one partial chunk); consecutive full chunks overlap by
+    CHUNK_TOKENS - CHUNK_STRIDE tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_manifest(docs)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_integ_spark.operators.events import ANOMALY_MAD_ORACLE
+from go_integ_spark.operators.text import CHUNK_ORACLE
 from go_integ_spark.registry import register
 from go_integ_spark.streaming.pipeline import read_stream
 from go_integ_spark.tables import load_table
@@ -443,3 +444,46 @@ def streaming_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _streamed_hourly_counts(spark, sf_dir)
     return flag_mad_anomalies(out.join(F.broadcast(thresholds), "event_type"))
+
+
+def _docs_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Documents materialized as a listable multi-file stream source,
+    memoized per sf_dir like ``_events_stream_source`` (one write per
+    process serves every documents-streaming gate query)."""
+    key = f"docs:{sf_dir}"
+    cached = _STREAM_SRC.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="sg_stream_gate_") + "/documents"
+    docs.repartition(8).write.mode("overwrite").parquet(path)
+    _STREAM_SRC[key] = (path, docs.schema)
+    return _STREAM_SRC[key]
+
+
+@register(
+    "streaming_chunk_manifest",
+    tags=("streaming", "chunking", "llm_pipeline"),
+    oracle=CHUNK_ORACLE,  # the streaming run must equal the batch query
+)
+def streaming_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG/training chunk manifest produced BY THE STREAMING
+    ENGINE: documents arrive as files (kafka in production), the
+    stateless ``chunk_manifest`` transform runs per micro-batch, and
+    the manifest lands in the sink in append mode — the incremental
+    indexing pipeline, where newly crawled documents become chunks
+    continuously instead of in a nightly batch.
+
+    Stateless means no watermark, no state store, and per-row results
+    independent of micro-batch boundaries — so driven to completion
+    with availableNow the result must equal the batch
+    ``text_chunk_overlap`` exactly, and the query shares its full
+    value-level oracle (the gate proof that the streaming path loses
+    nothing). maxFilesPerTrigger=2 over 8 source files forces >= 4
+    real micro-batches.
+    """
+    from go_integ_spark.operators.text import chunk_manifest
+
+    path, schema = _docs_stream_source(spark, sf_dir)
+    stream = read_stream(spark, path, schema, max_files_per_trigger=2)
+    return _run_to_memory(chunk_manifest(stream), "append", "scm")

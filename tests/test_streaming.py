@@ -291,3 +291,17 @@ def test_tws_user_profile_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_chunk_manifest_equals_batch(spark):
+    """The stateless chunk transform driven through the streaming
+    engine (multi-micro-batch availableNow, append mode) must produce
+    the batch manifest exactly — per-row results independent of
+    micro-batch boundaries."""
+    from go_integ_spark.operators.text import text_chunk_overlap
+    from go_integ_spark.streaming.queries import streaming_chunk_manifest
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in streaming_chunk_manifest(spark, sf).collect()}
+    want = {tuple(r) for r in text_chunk_overlap(spark, sf).collect()}
+    assert got == want and len(got) > 0
