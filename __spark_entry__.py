@@ -135,6 +135,7 @@ _MEASURED_COST = {
     "dedup_minhash_lsh": 1.46,
     "streaming_foreach_batch_merge": 1.51,
     "connector_http_paginated_read": 1.78,
+    "text_bigram_logprob": 1.1,
     "text_tfidf_topk": 1.88,
     "ann_ivf_topk": 1.92,
     "streaming_chunk_manifest": 2.1,

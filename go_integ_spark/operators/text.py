@@ -686,3 +686,85 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_manifest(docs)
+
+
+@register(
+    "text_bigram_logprob",
+    tags=("text", "lm", "llm_pipeline"),
+    oracle="""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), inst AS (
+    SELECT doc_id, ws[t.i] AS w1, ws[t.i + 1] AS w2
+    FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+), d AS (
+    SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k
+    FROM inst GROUP BY 1, 2, 3
+), c2 AS (
+    SELECT w1, w2, CAST(sum(k) AS DOUBLE) AS n2 FROM d GROUP BY 1, 2
+), c1 AS (
+    SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1
+), probs AS (
+    SELECT c2.w1, c2.w2, ln(c2.n2 / c1.n1) AS logp
+    FROM c2 JOIN c1 ON c1.w1 = c2.w1
+)
+SELECT d.doc_id,
+       CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+       round(sum(d.k * p.logp) / sum(d.k), 4) AS avg_logp
+FROM d JOIN probs p ON p.w1 = d.w1 AND p.w2 = d.w2
+GROUP BY d.doc_id
+""",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram language-model scoring — the KenLM-style
+    quality signal LLM curation pipelines use (CCNet/Gopher score
+    documents by LM perplexity; the distributed restatement fits the
+    LM on the corpus itself): P(w2|w1) = c(w1,w2) / c(w1 as prefix),
+    and each doc's score is the occurrence-weighted mean log
+    probability of its bigrams. Low avg_logp = improbable token
+    sequences (noise, boilerplate mash, wrong-language) — the ranking
+    a perplexity filter thresholds on. Docs with fewer than two
+    tokens carry no bigrams and are absent by definition.
+
+    Scale shape: bigram extraction is row-local (one explode), then
+    everything moves as COUNTS, never text positions — per-doc bigram
+    counts (map-side combinable), the model as two hash aggregations
+    over those counts, and one join of doc-bigram counts against the
+    model on the bigram key. The model table is bounded by distinct
+    bigrams (vocabulary-, not corpus-sized); stopword bigrams make
+    hot join keys, which AQE skew-join splits. At 100 TB the model
+    would be fit once, written bucketed by (w1, w2), and reused
+    across scoring runs — the join-back is then co-located.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inst = (
+        docs.withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i ->"
+                    " struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    d = inst.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c2 = d.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", F.log(F.col("n2") / F.col("n1")).alias("logp")
+    )
+    return (
+        d.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("k") * F.col("logp")) / F.sum("k"), 4
+            ).alias("avg_logp"),
+        )
+    )

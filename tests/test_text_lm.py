@@ -1,0 +1,42 @@
+"""Bigram language-model scoring invariants (the oracle sweep covers
+value-exactness; these pin the MODEL semantics on a controlled
+micro-corpus)."""
+
+from __future__ import annotations
+
+import math
+
+from go_integ_spark.operators.text import text_bigram_logprob
+
+
+def test_bigram_logprob_model_semantics(spark, tmp_path):
+    """On a corpus where the LM is computable by hand: conditional
+    probabilities come from corpus-wide prefix counts, every score is
+    <= 0 (log of a probability), a doc made of the corpus's only
+    high-frequency transition scores 0 (P=1 everywhere), and rarer
+    transitions score strictly lower. Single-token docs are absent."""
+    rows = [
+        # "x y" appears twice and "x z" once across the corpus, so
+        # P(y|x) = 2/3, P(z|x) = 1/3.
+        (0, "x y"),
+        (1, "x y"),
+        (2, "x z"),
+        # "a a a": P(a|a) = 1 -> avg_logp exactly 0.
+        (3, "a a a"),
+        # single token: no bigrams, absent from output
+        (4, "lonely"),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        path + "/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in text_bigram_logprob(spark, path).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[3] == (2, 0.0)
+    assert got[0] == (1, round(math.log(2 / 3), 4))
+    assert got[2] == (1, round(math.log(1 / 3), 4))
+    assert got[2][1] < got[0][1] < 0
+    assert all(lp <= 0 for _, lp in got.values())
