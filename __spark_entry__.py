@@ -104,7 +104,7 @@ _MEASURED_COST = {
     "curation_weighted_sample": 0.57,
     "dedup_ngram_jaccard": 0.57,
     "dedup_canonical_pick": 0.64,
-    "dedup_paragraph": 0.5,
+    "dedup_paragraph": 0.59,
     "events_hourly_gapfill": 0.65,
     "curation_boilerplate_ngrams": 0.68,
     "q5_local_supplier_volume": 0.72,
@@ -127,6 +127,7 @@ _MEASURED_COST = {
     "q2_min_cost_supplier": 1.07,
     "window_spend_quartiles": 1.1,
     "q9_product_profit": 1.18,
+    "text_bigram_logprob": 1.21,
     "streaming_hourly_counts": 1.29,
     "curation_pipeline_funnel": 1.37,
     "streaming_running_max_cursor": 1.4,
@@ -134,15 +135,13 @@ _MEASURED_COST = {
     "streaming_anomaly_mad": 1.43,
     "dedup_minhash_lsh": 1.46,
     "streaming_foreach_batch_merge": 1.51,
+    "streaming_chunk_manifest": 2.66,
     "connector_http_paginated_read": 1.78,
-    "text_bigram_logprob": 1.1,
     "text_tfidf_topk": 1.88,
     "ann_ivf_topk": 1.92,
-    "streaming_chunk_manifest": 2.1,
     "streaming_stream_join": 2.18,
     "text_embed_hash": 2.19,
     "similarity_pq_search": 2.23,
-    "ann_ivfpq_topk": 2.6,
     "dedup_embedding_cosine": 2.45,
     "dedup_simhash": 2.45,
     "streaming_pk_dedup": 2.74,
@@ -150,6 +149,7 @@ _MEASURED_COST = {
     "dedup_incremental_lsh": 3.0,
     "connector_datasource_distributed_read": 3.49,
     "dedup_soft_weights": 3.51,
+    "ann_ivfpq_topk": 5.78,
 }
 
 

@@ -308,3 +308,42 @@ def test_sketch_accuracy_single_agg_pass(registry, spark):
     plan = executed_plan(df)
     assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
     assert shuffle_count(df) <= 2  # partial->final agg (+ AQE final single partition)
+
+
+def test_ivfpq_index_build_is_joinless_and_probe_broadcasts(registry, spark):
+    """IVF-PQ's scale contract: cell assignment + PQ encode never put
+    a join in the plan (the codebook rides as an inline literal), the
+    only join is the broadcast probe-list equi-join, and nothing
+    degenerates into a nested-loop/cartesian product."""
+    df = _df(registry, spark, "ann_ivfpq_topk")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_op(df, "BroadcastHashJoin") == 1  # probes only
+    assert count_op(df, "SortMergeJoin") == 0
+
+
+def test_dedup_paragraph_shuffles_hashes_only(registry, spark):
+    """Paragraph dedup moves (doc_id, para_id, 8-byte hash) through
+    exactly two exchanges — first-occurrence ranking on the hash,
+    then the per-doc rollup; the text column never crosses a shuffle
+    (extraction is map-side)."""
+    df = _df(registry, spark, "dedup_paragraph")
+    assert shuffle_count(df) == 2
+    plan = executed_plan(df)
+    # the exchanges carry hash/count columns, never the text payload
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+
+
+def test_bigram_logprob_hash_joins_only(registry, spark):
+    """The LM join-back must stay a hash join on the bigram key (a
+    nested-loop over corpus x model would be quadratic); extraction
+    is map-side, and every aggregation has a partial pass."""
+    df = _df(registry, spark, "text_bigram_logprob")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_op(df, "SortMergeJoin") + count_op(df, "BroadcastHashJoin") >= 2
+    assert "partial_count" in plan or "partial_sum" in plan
