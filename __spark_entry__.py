@@ -140,6 +140,7 @@ _MEASURED_COST = {
     "text_tfidf_topk": 1.88,
     "ann_ivf_topk": 1.92,
     "streaming_stream_join": 2.18,
+    "streaming_static_enrich": 2.5,
     "text_embed_hash": 2.19,
     "similarity_pq_search": 2.23,
     "dedup_embedding_cosine": 2.45,

@@ -487,3 +487,46 @@ def streaming_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, schema = _docs_stream_source(spark, sf_dir)
     stream = read_stream(spark, path, schema, max_files_per_trigger=2)
     return _run_to_memory(chunk_manifest(stream), "append", "scm")
+
+
+@register(
+    "streaming_static_enrich",
+    tags=("streaming", "join", "enrich"),
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY 1, 2
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the one streaming join class the suite
+    did not yet exercise (streaming_stream_join covers
+    stream-stream): the event stream is enriched per micro-batch
+    against a batch dimension table (customer, keyed c_custkey =
+    user_id + 1 — the synthetic fact->dim key), then aggregated by
+    (mktsegment, event_type) through the state store. This is the
+    production clickstream-enrichment shape: the dim is re-read per
+    micro-batch (so slowly-changing dims are picked up), needs no
+    watermark (static side never expires), and at scale rides a
+    broadcast — the stream side never shuffles for the join.
+
+    Driven to completion with availableNow the result must equal the
+    plain batch join+agg, which is the registered oracle.
+    """
+    path, schema = _events_stream_source(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        read_stream(spark, path, schema, max_files_per_trigger=2)
+        .withColumn("dim_key", F.col("user_id") + F.lit(1))
+        .join(F.broadcast(customers), F.col("dim_key") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _run_to_memory(enriched, "complete", "sse")

@@ -305,3 +305,31 @@ def test_streaming_chunk_manifest_equals_batch(spark):
     got = {tuple(r) for r in streaming_chunk_manifest(spark, sf).collect()}
     want = {tuple(r) for r in text_chunk_overlap(spark, sf).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_static_enrich_equals_batch_join(spark):
+    """The stream-static join driven to completion must equal the
+    plain batch broadcast join + aggregation over the same tables."""
+    from go_integ_spark.streaming.queries import streaming_static_enrich
+    from go_integ_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["mktsegment"], r["event_type"]): (r["n"], r["total_value"])
+        for r in streaming_static_enrich(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    cust = load_table(spark, sf, "customer")
+    want = {
+        (r["mktsegment"], r["event_type"]): (r["n"], r["total_value"])
+        for r in ev.join(
+            F.broadcast(cust), F.col("c_custkey") == F.col("user_id") + 1
+        )
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
