@@ -108,6 +108,7 @@ _MEASURED_COST = {
     "events_hourly_gapfill": 0.65,
     "curation_boilerplate_ngrams": 0.68,
     "q5_local_supplier_volume": 0.72,
+    "embedding_health": 0.73,
     "connector_graphql_cursor_read": 0.73,
     "events_sessionize": 0.73,
     "basket_part_pairs": 0.75,

@@ -1098,3 +1098,91 @@ def ann_ivfpq_topk(
         "adc_dist2_u",
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+EMB_DIM = 64  # declared embedding width (PQ_M * PQ_DIM)
+
+
+@register(
+    "embedding_health",
+    tags=("similarity", "quality", "llm_pipeline"),
+    oracle=f"""
+WITH v AS (
+    SELECT label, embedding, embedding::DOUBLE[] AS e FROM embeddings
+), m AS (
+    SELECT label,
+           (embedding IS NULL) AS is_null,
+           (embedding IS NOT NULL AND len(e) <> {EMB_DIM}) AS bad_dim,
+           (embedding IS NOT NULL AND len(list_filter(e,
+               x -> isnan(x) OR abs(x) > 1e308)) > 0) AS nonfinite
+    FROM v
+), w AS (
+    SELECT m.label, m.is_null, m.bad_dim, m.nonfinite,
+           CASE WHEN NOT m.is_null AND NOT m.bad_dim AND NOT m.nonfinite
+                THEN sqrt(list_sum(list_transform(v.e, x -> x * x)))
+           END AS nrm
+    FROM m POSITIONAL JOIN v
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN bad_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+       CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nonfinite,
+       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_norm,
+       round(avg(nrm), 4) AS norm_avg,
+       round(min(nrm), 4) AS norm_min,
+       round(max(nrm), 4) AS norm_max
+FROM w
+GROUP BY label
+""",
+)
+def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus health gate — the validation pass an embedding
+    pipeline runs before indexing/training consumes a batch: per
+    label, counts of NULL vectors, wrong-width vectors, vectors with
+    non-finite elements (NaN/inf — the classic symptom of an
+    upstream fp16 overflow or a division by a zero norm), exact
+    zero-norm vectors (undefined cosine), and the L2-norm
+    distribution of the healthy remainder (a drifting norm_avg
+    between ingest batches flags an encoder-version mix-up).
+
+    Pure map-side projection + one aggregation with partial combine:
+    scan-bound at 100 TB, no joins, no Python. The health columns
+    are computed with engine-portable predicates so the whole gate
+    carries a value oracle.
+    """
+    from go_integ_spark.functions.vector import as_double
+    from go_integ_spark.functions.vector import norm as l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding", "label")
+    e = as_double("embedding")
+    is_null = F.col("embedding").isNull()
+    bad_dim = ~is_null & (F.size("embedding") != EMB_DIM)
+    nonfinite = ~is_null & F.exists(
+        e, lambda x: F.isnan(x) | (F.abs(x) > F.lit(1e308))
+    )
+    nrm = F.when(~is_null & ~bad_dim & ~nonfinite, l2_norm(e))
+    flagged = emb.select(
+        "label",
+        is_null.alias("is_null"),
+        bad_dim.alias("bad_dim"),
+        nonfinite.alias("nonfinite"),
+        nrm.alias("nrm"),
+    )
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("is_null").cast("bigint")).alias("n_null"),
+        F.sum(F.col("bad_dim").cast("bigint")).alias("n_bad_dim"),
+        F.sum(F.col("nonfinite").cast("bigint")).alias("n_nonfinite"),
+        # when(...).otherwise(0), not a bare cast: (NULL == 0) is NULL,
+        # and a label whose vectors are ALL unhealthy must sum to 0
+        # (as the oracle's CASE does), not NULL.
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0).cast("bigint")).alias(
+            "n_zero_norm"
+        ),
+        F.round(F.avg("nrm"), 4).alias("norm_avg"),
+        F.round(F.min("nrm"), 4).alias("norm_min"),
+        F.round(F.max("nrm"), 4).alias("norm_max"),
+    )

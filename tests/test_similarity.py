@@ -393,3 +393,39 @@ def test_ivfpq_trained_codebook_runs(spark):
     assert len(per_q) == N_QUERIES
     assert all(n <= TOP_K for n in per_q.values())
     assert all(r["adc_dist2_u"] >= 0 for r in rows)
+
+
+def test_embedding_health_flags_dirty_vectors(spark, tmp_path):
+    """On a corpus seeded with every failure mode: each unhealthy
+    class is counted exactly once, unhealthy vectors are excluded
+    from the norm stats, and an all-unhealthy label still reports
+    integer zeros (not NULLs) for its counters."""
+    import math
+
+    from go_integ_spark.operators.similarity import EMB_DIM, embedding_health
+
+    good = [1.0] * EMB_DIM  # norm 8
+    rows = [
+        (0, good, 1),
+        (1, None, 1),                      # null vector
+        (2, [1.0] * (EMB_DIM - 1), 1),     # wrong width
+        (3, [float("nan")] + [1.0] * (EMB_DIM - 1), 1),  # NaN
+        (4, [float("inf")] + [1.0] * (EMB_DIM - 1), 1),  # inf
+        (5, [0.0] * EMB_DIM, 1),           # zero norm (healthy but unusable)
+        (6, None, 2),                      # label 2: ALL unhealthy
+    ]
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(path + "/embeddings.parquet")
+    got = {r["label"]: r.asDict() for r in embedding_health(spark, path).collect()}
+    l1 = got[1]
+    assert (l1["n_vecs"], l1["n_null"], l1["n_bad_dim"], l1["n_nonfinite"]) == (
+        6, 1, 1, 2,
+    )
+    assert l1["n_zero_norm"] == 1
+    # norm stats over the two healthy vectors only (norms 8 and 0)
+    assert l1["norm_min"] == 0.0 and l1["norm_max"] == math.sqrt(EMB_DIM)
+    l2 = got[2]
+    assert (l2["n_null"], l2["n_zero_norm"]) == (1, 0)
+    assert l2["norm_avg"] is None
