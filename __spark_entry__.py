@@ -132,7 +132,7 @@ _MEASURED_COST = {
     "streaming_hourly_counts": 1.29,
     "curation_pipeline_funnel": 1.37,
     "streaming_running_max_cursor": 1.4,
-    "similarity_pq_encode": 1.43,
+    "similarity_pq_encode": 1.37,
     "streaming_anomaly_mad": 1.43,
     "dedup_minhash_lsh": 1.46,
     "streaming_foreach_batch_merge": 1.51,
@@ -143,7 +143,7 @@ _MEASURED_COST = {
     "streaming_stream_join": 2.18,
     "streaming_static_enrich": 2.5,
     "text_embed_hash": 2.19,
-    "similarity_pq_search": 2.23,
+    "similarity_pq_search": 2.9,
     "dedup_embedding_cosine": 2.45,
     "dedup_simhash": 2.45,
     "streaming_pk_dedup": 2.74,
@@ -151,7 +151,7 @@ _MEASURED_COST = {
     "dedup_incremental_lsh": 3.0,
     "connector_datasource_distributed_read": 3.49,
     "dedup_soft_weights": 3.51,
-    "ann_ivfpq_topk": 5.78,
+    "ann_ivfpq_topk": 3.65,
 }
 
 

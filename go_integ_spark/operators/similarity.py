@@ -589,21 +589,6 @@ def pq_lut_u(qe: list[float], cents: list[list[float]]) -> list[list[int]]:
 PQ_TRAIN_ITERS = 3  # Lloyd refinement passes for the trained codebook
 
 
-def _pq_codebook_lit(vectors: list[list[float]]) -> Column:
-    """Inline codebook literal from plain full-dim vectors; field shape
-    matches ``_centroid_lit_from_row`` minus the (PQ-unused) norm, so
-    ``_with_pq_best`` serves both the hash and trained codebooks."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("ce"),
-            )
-            for j, vec in enumerate(vectors)
-        ]
-    )
-
-
 def train_pq_codebook(v: DataFrame, iters: int = PQ_TRAIN_ITERS) -> list[list[float]]:
     """REAL PQ training: per-subspace Lloyd's k-means, initialised
     from the deterministic hash-selected codebook and returned as
@@ -668,34 +653,71 @@ def train_pq_codebook(v: DataFrame, iters: int = PQ_TRAIN_ITERS) -> list[list[fl
     ]
 
 
-def _with_pq_best(v: DataFrame, cents: Column | None = None) -> DataFrame:
-    """Attach ``best``: per subspace the (distance, code) struct of
-    the nearest codebook entry — row-local argmin over the inline
-    fixed-K centroid array, shared by the encode and search paths.
-    Pass a precomputed ``cents`` literal to reuse an already-collected
-    codebook instead of re-running the selection job.
+def _with_pq_best(v: DataFrame, book: list[list[float]] | None = None) -> DataFrame:
+    """Attach ``best`` (struct<codes: array<int>, mse_u: bigint>): per
+    subspace the code of the nearest codebook entry, plus the total
+    integer-micro-unit reconstruction error. Shared by the encode and
+    search paths. ``book`` is the plain full-dim codebook vectors
+    (hash-selected centroids when omitted); pass an already-collected
+    book to skip the selection job.
 
-    Distances are integer micro-units (see ``ADC_SCALE``) so the
-    argmin, its ties, and the reported reconstruction error are
-    bit-identical to the DuckDB oracle.
+    Implementation is an Arrow-batched pandas UDF over numpy — the
+    one hot path in the repo where the built-in route genuinely
+    loses: Spark higher-order-function lambdas are INTERPRETED (they
+    sit outside whole-stage codegen), and the measured cost of the
+    expression-based argmin was ~3 ms/row at 64 dims x K=16
+    (scripts/smoke_scale.py: 58 s for 20k vectors — ~800 CPU-hours
+    per billion vectors). The vectorized (N, M, K, D) numpy kernel
+    computes the same batch in milliseconds.
+
+    Cross-engine exactness is PRESERVED: every elementwise op
+    ((q-c), square, *ADC_SCALE, +0.5, floor) is an exactly-rounded
+    IEEE-double operation, so numpy, Spark SQL, and DuckDB produce
+    bit-identical int64 terms; int64 sums are association-free; and
+    ``argmin`` returns the FIRST minimum — the same lowest-code
+    tie-break the DuckDB oracles express with ``ORDER BY du, code``
+    (three-way equality pinned in tests/test_similarity.py).
     """
-    best = F.expr(
-        f"""
-        transform(sequence(0, {PQ_M - 1}), m ->
-          array_sort(transform(cents, (s, j) ->
-            struct(
-              aggregate(
-                zip_with(slice(e, m * {PQ_DIM} + 1, {PQ_DIM}),
-                         slice(s.ce, m * {PQ_DIM} + 1, {PQ_DIM}),
-                         (x, y) -> cast(floor(
-                             (x - y) * (x - y) * {ADC_SCALE} + 0.5d) as bigint)),
-                cast(0 as bigint), (acc, x) -> acc + x) AS du,
-              j AS code)))[0])
-        """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if book is None:
+        (crow,) = ivf_centroids(v).collect()
+        book = [[float(x) for x in c["ce"]] for c in crow["cents"]]
+    # (M, K, D): per-subspace codebook stack, closed over by the UDF
+    # (O(K * dim) floats — fixed size, broadcast with the task).
+    bk = (
+        np.array(book, dtype=np.float64)
+        .reshape(len(book), PQ_M, PQ_DIM)
+        .transpose(1, 0, 2)
     )
-    if cents is None:
-        cents = ivf_centroid_lit(v)
-    return v.withColumn("cents", cents).withColumn("best", best)
+    ret = T.StructType(
+        [
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("mse_u", T.LongType()),
+        ]
+    )
+
+    # no type hints: Series -> DataFrame (struct return) is only
+    # expressible via the explicit SCALAR pandas_udf form
+    def _pq_best(es):
+        if len(es) == 0:
+            return pd.DataFrame({"codes": [], "mse_u": []})
+        E = np.array(es.tolist(), dtype=np.float64)  # (N, dim)
+        sub = E.reshape(len(E), PQ_M, 1, PQ_DIM)
+        d = sub - bk[None, :, :, :]  # (N, M, K, D)
+        terms = np.floor(d * d * ADC_SCALE + 0.5).astype(np.int64)
+        du = terms.sum(axis=3)  # (N, M, K)
+        codes = du.argmin(axis=2)  # first min == lowest code on ties
+        mse = np.take_along_axis(du, codes[:, :, None], axis=2).sum(axis=(1, 2))
+        return pd.DataFrame(
+            {"codes": [c.astype("int32") for c in codes], "mse_u": mse}
+        )
+
+    pq_best = F.pandas_udf(_pq_best, ret)
+    return v.withColumn("best", pq_best(F.col("e")))
 
 
 @register(
@@ -763,14 +785,13 @@ def similarity_pq_encode(
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    cents = _pq_codebook_lit(train_pq_codebook(v)) if codebook == "trained" else None
+    book = train_pq_codebook(v) if codebook == "trained" else None
     return (
-        _with_pq_best(v, cents=cents)
+        _with_pq_best(v, book=book)
         .select(
             "vec_id",
-            F.expr("transform(best, s -> s.code)").alias("pq_codes"),
-            F.expr("aggregate(transform(best, s -> s.du),"
-                   " cast(0 as bigint), (acc, x) -> acc + x)").alias("pq_mse_u"),
+            F.col("best.codes").alias("pq_codes"),
+            F.col("best.mse_u").alias("pq_mse_u"),
         )
     )
 
@@ -866,8 +887,8 @@ def similarity_pq_search(
     else:
         (crow,) = ivf_centroids(v).collect()
         cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
-    codes = _with_pq_best(v, cents=_pq_codebook_lit(cents)).select(
-        "vec_id", F.expr("transform(best, s -> s.code)").alias("codes")
+    codes = _with_pq_best(v, book=cents).select(
+        "vec_id", F.col("best.codes").alias("codes")
     )
     qrows = sorted(
         v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect(),
@@ -1029,20 +1050,18 @@ def ann_ivfpq_topk(
     cents_lit = _centroid_lit_from_row(crow)
     if codebook == "trained":
         cents = train_pq_codebook(v)
-        book_lit = _pq_codebook_lit(cents)
     else:
         cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
-        book_lit = cents_lit
     # Index build: cell assignment + PQ encode in one map-side pass.
     assigned = (
         v.withColumn("cents", cents_lit)
         .withColumn("cell_id", F.element_at(nearest_cells(1), 1))
         .drop("cents")
     )
-    indexed = _with_pq_best(assigned, cents=book_lit).select(
+    indexed = _with_pq_best(assigned, book=cents).select(
         "vec_id",
         "cell_id",
-        F.expr("transform(best, s -> s.code)").alias("codes"),
+        F.col("best.codes").alias("codes"),
     )
     # Probe list: row-local nprobe-nearest cells per query, then the
     # per-query LUT attached as an int64 literal (fixed query set).

@@ -3,8 +3,10 @@
 The sf0.1 gate corpus (5k docs / 2k vectors) is too small to observe
 LSH bucket skew or IVF cell balance, so this script generates a 10x
 corpus (50k docs / 20k vectors, deterministic seed, with injected
-near-dup clusters AND a heavy boilerplate phrase to pressure the LSH
-``max_bucket`` cap), runs ``dedup_minhash_lsh`` and ``ann_ivf_topk``
+near-dup clusters AND a heavy 16-word boilerplate paragraph to
+pressure both the LSH ``max_bucket`` cap and the paragraph-dedup hot
+hash key), runs ``dedup_minhash_lsh``, ``ann_ivf_topk``,
+``ann_ivfpq_topk``, and ``dedup_paragraph``
 against it, and reports per-stage shuffle volume and task-time skew
 from the Spark UI REST API. The pass criterion (recorded in
 STATUS.md) is no task over 10x the median task time in any shuffle
@@ -35,7 +37,14 @@ VOCAB = (
     "shuffle stage task executor driver broadcast skew salt bucket band probe"
 ).split()
 
-BOILERPLATE = "click here to subscribe to our newsletter today"
+# Exactly PARA_TOKENS (16) words: every injected doc then opens with
+# an IDENTICAL aligned paragraph unit, so dedup_paragraph's
+# first-occurrence ranking sees one ~2.5k-row hot hash key — the
+# paragraph-level analogue of the LSH mega-bucket.
+BOILERPLATE = (
+    "click here to subscribe to our newsletter today and never miss"
+    " a single breaking update again"
+)
 
 
 def generate() -> None:
@@ -135,7 +144,12 @@ def main() -> None:
     reg = load_all()
 
     results = {}
-    for name in ("dedup_minhash_lsh", "ann_ivf_topk"):
+    for name in (
+        "dedup_minhash_lsh",
+        "ann_ivf_topk",
+        "ann_ivfpq_topk",
+        "dedup_paragraph",
+    ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()
         secs = round(time.perf_counter() - t0, 2)
