@@ -12,6 +12,14 @@ was a second Spark JVM sharing the box (the same build measured ~17 s
 solo), so the bench self-reports whether foreign JVMs or high system
 load were present at start or end; a contended number should be
 re-measured solo rather than recorded as a regression.
+
+It also carries ``"cpu_calib_sec"``: the wall time of a fixed
+single-thread numpy workload. Round 5 found a second way absolute
+numbers shift without a code change: the driver restarted the round
+on a slower host (2.1 GHz vs the earlier box) and every bench query
+scaled uniformly ~1.45x at idle load. Comparing
+``value / cpu_calib_sec`` across rounds separates host-speed drift
+from real plan regressions.
 """
 
 from __future__ import annotations
@@ -44,11 +52,29 @@ def _foreign_jvms() -> list[int]:
     return pids
 
 
+def _cpu_calibration() -> float:
+    """Seconds for a fixed single-thread numpy workload (deterministic
+    input, ~0.5 s on a 2024-class core). A host-speed fingerprint:
+    bench totals should be compared across rounds relative to this."""
+    import numpy as np
+
+    a = np.arange(1_000_000, dtype=np.float64) % 97
+    b = (a * 31.0 + 7.0) % 89
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(60):
+        acc += float(a @ b)
+        a = (a + b) % 97
+    _ = acc
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     from go_integ_spark.registry import load_all
     from go_integ_spark.session import get_spark
 
     ncpus = os.cpu_count() or 1
+    cpu_calib = _cpu_calibration()
     jvms_start = _foreign_jvms()
     load1_start = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,6 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "cpu_calib_sec": cpu_calib,
                 "contended": contended,
                 "contention": {
                     "foreign_jvms_start": len(jvms_start),
