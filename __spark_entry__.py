@@ -147,6 +147,7 @@ _MEASURED_COST = {
     "dedup_embedding_cosine": 2.45,
     "dedup_simhash": 2.45,
     "streaming_pk_dedup": 2.74,
+    "streaming_paragraph_dedup": 2.35,
     "embedding_kmeans": 2.89,
     "dedup_incremental_lsh": 3.0,
     "connector_datasource_distributed_read": 3.49,

@@ -988,10 +988,34 @@ PARA_TOKENS = 16  # tokens per paragraph unit
 PARA_KEEP_MAX_DUP = 0.5  # drop docs more than half made of seen paragraphs
 
 
-@register(
-    "dedup_paragraph",
-    tags=("dedup", "paragraph", "llm_pipeline"),
-    oracle=f"""
+def paragraph_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, para_id, ph): h60 hash of every aligned
+    ``PARA_TOKENS``-token paragraph unit of ``text``. Row-local
+    (split + transform + explode, JVM codegen) — batch or streaming;
+    shared by ``dedup_paragraph`` and the streaming paragraph-dedup
+    query."""
+    from go_integ_spark.functions.hashing import h60
+
+    return (
+        docs.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(ws) - 1) div {PARA_TOKENS}),"
+                    f" i -> struct(i AS para_id, array_join(slice(ws,"
+                    f" i * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' ') AS ptxt))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.para_id").alias("para_id"),
+                h60(F.col("p.ptxt")).alias("ph"))
+    )
+
+
+# The paragraph-extraction CTE, shared verbatim by the batch and
+# streaming paragraph-dedup oracles.
+PARA_HASH_CTE = f"""
 WITH w AS (
     SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), p AS (
@@ -1000,7 +1024,15 @@ WITH w AS (
                ws[t.i * {PARA_TOKENS} + 1 : t.i * {PARA_TOKENS} + {PARA_TOKENS}],
                ' ')), 1, 15))::BIGINT AS ph
     FROM w, unnest(generate_series(0, (len(ws) - 1) // {PARA_TOKENS})) AS t(i)
-), r AS (
+)
+"""
+
+
+@register(
+    "dedup_paragraph",
+    tags=("dedup", "paragraph", "llm_pipeline"),
+    oracle=PARA_HASH_CTE.rstrip()
+    + f""", r AS (
     SELECT doc_id,
            row_number() OVER (PARTITION BY ph ORDER BY doc_id, para_id) AS rn
     FROM p
@@ -1048,24 +1080,8 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from go_integ_spark.functions.hashing import h60
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    paras = (
-        docs.withColumn("ws", F.split("text", " "))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, (size(ws) - 1) div {PARA_TOKENS}),"
-                    f" i -> struct(i AS para_id, array_join(slice(ws,"
-                    f" i * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' ') AS ptxt))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", F.col("p.para_id").alias("para_id"),
-                h60(F.col("p.ptxt")).alias("ph"))
-    )
+    paras = paragraph_hashes(docs)
     first = Window.partitionBy("ph").orderBy("doc_id", "para_id")
     ranked = paras.withColumn("rn", F.row_number().over(first))
     per_doc = ranked.groupBy("doc_id").agg(

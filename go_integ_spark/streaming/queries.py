@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from go_integ_spark.operators.dedup import PARA_HASH_CTE
 from go_integ_spark.operators.events import ANOMALY_MAD_ORACLE
 from go_integ_spark.operators.text import CHUNK_ORACLE
 from go_integ_spark.registry import register
@@ -530,3 +531,33 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(enriched, "complete", "sse")
+
+
+@register(
+    "streaming_paragraph_dedup",
+    tags=("streaming", "dedup", "llm_pipeline"),
+    oracle=PARA_HASH_CTE.rstrip() + "\nSELECT DISTINCT ph FROM p",
+)
+def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming paragraph-hash dedup — the incremental twin of
+    ``dedup_paragraph``'s global pass: documents arrive as files,
+    each micro-batch EXPLODES into its paragraph units (a Generate
+    inside a streaming plan — the combination no other streaming
+    query exercises), and ``dropDuplicates`` on the content hash
+    keeps exactly the first-seen occurrence of every paragraph in
+    the state store. Driven to completion the surviving key set must
+    equal batch DISTINCT over all paragraph hashes (which doc first
+    contributed a hash is arrival-order nondeterministic, so — like
+    ``streaming_pk_dedup`` — only the key column is returned).
+
+    This is how a crawler-fed corpus keeps its paragraph registry
+    current without nightly recomputation; in production the state
+    is bounded with a watermark horizon (pipeline.py shows the
+    watermarked dedup shape) or an external key store.
+    """
+    from go_integ_spark.operators.dedup import paragraph_hashes
+
+    path, schema = _docs_stream_source(spark, sf_dir)
+    stream = read_stream(spark, path, schema, max_files_per_trigger=2)
+    deduped = paragraph_hashes(stream).select("ph").dropDuplicates(["ph"])
+    return _run_to_memory(deduped, "append", "spr")

@@ -333,3 +333,20 @@ def test_streaming_static_enrich_equals_batch_join(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_paragraph_dedup_equals_batch_distinct(spark):
+    """Exploding paragraphs inside a streaming plan and deduplicating
+    on the content hash must surface exactly the batch-distinct hash
+    set, regardless of micro-batch arrival order."""
+    from go_integ_spark.operators.dedup import paragraph_hashes
+    from go_integ_spark.streaming.queries import streaming_paragraph_dedup
+    from go_integ_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["ph"] for r in streaming_paragraph_dedup(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    want = {
+        r["ph"] for r in paragraph_hashes(docs).select("ph").distinct().collect()
+    }
+    assert got == want and len(got) > 0
