@@ -128,7 +128,7 @@ _MEASURED_COST = {
     "q2_min_cost_supplier": 1.07,
     "window_spend_quartiles": 1.1,
     "q9_product_profit": 1.18,
-    "text_bigram_logprob": 1.21,
+    "text_bigram_logprob": 1.5,
     "streaming_hourly_counts": 1.29,
     "curation_pipeline_funnel": 1.37,
     "streaming_running_max_cursor": 1.4,
