@@ -152,7 +152,8 @@ _MEASURED_COST = {
     "dedup_incremental_lsh": 3.0,
     "connector_datasource_distributed_read": 3.49,
     "dedup_soft_weights": 3.51,
-    "ann_ivfpq_topk": 3.65,
+    "ann_ivfpq_topk": 2.4,
+    "ann_ivfpq_residual_topk": 2.8,
 }
 
 

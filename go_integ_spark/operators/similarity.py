@@ -1042,59 +1042,90 @@ def ann_ivfpq_topk(
     encode and LUT sides (not the oracle path — k-means is
     iterative).
     """
+    return _ivfpq_search(spark, sf_dir, codebook=codebook, residual=False)
+
+
+def _ivfpq_search(
+    spark: SparkSession, sf_dir: str, codebook: str, residual: bool
+) -> DataFrame:
+    """Shared IVF-PQ serving pipeline; ``residual=True`` encodes
+    ``e - centroid(cell)`` instead of ``e`` and keys the query LUTs by
+    (query, probed cell) — see ``ann_ivfpq_residual_topk``."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
     # ONE fixed-size selection job serves the cell literal, the PQ
     # codebook, and the Python LUT builder.
     (crow,) = ivf_centroids(v).collect()
     cents_lit = _centroid_lit_from_row(crow)
-    if codebook == "trained":
-        cents = train_pq_codebook(v)
-    else:
-        cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
-    # Index build: cell assignment + PQ encode in one map-side pass.
+    cent_vecs = {
+        int(c["cid"]): [float(x) for x in c["ce"]] for c in crow["cents"]
+    }
+    # Index build: cell assignment (+ residual) + PQ encode in one
+    # map-side pass. The residual is row-local too: the cell centroid
+    # comes out of the same inline literal the assignment used.
     assigned = (
         v.withColumn("cents", cents_lit)
         .withColumn("cell_id", F.element_at(nearest_cells(1), 1))
-        .drop("cents")
     )
+    if residual:
+        assigned = assigned.withColumn(
+            "e",
+            F.expr(
+                "zip_with(e, filter(cents, c -> c.cid = cell_id)[0].ce,"
+                " (x, y) -> x - y)"
+            ),
+        )
+    assigned = assigned.drop("cents")
+    if codebook == "trained":
+        # For the residual variant the book trains on the residuals
+        # themselves (their scale is the within-cell noise, not the
+        # raw vectors) — the faiss training recipe.
+        cents = train_pq_codebook(
+            with_norm(assigned.select("vec_id", F.col("e").alias("embedding")))
+            if residual
+            else v
+        )
+    else:
+        cents = [[float(x) for x in c["ce"]] for c in crow["cents"]]
     indexed = _with_pq_best(assigned, book=cents).select(
         "vec_id",
         "cell_id",
         F.col("best.codes").alias("codes"),
     )
-    # Probe list: row-local nprobe-nearest cells per query, then the
-    # per-query LUT attached as an int64 literal (fixed query set).
+    # Probe list: row-local nprobe-nearest cells per query, computed
+    # IN SPARK (the same fold/argmax the oracle expresses, so no new
+    # cross-engine float surface), then COLLECTED — it is a fixed
+    # N_QUERIES * nprobe rows — and shipped back as a small broadcast
+    # frame carrying each probe's int64 LUT as plain column data.
+    # (A first version inlined all LUTs as one expression literal and
+    # selected with filter(); at N_QUERIES * IVF_K residual LUTs the
+    # plan-analysis cost of that literal dominated the query — data,
+    # not expressions, is the right vehicle for a table of numbers.)
     qrows = sorted(
         v.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "e").collect(),
         key=lambda r: r["vec_id"],
     )
-    luts = F.array(
-        *[
-            F.struct(
-                F.lit(int(r["vec_id"])).alias("query_id"),
-                F.array(
-                    *[
-                        F.array(*[F.lit(du) for du in row])
-                        for row in pq_lut_u([float(x) for x in r["e"]], cents)
-                    ]
-                ).alias("lut"),
-            )
-            for r in qrows
-        ]
-    )
-    probes = (
+    qe_by_id = {int(r["vec_id"]): [float(x) for x in r["e"]] for r in qrows}
+    probe_rows = (
         v.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("cents", cents_lit)
         .select(
             F.col("vec_id").alias("query_id"),
             F.explode(nearest_cells(IVF_NPROBE)).alias("cell_id"),
         )
-        .withColumn("luts", luts)
-        .withColumn(
-            "lut", F.expr("filter(luts, l -> l.query_id = query_id)[0].lut")
-        )
-        .drop("luts")
+        .collect()
+    )
+    lut_rows = []
+    for pr in sorted(probe_rows, key=lambda r: (r["query_id"], r["cell_id"])):
+        qid, cid = int(pr["query_id"]), int(pr["cell_id"])
+        vec = qe_by_id[qid]
+        if residual:
+            # the query's residual wrt the probed cell — one LUT per
+            # (query, cell) instead of per query
+            vec = [x - c for x, c in zip(vec, cent_vecs[cid])]
+        lut_rows.append((qid, cid, pq_lut_u(vec, cents)))
+    probes = spark.createDataFrame(
+        lut_rows, "query_id bigint, cell_id bigint, lut array<array<bigint>>"
     )
     scored = (
         indexed.join(F.broadcast(probes), "cell_id")
@@ -1117,6 +1148,125 @@ def ann_ivfpq_topk(
         "adc_dist2_u",
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+@register(
+    "ann_ivfpq_residual_topk",
+    tags=("similarity", "ivf", "vector", "compression"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), cidx AS (
+    SELECT ce, CAST(row_number() OVER (ORDER BY cent_id) - 1 AS INT) AS code
+    FROM cent
+), assigned AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT v.vec_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS arn
+        FROM v CROSS JOIN cent c
+    ) WHERE arn = 1
+), resid AS (
+    SELECT a.vec_id, a.cell_id,
+           list_transform(generate_series(1, {PQ_M * PQ_DIM}),
+               i -> v.e[i] - ct.ce[i]) AS r
+    FROM assigned a
+    JOIN v ON v.vec_id = a.vec_id
+    JOIN cent ct ON ct.cent_id = a.cell_id
+), sub AS (
+    SELECT rd.vec_id, m.m, c.code,
+           list_sum(list_transform(generate_series(1, {PQ_DIM}),
+               i -> CAST(floor(
+                   (rd.r[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * (rd.r[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * {ADC_SCALE} + 0.5) AS BIGINT)))
+               AS du
+    FROM resid rd
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    CROSS JOIN cidx c
+), best AS (
+    SELECT vec_id, m, code, du,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY du, code) AS rn
+    FROM sub
+), probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT v.vec_id AS query_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS prn
+        FROM v CROSS JOIN cent c
+        WHERE v.vec_id < {N_QUERIES}
+    ) WHERE prn <= {IVF_NPROBE}
+), qresid AS (
+    SELECT p.query_id, p.cell_id,
+           list_transform(generate_series(1, {PQ_M * PQ_DIM}),
+               i -> q.e[i] - ct.ce[i]) AS qr
+    FROM probes p
+    JOIN v q ON q.vec_id = p.query_id
+    JOIN cent ct ON ct.cent_id = p.cell_id
+), lut AS (
+    SELECT qr.query_id, qr.cell_id, m.m, c.code,
+           list_sum(list_transform(generate_series(1, {PQ_DIM}),
+               i -> CAST(floor(
+                   (qr.qr[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * (qr.qr[m.m * {PQ_DIM} + i] - c.ce[m.m * {PQ_DIM} + i])
+                   * {ADC_SCALE} + 0.5) AS BIGINT))) AS du
+    FROM qresid qr
+    CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+    CROSS JOIN cidx c
+), cand AS (
+    SELECT p.query_id, p.cell_id, a.vec_id AS neighbor_id
+    FROM probes p
+    JOIN assigned a ON a.cell_id = p.cell_id
+    WHERE a.vec_id <> p.query_id
+), scored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           CAST(sum(l.du) AS BIGINT) AS adc_dist2_u
+    FROM cand cd
+    JOIN best b ON b.vec_id = cd.neighbor_id AND b.rn = 1
+    JOIN lut l ON l.query_id = cd.query_id AND l.cell_id = cd.cell_id
+              AND l.m = b.m AND l.code = b.code
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist2_u, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist2_u, neighbor_id
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= {TOP_K}
+""",
+)
+def ann_ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str, codebook: str = "hash"
+) -> DataFrame:
+    """Residual IVF-PQ — the faiss production layout: what gets
+    PQ-encoded is ``e - centroid(cell)``, not ``e``. The coarse
+    quantizer already captures a vector's cluster component, so the
+    codes only have to describe the (much smaller) within-cell
+    offset — on clustered data this is where PQ recall comes from,
+    and the trained variant fits its codebook to the residual
+    distribution (``codebook="trained"``; recall gain over plain
+    IVF-PQ pinned on a clustered corpus in tests/test_similarity.py).
+
+    Everything stays row-local: the cell centroid needed for the
+    subtraction comes out of the same inline literal the assignment
+    used (no join), and the query-side LUTs become one per
+    (query, probed cell) — the query's residual differs per cell —
+    still a fixed N_QUERIES * nprobe * {PQ_M} * K int64 literal. The
+    residual subtraction is exactly-rounded elementwise double math,
+    so the whole pipeline keeps the value-level DuckDB oracle of the
+    plain variant.
+    """
+    return _ivfpq_search(spark, sf_dir, codebook=codebook, residual=True)
 
 
 EMB_DIM = 64  # declared embedding width (PQ_M * PQ_DIM)

@@ -429,3 +429,46 @@ def test_embedding_health_flags_dirty_vectors(spark, tmp_path):
     l2 = got[2]
     assert (l2["n_null"], l2["n_zero_norm"]) == (1, 0)
     assert l2["norm_avg"] is None
+
+
+def test_residual_ivfpq_beats_plain_on_clustered(spark, tmp_path):
+    """Residual encoding is WHERE IVF-PQ quality comes from on real
+    (clustered) data: with sigma-2 noise around well-separated
+    centers, the raw-vector codebook has to describe whole vectors
+    while the residual path only describes within-cell offsets.
+    Pin: same-cluster recall of residual IVF-PQ (trained book) >=
+    plain IVF-PQ (trained book), and both run end-to-end with dense
+    ranks. Oracle value-exactness of the hash path is covered by the
+    registered gate oracle."""
+    import numpy as np
+
+    from go_integ_spark.operators.similarity import (
+        ann_ivfpq_residual_topk,
+        ann_ivfpq_topk,
+    )
+
+    rng = np.random.RandomState(13)
+    centers = rng.normal(0, 10.0, size=(10, 64))
+    rows = []
+    for vid in range(200):
+        c = centers[vid % 10]
+        rows.append(
+            (vid, (c + rng.normal(0, 2.0, 64)).astype("float32").tolist(), f"l{vid % 10}")
+        )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    recall = {}
+    for name, fn in (("plain", ann_ivfpq_topk), ("residual", ann_ivfpq_residual_topk)):
+        got: dict[int, set[int]] = {}
+        for r in fn(spark, str(tmp_path), codebook="trained").collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = total = 0
+        for qid, neigh in got.items():
+            same = {v for v in range(200) if v % 10 == qid % 10 and v != qid}
+            hits += len(neigh & same)
+            total += TOP_K
+        recall[name] = hits / total
+    assert recall["residual"] >= recall["plain"], f"recall {recall}"
+    assert recall["residual"] > 0.5, f"residual recall too low: {recall}"
