@@ -186,3 +186,56 @@ def test_session_window_boundary_matches_lag_oracle(spark, gaps):
             sessions[-1][1] += 1
     want = sorted((s, n) for s, n in sessions)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_paragraph_dedup_matches_python_reference(spark, tmp_path_factory, docs):
+    """dedup_paragraph vs a direct Python restatement of its contract
+    (aligned PARA_TOKENS-token windows; an occurrence is duplicate
+    iff a same-content paragraph occurred earlier in (doc_id,
+    para_id) order) over arbitrary tiny-vocabulary corpora — the
+    tiny vocabulary forces heavy cross-doc and within-doc collisions,
+    the regime the operator exists for."""
+    from go_integ_spark.operators.dedup import (
+        PARA_KEEP_MAX_DUP,
+        PARA_TOKENS,
+        dedup_paragraph,
+    )
+
+    texts = [" ".join(words) for words in docs]
+    path = str(tmp_path_factory.mktemp("paradup"))
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    ).write.mode("overwrite").parquet(path + "/documents.parquet")
+
+    seen: set[str] = set()
+    want = {}
+    for doc_id, text in enumerate(texts):
+        ws = text.split(" ")
+        paras = [
+            " ".join(ws[i : i + PARA_TOKENS])
+            for i in range(0, len(ws), PARA_TOKENS)
+        ]
+        n_dup = 0
+        for p in paras:
+            if p in seen:
+                n_dup += 1
+            else:
+                seen.add(p)
+        frac = n_dup / len(paras)
+        want[doc_id] = (len(paras), n_dup, round(frac, 4), frac <= PARA_KEEP_MAX_DUP)
+
+    got = {
+        r["doc_id"]: (r["n_paras"], r["n_dup_paras"], r["dup_frac"], r["keep"])
+        for r in dedup_paragraph(spark, path).collect()
+    }
+    assert got == want
