@@ -43,6 +43,7 @@ _MEASURED_COST = {
     "sample_stratified": 0.18,
     "text_unigram_entropy": 0.18,
     "window_running_customer_spend": 0.18,
+    "window_trailing_spend": 0.3,
     "text_repetition_ratio": 0.19,
     "window_order_gaps": 0.19,
     "text_word_stats": 0.2,

@@ -825,3 +825,61 @@ def window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("spend") / F.col("seg_total"), 6).alias("segment_share"),
         )
     )
+
+
+@register(
+    "window_trailing_spend",
+    tags=("window", "frame"),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ), 4) AS mavg3,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ), 2) AS trail30d
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def window_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding window frames — the two frame classes the rest
+    of the window family doesn't exercise: a ROWS frame (3-order
+    moving average; ordered by the total (o_orderdate, o_orderkey)
+    key so date ties cannot reorder the frame) and an event-time
+    RANGE frame (trailing-30-day spend; peers at the same date all
+    fall inside the interval, so it is deterministic without a
+    tie-break by construction). Both ride the SAME partition/sort —
+    one exchange, one sort, two frame evaluations.
+
+    At scale this is the standard trailing-metrics shape (rolling
+    revenue, 30-day actives): state per row is O(frame), the
+    partition key spreads customers across executors, and the
+    pushed o_custkey filter keeps the window input pruned at the
+    scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    rows3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        # round(4), not round(2): a 2- or 3-row average of 2-decimal
+        # prices lands EXACTLY on .xx5 decimal boundaries, where
+        # Spark (BigDecimal HALF_UP on the true binary value) and
+        # DuckDB disagree; halves and thirds never sit on a
+        # 4th-decimal half-boundary, so round(4) is engine-safe.
+        F.round(F.avg("o_totalprice").over(rows3), 4).alias("mavg3"),
+        F.expr(
+            "round(sum(o_totalprice) OVER ("
+            " PARTITION BY o_custkey ORDER BY o_orderdate"
+            " RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)"
+        ).alias("trail30d"),
+    )
