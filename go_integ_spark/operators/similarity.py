@@ -704,7 +704,15 @@ def _with_pq_best(v: DataFrame, book: list[list[float]] | None = None) -> DataFr
     # expressible via the explicit SCALAR pandas_udf form
     def _pq_best(es):
         if len(es) == 0:
-            return pd.DataFrame({"codes": [], "mse_u": []})
+            # typed empty frame: an object-dtype empty result trips
+            # pandas' concat-with-empty FutureWarning in the Arrow
+            # serializer
+            return pd.DataFrame(
+                {
+                    "codes": pd.Series([], dtype=object),
+                    "mse_u": pd.Series([], dtype="int64"),
+                }
+            )
         E = np.array(es.tolist(), dtype=np.float64)  # (N, dim)
         sub = E.reshape(len(E), PQ_M, 1, PQ_DIM)
         d = sub - bk[None, :, :, :]  # (N, M, K, D)
