@@ -386,6 +386,9 @@ def simhash_sketches(docs: DataFrame) -> DataFrame:
     md5 slice (functions/hashing.py), which is what lets the driver
     gate check sketch VALUES against DuckDB rather than row counts.
     """
+    import numpy as np
+    import pandas as pd
+
     from go_integ_spark.functions.hashing import h60
 
     hs = F.transform(
@@ -394,26 +397,29 @@ def simhash_sketches(docs: DataFrame) -> DataFrame:
     with_h = _spread(docs.filter(F.length("text") > 0)).select(
         "doc_id", hs.alias("hs")
     )
-    # Single traversal: fold the word hashes into 60 per-bit counters
-    # (one zip_with per word), then fold the counters into the sketch.
-    # Bit j set iff strictly more set than unset bits among word
-    # hashes. One compact expression instead of 60 separate filter
-    # passes — the 60-term expression tree cost ~4.5s of codegen per
-    # process, which is pure overhead in a cold gate run.
-    counts = (
-        f"aggregate(hs, array_repeat(0L, {SIMHASH_BITS}), (acc, h) -> "
-        f"zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}), "
-        "j -> shiftright(h, j) & 1), "
-        "(a, b) -> a + b))"
-    )
-    fold_bits = (
-        f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), j -> "
-        "IF(cnts[j] * 2 > size(hs), shiftleft(1L, j), 0L)), 0L, (a, x) -> a | x)"
-    )
-    return (
-        with_h.withColumn("cnts", F.expr(counts))
-        .select("doc_id", F.expr(fold_bits).alias("simhash"))
-    )
+
+    # The per-bit majority fold is an Arrow-batched numpy kernel. The
+    # expression form (aggregate over words of a 60-wide zip_with)
+    # invoked ~2 * SIMHASH_BITS interpreted lambdas PER WORD — Spark
+    # higher-order functions run outside codegen — and measured
+    # minutes for 50k docs at the scale smoke, the same cost class as
+    # the PQ argmin before its kernel rewrite. The majority count and
+    # bit pack are pure int64 ops, so the kernel is trivially
+    # bit-identical to the JVM expression and the DuckDB oracle. The
+    # word hashes themselves stay JVM-side (one md5 per distinct
+    # word, inside codegen).
+    jbits = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    def _sketch(col):
+        out = np.empty(len(col), dtype=np.int64)
+        for i, hs_row in enumerate(col):
+            h = np.asarray(hs_row, dtype=np.int64)
+            cnts = ((h[:, None] >> jbits) & 1).sum(axis=0)
+            out[i] = int(((cnts * 2 > len(h)).astype(np.int64) << jbits).sum())
+        return pd.Series(out)
+
+    sketch_udf = F.pandas_udf(_sketch, "bigint")
+    return with_h.select("doc_id", sketch_udf(F.col("hs")).alias("simhash"))
 
 
 @register(
@@ -465,19 +471,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c, (off, w) in enumerate(SIMHASH_CHUNKS)
         ]
     )
-    buckets = (
-        sim.select(F.struct("doc_id", "simhash").alias("d"), F.explode(chunk_keys).alias("ck"))
-        .groupBy("ck")
-        .agg(F.sort_array(F.collect_list("d")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+    # Pair generation is a bucket SELF-JOIN, not collect_list +
+    # pairs-array + explode: the array route materializes a bucket's
+    # full B^2/2 pair array inside ONE row before the Generate, so a
+    # mega-bucket (the 50k-doc scale smoke's 2.5k boilerplate docs
+    # share near-identical sketches) allocates gigabytes in a single
+    # task and OOMs the executor. The join produces the identical
+    # pair set but STREAMS it — per-row memory is O(1), and a hot
+    # bucket key is AQE-splittable. (LSH's cooccurrence path keeps
+    # the array route because its ``max_bucket`` cap bounds B as a
+    # documented recall trade; SimHash's oracle is exact brute-force
+    # hamming, so capping is not an option here.)
+    bucket_rows = sim.select(
+        "doc_id", "simhash", F.explode(chunk_keys).alias("ck")
     )
-    hamming = F.bit_count(F.col("p.a.simhash").bitwiseXOR(F.col("p.b.simhash")))
+    a, b = bucket_rows.alias("a"), bucket_rows.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        buckets.select(F.explode(_pairs_from_sorted_array("ds")).alias("p"))
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .filter(hamming <= 7)
         .select(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
         .distinct()
