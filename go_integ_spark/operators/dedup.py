@@ -13,10 +13,11 @@ Scale design (the part that matters at 100 TB):
   costs zero shuffles; only bucket aggregation and pair counting ever
   exchange data. Shingles travel as 64-bit xxhash64 IDs (8-byte
   shuffle keys, not strings).
-- MinHash signatures are also row-local: ``array_min(transform(...))``
-  per permutation — no per-shingle aggregation shuffle at all. The
-  only LSH shuffles are the band-bucket groupBy and the verification
-  join-back.
+- MinHash signatures are also row-local — an Arrow-batched numpy
+  kernel emitting the exact bits of ``array_min(transform(...))`` per
+  permutation (functions/xxh.py reproduces Spark's XXH64), with no
+  per-shingle aggregation shuffle at all. The only LSH shuffles are
+  the band-bucket groupBy and the verification join-back.
 - Pair generation is bucket-and-enumerate: group rows by bucket key,
   enumerate each bucket's pairs JVM-side — one shuffle, versus two
   for the classic self-join; pair enumeration never crosses a
@@ -36,7 +37,10 @@ Internal-only hashing (shingle IDs, minhash permutations) is xxhash64
 only equality matters there, so the fastest hash wins. Hash values
 that REACH QUERY OUTPUT (the SimHash sketch) use the engine-portable
 60-bit md5 slice (functions/hashing.py) so the driver's DuckDB oracle
-can check them value-exactly. No Python in any hot path.
+can check them value-exactly. The only Python in hot paths is
+Arrow-batched numpy (minhash mins, simhash folds) — never
+row-at-a-time UDFs — and each kernel is pinned bit-identical to the
+JVM expression it replaced.
 """
 
 from __future__ import annotations
@@ -214,27 +218,62 @@ def exact_jaccard_pairs(
 
 def minhash_signatures(doc_sets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, sids, n, h0..h{n-1}): min over xxhash64(perm_id, sid),
-    computed ROW-LOCALLY from the shingle-set array — zero shuffles.
-    Each permutation is one JVM array traversal; nothing exchanges
-    until LSH banding groups by bucket.
-    """
-    def perm_hash(i: int):
-        # NB: must be a 1-arg lambda — a 2-arg lambda (e.g. the
-        # `lambda s, i=i` closure idiom) makes PySpark bind the second
-        # parameter to the ARRAY INDEX, which would silently make the
-        # hash position-dependent and destroy minhash agreement for
-        # any non-identical near-dup pair (tests/test_dedup.py pins
-        # this via the LSH == exact assertion).
-        return lambda s: F.xxhash64(F.lit(i), s)
+    computed ROW-LOCALLY from the shingle-set array — zero shuffles;
+    nothing exchanges until LSH banding groups by bucket.
 
-    return doc_sets.select(
+    The per-permutation min is an Arrow-batched numpy kernel emitting
+    EXACTLY the values the JVM expression
+    ``array_min(transform(sids, s -> xxhash64(lit(i), s)))`` would:
+    ``functions/xxh.py`` reproduces Spark's XXH64 fold bit-for-bit in
+    uint64 arithmetic (pure integers — no rounding to diverge), and
+    ``tests/test_dedup.py`` pins kernel == expression on a real
+    corpus. The expression form ran ``num_perm`` interpreted
+    higher-order traversals per document (~num_perm * |sids| lambda
+    invocations per row — HOFs evaluate outside codegen); the kernel
+    is one vectorized pass per permutation over the batch's flattened
+    shingle array, measured ~10x at sf0.1.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from go_integ_spark.functions.xxh import (
+        SPARK_SEED,
+        as_signed,
+        xxh64_int,
+        xxh64_long,
+    )
+
+    # xxhash64(lit(i), sid) folds the IntegerType literal first, so
+    # each permutation is just a different 64-bit seed for the sid
+    # fold — precomputable once, outside the batch loop.
+    seeds = xxh64_int(np.arange(num_perm, dtype=np.uint64), SPARK_SEED)
+
+    def _mins(col):  # pd.Series[list[int]] -> pd.Series[np.ndarray]
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(x, dtype=np.int64) for x in col]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        # doc_shingle_sets guarantees >= 1 shingle per row (docs with
+        # fewer than k words are filtered out), which reduceat needs.
+        flat = np.concatenate(arrs).view(np.uint64)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        out = np.empty((n, num_perm), dtype=np.int64)
+        for i in range(num_perm):
+            h = as_signed(xxh64_long(flat, seeds[i]))
+            out[:, i] = np.minimum.reduceat(h, offs)
+        return pd.Series(list(out))
+
+    mins_udf = F.pandas_udf(_mins, "array<bigint>")
+    # One ArrowEvalPython node computes the array; the h{i} columns
+    # are codegen'd getItems over its single output (plan-pinned in
+    # tests/test_plans.py).
+    return doc_sets.withColumn("_hs", mins_udf(F.col("sids"))).select(
         "doc_id",
         "sids",
         "n",
-        *[
-            F.array_min(F.transform(F.col("sids"), perm_hash(i))).alias(f"h{i}")
-            for i in range(num_perm)
-        ],
+        *[F.col("_hs")[i].alias(f"h{i}") for i in range(num_perm)],
     )
 
 

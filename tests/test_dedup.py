@@ -170,3 +170,75 @@ def test_paragraph_dedup_first_occurrence_semantics(spark, tmp_path):
     assert got[1] == (2, 1, True)  # exactly at the 0.5 threshold
     assert got[2] == (3, 3, False)  # all three already seen in doc 0/2
     assert got[3] == (3, 0, True)
+
+
+def test_numpy_xxh64_matches_spark(spark):
+    """functions/xxh.py must reproduce F.xxhash64 bit-for-bit on
+    LongType values — single, int-literal-seeded, and chained — since
+    the minhash kernel's correctness rests on it. Extremes included
+    (min/max int64, 0, -1)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.functions.xxh import (
+        SPARK_SEED,
+        as_signed,
+        spark_xxhash64_longs,
+        xxh64_int,
+        xxh64_long,
+    )
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate(
+        [
+            np.array([0, -1, 1, 2**63 - 1, -(2**63)], dtype=np.int64),
+            rng.integers(-(2**63), 2**63, size=200, dtype=np.int64),
+        ]
+    )
+    pair = rng.integers(-(2**63), 2**63, size=vals.size, dtype=np.int64)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(vals, pair)], "a bigint, b bigint"
+    )
+    rows = df.select(
+        F.xxhash64("a"),
+        F.xxhash64(F.lit(7), "a"),
+        F.xxhash64("a", "b"),
+    ).collect()
+    exp = np.array([list(r) for r in rows], dtype=np.int64)
+    assert np.array_equal(exp[:, 0], as_signed(spark_xxhash64_longs(vals)))
+    seed7 = xxh64_int(np.uint64(7), SPARK_SEED)
+    assert np.array_equal(
+        exp[:, 1], as_signed(xxh64_long(vals.view(np.uint64), seed7))
+    )
+    assert np.array_equal(exp[:, 2], as_signed(spark_xxhash64_longs(vals, pair)))
+
+
+def test_minhash_kernel_matches_jvm_expression(spark):
+    """The Arrow-batched minhash kernel must emit EXACTLY the values
+    of the JVM expression it replaced
+    (array_min(transform(sids, s -> xxhash64(lit(i), s)))) — the
+    bit-identity that keeps LSH bands, incremental dedup, and the
+    LSH == exact pin unchanged across the rewrite."""
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.operators.dedup import (
+        NUM_PERM,
+        doc_shingle_sets,
+        minhash_signatures,
+    )
+
+    sets_ = doc_shingle_sets(load_table(spark, SF_DIR, "documents"))
+    cols = [f"h{i}" for i in range(NUM_PERM)]
+    new = minhash_signatures(sets_).select("doc_id", *cols)
+    old = sets_.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col("sids"), (lambda i: lambda s: F.xxhash64(F.lit(i), s))(i))
+            ).alias(f"h{i}")
+            for i in range(NUM_PERM)
+        ],
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
