@@ -155,6 +155,9 @@ _MEASURED_COST = {
     "dedup_soft_weights": 3.51,
     "ann_ivfpq_topk": 2.4,
     "ann_ivfpq_residual_topk": 2.8,
+    "embedding_random_projection": 1.0,
+    "embedding_knn_graph": 3.2,
+    "dedup_containment": 1.0,
 }
 
 

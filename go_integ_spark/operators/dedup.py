@@ -342,6 +342,79 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+# Shared CTE prefix with _JACCARD_ORACLE (same shingling, same pair
+# counting); only the final score differs: containment is asymmetric
+# (c/n_a = how much of A lies inside B), which is what catches a short
+# doc quoted wholesale inside a long one — a pair plain Jaccard never
+# flags because the union is dominated by the long doc.
+_CONTAINMENT_ORACLE = f"""
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pos AS (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) AS i
+    FROM words WHERE len(w) >= {SHINGLE_K}
+), sh AS (
+    SELECT DISTINCT doc_id, {_SHINGLE_EXPR} AS shingle
+    FROM pos
+), sizes AS (
+    SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c / sa.n, 4) AS cont_a_in_b,
+       round(c / sb.n, 4) AS cont_b_in_a,
+       round(c / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c / sa.n >= {CONTAINMENT_THRESHOLD}
+   OR c / sb.n >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register("dedup_containment", tags=("dedup", "join"), oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: flag (A, B) when >= 80%
+    of one doc's shingle set lies inside the other's, regardless of
+    Jaccard — the quote/wrapper-page duplication class (a tweet quoted
+    in an article, a doc re-published inside boilerplate) that
+    symmetric Jaccard structurally misses when the sizes differ.
+
+    Reuses the session-cached shingle sets and the bucket-and-
+    enumerate pair counting (one shuffle); only the final score
+    changes. Scale note: candidate generation here is the exact
+    shingle-bucket path (bounded by bucket sizes, like
+    dedup_ngram_jaccard); at extreme scale containment candidates
+    would come from a containment-aware sketch over the SMALLER side
+    (minhash estimates Jaccard, not containment, so plain LSH recall
+    is poor exactly on the high-skew pairs this query targets).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = _cached_doc_sets(docs)
+    sh = sets_.select("doc_id", "n", F.explode("sids").alias("sid"))
+    pairs = cooccurrence_counts(sh)
+    cont_a = F.col("c") / F.col("n_a")
+    cont_b = F.col("c") / F.col("n_b")
+    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        pairs.filter(
+            (cont_a >= CONTAINMENT_THRESHOLD) | (cont_b >= CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont_a, 4).alias("cont_a_in_b"),
+            F.round(cont_b, 4).alias("cont_b_in_a"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
 @register("dedup_ngram_jaccard", tags=("dedup", "join"), oracle=_JACCARD_ORACLE, bench=True)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-5-gram Jaccard near-dup pairs (threshold 0.5).

@@ -1363,3 +1363,216 @@ def embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 4).alias("norm_min"),
         F.round(F.max("nrm"), 4).alias("norm_max"),
     )
+
+
+# --------------------------------------------------------------------------
+# Random projection (Johnson-Lindenstrauss) dimensionality reduction
+# --------------------------------------------------------------------------
+RP_OUT_DIM = 16  # 64 -> 16: the 4x compression tier below PQ's 32x
+RP_IN_DIM = EMB_DIM
+RP_SCALE = 1_000_000  # micro-unit fixed point, same contract as ADC/pq_mse_u
+
+
+def _rp_sign(j: int, d: int) -> int:
+    """Deterministic Rademacher (+/-1) projection entry, derived from
+    md5 so DuckDB reproduces the identical matrix (functions/hashing
+    h60 convention: md5 is the engine-portable randomness source)."""
+    import hashlib
+
+    bit = int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:15], 16) & 1
+    return 1 if bit else -1
+
+
+_RP_SIGN_SQL = (
+    "(CASE WHEN (('0x' || substr(md5('rp:' || CAST(j AS VARCHAR) || ':' "
+    "|| CAST(d AS VARCHAR)), 1, 15))::BIGINT & 1) = 1 THEN 1 ELSE -1 END)"
+)
+
+
+@register(
+    "embedding_random_projection",
+    tags=("similarity", "vector", "compression"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+    SELECT vec_id,
+           list_transform(e, x -> CAST(floor(x * {RP_SCALE} + 0.5) AS BIGINT))
+               AS qs
+    FROM v
+)
+SELECT vec_id,
+       list_transform(range({RP_OUT_DIM}), j ->
+           CAST(list_sum(list_transform(range({RP_IN_DIM}), d ->
+               {_RP_SIGN_SQL} * qs[d + 1])) AS BIGINT)) AS proj_u
+FROM q
+""",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project every embedding from
+    RP_IN_DIM (64) to RP_OUT_DIM (16) dims with a deterministic Rademacher (+/-1)
+    matrix — the cheap distance-preserving compression used before
+    clustering / dedup passes that don't need full-precision vectors
+    (distortion bound pinned statistically in tests/test_similarity).
+
+    Cross-engine exactness uses the PQ fixed-point contract: each
+    coordinate is scaled to integer micro-units FIRST (floor(x*1e6 +
+    0.5) — one IEEE multiply, identical everywhere), then the
+    projection is a pure int64 matmul whose sums are association-free,
+    so `proj_u` is bit-identical in Spark, numpy, and DuckDB.
+
+    Scale shape: zero shuffles — one Arrow-batched map over the scan
+    (the 16x64 sign matrix is a closure constant, the per-batch work
+    one int64 GEMM). At 100 TB this runs at scan speed; nothing else
+    moves.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sign = np.array(
+        [[_rp_sign(j, d) for d in range(RP_IN_DIM)] for j in range(RP_OUT_DIM)],
+        dtype=np.int64,
+    )
+
+    def _project(col):  # pd.Series[list[float]] -> pd.Series[np.ndarray]
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        # embeddings are uniform-width here (embedding_health is the
+        # gate for corpora where that can fail)
+        e = np.stack([np.asarray(x, dtype=np.float64) for x in col])
+        q = np.floor(e * RP_SCALE + 0.5).astype(np.int64)
+        return pd.Series(list(q @ sign.T))
+
+    project_udf = F.pandas_udf(_project, "array<bigint>")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.select("vec_id", project_udf(F.col("embedding")).alias("proj_u"))
+
+
+# --------------------------------------------------------------------------
+# k-nearest-neighbor graph (IVF-bucketed)
+# --------------------------------------------------------------------------
+KNN_GRAPH_K = 5
+KNN_GRAPH_PROBES = 2
+
+
+@register(
+    "embedding_knn_graph",
+    tags=("similarity", "graph", "vector"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), assigned AS (
+    SELECT vec_id, e, cent_id AS cell_id FROM (
+        SELECT v.vec_id, v.e, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS arn
+        FROM v CROSS JOIN cent c
+    ) WHERE arn = 1
+), probes AS (
+    SELECT src_id, cell_id FROM (
+        SELECT a.vec_id AS src_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.cent_id
+               ) AS prn
+        FROM assigned a CROSS JOIN cent c
+    ) WHERE prn <= {KNN_GRAPH_PROBES}
+), scored AS (
+    SELECT p.src_id, a.vec_id AS dst_id,
+           list_cosine_similarity(q.e, a.e) AS s
+    FROM probes p
+    JOIN assigned a ON a.cell_id = p.cell_id
+    JOIN v q ON q.vec_id = p.src_id
+    WHERE a.vec_id <> p.src_id
+), knn AS (
+    SELECT src_id, dst_id, s, rn FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY src_id ORDER BY s DESC, dst_id
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= {KNN_GRAPH_K}
+)
+SELECT k.src_id, k.dst_id, round(k.s, 4) AS cos_sim,
+       CAST(k.rn AS INT) AS rank,
+       (r.src_id IS NOT NULL) AS mutual
+FROM knn k
+LEFT JOIN knn r ON r.src_id = k.dst_id AND r.dst_id = k.src_id
+""",
+)
+def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the WHOLE corpus (every vector is a query):
+    the shared substrate for graph-based dedup clustering, label
+    propagation, and diversity-aware curation sampling. Each edge
+    carries a ``mutual`` flag (dst also ranks src in its own top-k) —
+    mutual-kNN edges are the standard high-precision subset used for
+    cluster seeds.
+
+    Same IVF machinery as ann_ivf_topk, but the probe side is the
+    corpus itself, so the probe join CANNOT be broadcast: both sides
+    hash-partition on cell_id (at 100 TB: the corpus is WRITTEN
+    partitioned by cell_id, so candidate generation is a co-located
+    per-cell join with no wide exchange). Per-src top-k runs through
+    salted_topk — partition-local prefilter, bounded final window.
+    The mutual flag is one extra self-join of the (N x k)-row edge
+    list on (src, dst) — tiny next to candidate scoring.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    cents = ivf_centroid_lit(v)
+    assigned = (
+        v.withColumn("cents", cents)
+        .withColumn("cell_id", F.element_at(nearest_cells(1), 1))
+        .select("vec_id", "e", "e_norm", "cell_id")
+    )
+    probes = (
+        v.withColumn("cents", cents)
+        .select(
+            F.col("vec_id").alias("src_id"),
+            F.col("e").alias("qe"),
+            F.col("e_norm").alias("qe_norm"),
+            F.explode(nearest_cells(KNN_GRAPH_PROBES)).alias("cell_id"),
+        )
+    )
+    sim = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("qe_norm") * F.col("e_norm"))
+    scored = (
+        assigned.join(probes, "cell_id")
+        .filter(F.col("vec_id") != F.col("src_id"))
+        .withColumn("s", sim)
+        .select("src_id", F.col("vec_id").alias("dst_id"), "s")
+    )
+    knn = salted_topk(
+        scored, "src_id", [F.col("s").desc(), F.col("dst_id")], KNN_GRAPH_K
+    ).select("src_id", "dst_id", "s", "rn")
+    # Mutuality in ONE pass over the edge list: group the k*N edges by
+    # the unordered pair — both directions land in the same group, so
+    # mutual == group size 2. A naive self-join of knn with itself
+    # would RECOMPUTE the whole candidate-scoring pipeline for the
+    # second side (no exchange reuse across the join); this shape
+    # shuffles the small edge list once instead.
+    grouped = (
+        knn.groupBy(
+            F.least("src_id", "dst_id").alias("lo"),
+            F.greatest("src_id", "dst_id").alias("hi"),
+        )
+        .agg(F.collect_list(F.struct("src_id", "dst_id", "s", "rn")).alias("es"))
+    )
+    return grouped.select(
+        F.explode("es").alias("e"), (F.size("es") == 2).alias("mutual")
+    ).select(
+        F.col("e.src_id").alias("src_id"),
+        F.col("e.dst_id").alias("dst_id"),
+        F.round(F.col("e.s"), 4).alias("cos_sim"),
+        F.col("e.rn").cast("int").alias("rank"),
+        "mutual",
+    )

@@ -242,3 +242,28 @@ def test_minhash_kernel_matches_jvm_expression(spark):
     )
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+
+
+def test_containment_catches_asymmetric_duplication(spark, tmp_path):
+    """A short doc quoted wholesale inside a long one must be flagged
+    by containment (cont = 1.0) even though its Jaccard is far below
+    the 0.5 near-dup threshold; an unrelated doc must not appear."""
+    from go_integ_spark.operators.dedup import dedup_containment
+
+    short = " ".join(f"q{i}" for i in range(10))
+    long_ = short + " " + " ".join(f"f{i}" for i in range(80))
+    other = " ".join(f"z{i}" for i in range(40))
+    rows = [(1, short), (2, long_), (3, other)]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        path + "/documents.parquet"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"], r["jaccard"])
+        for r in dedup_containment(spark, path).collect()
+    }
+    assert set(got) == {(1, 2)}
+    cont_a, cont_b, jac = got[(1, 2)]
+    assert cont_a == 1.0  # all of doc 1's shingles are inside doc 2
+    assert cont_b < 0.2
+    assert jac < 0.5  # plain Jaccard would have missed this pair

@@ -472,3 +472,123 @@ def test_residual_ivfpq_beats_plain_on_clustered(spark, tmp_path):
         recall[name] = hits / total
     assert recall["residual"] >= recall["plain"], f"recall {recall}"
     assert recall["residual"] > 0.5, f"residual recall too low: {recall}"
+
+
+def test_random_projection_matches_python_reference(spark):
+    """proj_u must equal a direct row-by-row Python restatement of the
+    fixed-point contract (md5-derived signs, per-term floor to
+    micro-units, integer sums) — the same math the DuckDB oracle
+    spells in SQL."""
+    import numpy as np
+
+    from go_integ_spark.operators.similarity import (
+        RP_IN_DIM,
+        RP_OUT_DIM,
+        RP_SCALE,
+        _rp_sign,
+        embedding_random_projection,
+    )
+    from go_integ_spark.tables import load_table
+
+    got = {
+        r["vec_id"]: list(r["proj_u"])
+        for r in embedding_random_projection(spark, SF_DIR).collect()
+    }
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    assert set(got) == set(emb)
+    sign = [[_rp_sign(j, d) for d in range(RP_IN_DIM)] for j in range(RP_OUT_DIM)]
+    for vec_id in list(emb)[:50]:
+        q = [int(np.floor(float(x) * RP_SCALE + 0.5)) for x in emb[vec_id]]
+        want = [sum(sign[j][d] * q[d] for d in range(RP_IN_DIM)) for j in range(RP_OUT_DIM)]
+        assert got[vec_id] == want, vec_id
+
+
+def test_random_projection_preserves_distances(spark, tmp_path):
+    """The JL guarantee, statistically, in two regimes:
+
+    1. Real corpus: median relative distortion of squared distances
+       (sketch rescaled by out_dim) stays bounded. Rank agreement is
+       NOT asserted there — iid high-dim embeddings concentrate, so
+       true distances are near-equal and their ranks are noise by
+       construction.
+    2. Controlled corpus whose pair distances span orders of
+       magnitude: the sketch must rank them essentially perfectly.
+    """
+    import numpy as np
+
+    from go_integ_spark.operators.similarity import (
+        RP_IN_DIM,
+        RP_OUT_DIM,
+        RP_SCALE,
+        embedding_random_projection,
+    )
+    from go_integ_spark.tables import load_table
+
+    proj = {
+        r["vec_id"]: np.asarray(r["proj_u"], dtype=np.float64) / RP_SCALE
+        for r in embedding_random_projection(spark, SF_DIR).collect()
+    }
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    ids = sorted(proj)[:60]
+    true_d, proj_d = [], []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        true_d.append(float(np.sum((emb[a] - emb[b]) ** 2)))
+        proj_d.append(float(np.sum((proj[a] - proj[b]) ** 2)) / RP_OUT_DIM)
+    true_a, proj_a = np.asarray(true_d), np.asarray(proj_d)
+    nz = true_a > 0
+    rel = np.abs(proj_a[nz] - true_a[nz]) / true_a[nz]
+    assert np.median(rel) < 0.5
+
+    # Controlled regime: vec 0 is the origin; vec i sits at distance
+    # 2^i along a random direction, so squared distances to the origin
+    # span ~6 orders of magnitude and ranks must survive the sketch.
+    rng = np.random.default_rng(3)
+    rows = [(0, [0.0] * RP_IN_DIM, 0)]
+    for i in range(1, 11):
+        d = rng.standard_normal(RP_IN_DIM)
+        d = d / np.linalg.norm(d) * (2.0**i)
+        rows.append((i, [float(x) for x in d], 0))
+    path = str(tmp_path / "ctl")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    ).write.parquet(path + "/embeddings.parquet")
+    ctl = {
+        r["vec_id"]: np.asarray(r["proj_u"], dtype=np.float64)
+        for r in embedding_random_projection(spark, path).collect()
+    }
+    sketch_d = [float(np.sum((ctl[i] - ctl[0]) ** 2)) for i in range(1, 11)]
+    assert sketch_d == sorted(sketch_d)  # strictly increasing ranks
+
+
+def test_knn_graph_mutual_flag_consistency(spark):
+    """mutual must be True exactly when the reversed edge is also in
+    the k-NN edge set, and every vector must emit exactly K edges with
+    ranks 1..K."""
+    from collections import Counter
+
+    from go_integ_spark.operators.similarity import (
+        KNN_GRAPH_K,
+        embedding_knn_graph,
+    )
+
+    rows = embedding_knn_graph(spark, SF_DIR).collect()
+    edges = {(r["src_id"], r["dst_id"]) for r in rows}
+    for r in rows:
+        assert r["mutual"] == ((r["dst_id"], r["src_id"]) in edges)
+    per_src = Counter(r["src_id"] for r in rows)
+    assert set(per_src.values()) == {KNN_GRAPH_K}
+    by_src: dict[int, list[int]] = {}
+    for r in rows:
+        by_src.setdefault(r["src_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, KNN_GRAPH_K + 1)) for v in by_src.values())
