@@ -641,9 +641,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan.
 
     Shape: the fixed-K hash-selected centroid set shared with
-    ann_ivf_topk (``ivf_centroid_lit`` — an O(K*dim) inline literal,
-    never an O(corpus) driver collect); every vector computes its
-    DEDUP_EMB_PROBES nearest cells ROW-LOCALLY from that array (no
+    ann_ivf_topk (``ivf_centroids`` — an O(K*dim) driver collect,
+    never O(corpus)); every vector computes its DEDUP_EMB_PROBES
+    nearest cells ROW-LOCALLY via the ``nearest_cells_pd`` kernel (no
     join operator at all), explodes to (vec_id, cell_id), and
     candidate pairs come from one equi self-join on cell_id. Exact
     cosine verification then filters candidates, so precision is
@@ -659,13 +659,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors into far fewer probed cells.
     """
     from go_integ_spark.functions.vector import dot, with_norm
-    from go_integ_spark.operators.similarity import ivf_centroid_lit, nearest_cells
+    from go_integ_spark.operators.similarity import ivf_centroids, nearest_cells_pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    assigned = v.withColumn("cents", ivf_centroid_lit(v)).select(
+    (crow,) = ivf_centroids(v).collect()
+    assigned = v.select(
         "vec_id",
-        F.explode(nearest_cells(DEDUP_EMB_PROBES)).alias("cell_id"),
+        F.explode(nearest_cells_pd(crow, DEDUP_EMB_PROBES)).alias("cell_id"),
     )
     cand = (
         assigned.alias("x")

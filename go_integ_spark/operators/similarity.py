@@ -126,6 +126,49 @@ def nearest_cells(n_probe: int, vec: str = "e", norm: str = "e_norm") -> Column:
     return F.transform(F.slice(F.array_sort(neg), 1, n_probe), lambda s: s["cid"])
 
 
+def nearest_cells_pd(crow, n_probe: int, vec: str = "e", norm: str = "e_norm"):
+    """Arrow-batched twin of ``nearest_cells``: the same probe list,
+    computed by a vectorized numpy kernel instead of interpreted
+    higher-order functions (K * dim lambda invocations PER ROW — the
+    cost class the PQ argmin and minhash kernels already left).
+
+    Bit-identity with the expression form (pinned in
+    tests/test_similarity.py) comes from replaying the JVM fold's
+    exact float sequence: per dimension, one rounded product then one
+    rounded add (`acc += E[:, d] * C[:, d]` — numpy has no implicit
+    FMA), the norm product rounded once before the divide, and a
+    STABLE argsort over the negated sims whose tie order is the
+    centroid array's ascending-cid order — the same (neg_s, cid)
+    struct sort ``nearest_cells`` evaluates. ``crow`` is the collected
+    ``ivf_centroids`` row, so centroid floats are the identical JVM
+    doubles. Keeping assignment bit-exact is what lets every IVF
+    query keep its value-level DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = crow["cents"]  # already sorted by cid ascending
+    cids = np.array([int(c["cid"]) for c in cents], dtype=np.int64)
+    C = np.array([[float(x) for x in c["ce"]] for c in cents], dtype=np.float64)
+    cn = np.array([float(c["cn"]) for c in cents], dtype=np.float64)
+    k_cells, dim = C.shape
+
+    def _probe(ecol, ncol):
+        n = len(ecol)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(x, dtype=np.float64) for x in ecol])
+        acc = np.zeros((n, k_cells), dtype=np.float64)
+        for d in range(dim):
+            acc += E[:, d : d + 1] * C[:, d][None, :]
+        neg = -(acc / (np.asarray(ncol, dtype=np.float64)[:, None] * cn[None, :]))
+        order = np.argsort(neg, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(cids[order]))
+
+    probe_udf = F.pandas_udf(_probe, "array<bigint>")
+    return probe_udf(F.col(vec), F.col(norm))
+
+
 def salted_topk(
     scored: DataFrame, part_col: str, order: list[Column], k: int
 ) -> DataFrame:
@@ -299,12 +342,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
     Deterministic "training": the fixed-K hash-selected centroid set
-    (``ivf_centroid_lit`` — a stand-in for k-means, which would be
-    run offline at scale). Assignment = ROW-LOCAL argmax over the
-    inlined centroid array (``nearest_cells(1)``) — no N×K row
-    explosion, no shuffle, no window, no join operator; the old
-    broadcast-crossJoin + row_number version pushed N*K rows through
-    a window exchange.
+    (``ivf_centroids`` — a stand-in for k-means, which would be run
+    offline at scale). Assignment = ROW-LOCAL argmax against the
+    O(K*dim) collected centroid set (``nearest_cells_pd`` — an
+    Arrow-batched kernel bit-identical to the ``nearest_cells``
+    expression, which ran K*dim interpreted lambdas per row) — no
+    N×K row explosion, no shuffle, no window, no join operator; the
+    old broadcast-crossJoin + row_number version pushed N*K rows
+    through a window exchange.
     Each query probes its IVF_NPROBE nearest cells (same row-local
     math) and searches them exactly. Approximate relative to brute
     force by construction, but the deterministic centroid rule makes
@@ -318,21 +363,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    cents = ivf_centroid_lit(v)
+    (crow,) = ivf_centroids(v).collect()
     assigned = (
-        v.withColumn("cents", cents)
-        .withColumn("cell_id", F.element_at(nearest_cells(1), 1))
+        v.withColumn("cell_id", F.element_at(nearest_cells_pd(crow, 1), 1))
         .select("vec_id", "e", "e_norm", "cell_id")
     )
     # Probe list: nprobe nearest cells per query, row-local again.
     probes = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("cents", cents)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("e").alias("qe"),
             F.col("e_norm").alias("qe_norm"),
-            F.explode(nearest_cells(IVF_NPROBE)).alias("cell_id"),
+            F.explode(nearest_cells_pd(crow, IVF_NPROBE)).alias("cell_id"),
         )
     )
     # Search probed cells only (equi-join on cell_id prunes the corpus).
@@ -1071,19 +1114,17 @@ def _ivfpq_search(
     # Index build: cell assignment (+ residual) + PQ encode in one
     # map-side pass. The residual is row-local too: the cell centroid
     # comes out of the same inline literal the assignment used.
-    assigned = (
-        v.withColumn("cents", cents_lit)
-        .withColumn("cell_id", F.element_at(nearest_cells(1), 1))
+    assigned = v.withColumn(
+        "cell_id", F.element_at(nearest_cells_pd(crow, 1), 1)
     )
     if residual:
-        assigned = assigned.withColumn(
+        assigned = assigned.withColumn("cents", cents_lit).withColumn(
             "e",
             F.expr(
                 "zip_with(e, filter(cents, c -> c.cid = cell_id)[0].ce,"
                 " (x, y) -> x - y)"
             ),
-        )
-    assigned = assigned.drop("cents")
+        ).drop("cents")
     if codebook == "trained":
         # For the residual variant the book trains on the residuals
         # themselves (their scale is the within-cell noise, not the
@@ -1116,10 +1157,9 @@ def _ivfpq_search(
     qe_by_id = {int(r["vec_id"]): [float(x) for x in r["e"]] for r in qrows}
     probe_rows = (
         v.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("cents", cents_lit)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(nearest_cells(IVF_NPROBE)).alias("cell_id"),
+            F.explode(nearest_cells_pd(crow, IVF_NPROBE)).alias("cell_id"),
         )
         .collect()
     )
@@ -1525,20 +1565,16 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    cents = ivf_centroid_lit(v)
+    (crow,) = ivf_centroids(v).collect()
     assigned = (
-        v.withColumn("cents", cents)
-        .withColumn("cell_id", F.element_at(nearest_cells(1), 1))
+        v.withColumn("cell_id", F.element_at(nearest_cells_pd(crow, 1), 1))
         .select("vec_id", "e", "e_norm", "cell_id")
     )
-    probes = (
-        v.withColumn("cents", cents)
-        .select(
-            F.col("vec_id").alias("src_id"),
-            F.col("e").alias("qe"),
-            F.col("e_norm").alias("qe_norm"),
-            F.explode(nearest_cells(KNN_GRAPH_PROBES)).alias("cell_id"),
-        )
+    probes = v.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("e").alias("qe"),
+        F.col("e_norm").alias("qe_norm"),
+        F.explode(nearest_cells_pd(crow, KNN_GRAPH_PROBES)).alias("cell_id"),
     )
     sim = F.aggregate(
         F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),

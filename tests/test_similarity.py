@@ -592,3 +592,31 @@ def test_knn_graph_mutual_flag_consistency(spark):
     for r in rows:
         by_src.setdefault(r["src_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, KNN_GRAPH_K + 1)) for v in by_src.values())
+
+
+def test_nearest_cells_kernel_matches_expression(spark):
+    """nearest_cells_pd must emit EXACTLY the probe lists of the
+    nearest_cells JVM expression for every probe count in use (1 =
+    assignment, KNN/dedup/IVF probe fan-outs) — the bit-identity that
+    keeps every IVF-family query's value-level DuckDB oracle valid."""
+    from go_integ_spark.functions.vector import with_norm
+    from go_integ_spark.operators.similarity import (
+        IVF_K,
+        ivf_centroid_lit,
+        ivf_centroids,
+        nearest_cells,
+        nearest_cells_pd,
+    )
+    from go_integ_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    (crow,) = ivf_centroids(v).collect()
+    lit = ivf_centroid_lit(v)
+    for n_probe in (1, 2, 6, IVF_K):
+        old = v.withColumn("cents", lit).select(
+            "vec_id", nearest_cells(n_probe).alias("p")
+        )
+        new = v.select("vec_id", nearest_cells_pd(crow, n_probe).alias("p"))
+        assert new.exceptAll(old).count() == 0, n_probe
+        assert old.exceptAll(new).count() == 0, n_probe
