@@ -158,6 +158,7 @@ _MEASURED_COST = {
     "embedding_random_projection": 1.0,
     "embedding_knn_graph": 3.2,
     "dedup_containment": 1.0,
+    "text_collocations": 1.2,
 }
 
 

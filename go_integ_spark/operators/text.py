@@ -773,3 +773,103 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("logp") / F.count(F.lit(1)), 4).alias("avg_logp"),
         )
     )
+
+
+# Minimum bigram occurrences before a pair can be called a
+# collocation — the word2vec phrase-mining discount threshold role:
+# below it, PMI is dominated by chance co-occurrence of rare words.
+COLLOC_MIN_COUNT = 5
+
+
+@register(
+    "text_collocations",
+    tags=("text", "lm", "llm_pipeline"),
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, text FROM documents WHERE length(text) > 0
+), toks AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM docs
+), uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS n1 FROM toks GROUP BY w
+), tot AS (
+    SELECT CAST(sum(n1) AS DOUBLE) AS nt FROM uni
+), w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM docs
+), inst AS (
+    SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2
+    FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+), big AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM inst GROUP BY 1, 2
+), btot AS (
+    SELECT CAST(sum(n2) AS DOUBLE) AS mt FROM big
+)
+SELECT b.w1, b.w2, b.n2,
+       round(ln((CAST(b.n2 AS DOUBLE) * t.nt * t.nt)
+                / (bt.mt * CAST(u1.n1 AS DOUBLE) * CAST(u2.n1 AS DOUBLE))),
+             4) AS pmi
+FROM big b
+CROSS JOIN tot t
+CROSS JOIN btot bt
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+WHERE b.n2 >= {COLLOC_MIN_COUNT}
+""",
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — the phrase-detection pass tokenizer /
+    vocab builders run before training (word2vec-style phrase scoring
+    is the discounted variant of the same statistic): for every
+    adjacent word pair seen at least COLLOC_MIN_COUNT times,
+    ``pmi = ln(p(w1,w2) / (p(w1) * p(w2)))`` with the joint estimated
+    over bigram instances and the marginals over token instances.
+    High-PMI pairs are the multi-word units worth a single vocab slot.
+
+    Scale shape: token and bigram extraction are row-local explodes;
+    both count tables aggregate with map-side partial combine, so the
+    shuffled rows are vocabulary-scaled, not corpus-scaled. The two
+    scalar totals ride a one-row broadcast cross join (the bounded
+    pattern relational.py's subquery scalars use). The marginal
+    join-back runs on the bigram table — already >= MIN_COUNT
+    filtered, so its skew ceiling is the vocabulary's Zipf head, and
+    the unigram side is broadcastable under AQE. The PMI argument is
+    arranged identically in both engines (left-associated double
+    products) so ln sees bit-identical inputs.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text")
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    tot = uni.agg(F.sum("n1").cast("double").alias("nt"))
+    inst = (
+        docs.withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i ->"
+                    " struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    btot = big.agg(F.sum("n2").cast("double").alias("mt"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n1").alias("n1a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n1").alias("n1b"))
+    pmi = F.log(
+        (F.col("n2").cast("double") * F.col("nt") * F.col("nt"))
+        / (F.col("mt") * F.col("n1a").cast("double") * F.col("n1b").cast("double"))
+    )
+    return (
+        big.filter(F.col("n2") >= COLLOC_MIN_COUNT)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", "n2", F.round(pmi, 4).alias("pmi"))
+    )

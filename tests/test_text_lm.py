@@ -40,3 +40,31 @@ def test_bigram_logprob_model_semantics(spark, tmp_path):
     assert got[2] == (1, round(math.log(1 / 3), 4))
     assert got[2][1] < got[0][1] < 0
     assert all(lp <= 0 for _, lp in got.values())
+
+
+def test_collocations_hand_computed(spark, tmp_path):
+    """PMI on a corpus tiny enough to check by hand: a pair that
+    always co-occurs scores ln(N^2 * n2 / (M * n1a * n1b)) exactly;
+    pairs under the count floor are absent."""
+    import math
+
+    from go_integ_spark.operators.text import COLLOC_MIN_COUNT, text_collocations
+
+    # "alpha beta" 5x (collocation), "gamma delta" 4x (under floor)
+    rows = [(i, "alpha beta") for i in range(5)] + [
+        (10 + i, "gamma delta") for i in range(4)
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        path + "/documents.parquet"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n2"], r["pmi"])
+        for r in text_collocations(spark, path).collect()
+    }
+    assert set(got) == {("alpha", "beta")}
+    n2, pmi = got[("alpha", "beta")]
+    assert n2 == COLLOC_MIN_COUNT
+    # N=18 tokens, M=9 bigrams, n1(alpha)=n1(beta)=5
+    want = math.log((5 * 18.0 * 18.0) / (9.0 * 5.0 * 5.0))
+    assert abs(pmi - round(want, 4)) < 1e-9
