@@ -159,6 +159,7 @@ _MEASURED_COST = {
     "embedding_knn_graph": 3.2,
     "dedup_containment": 1.0,
     "text_collocations": 1.2,
+    "text_bpe_vocab": 1.5,
 }
 
 

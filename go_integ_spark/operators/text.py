@@ -873,3 +873,99 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u2, "w2")
         .select("w1", "w2", "n2", F.round(pmi, 4).alias("pmi"))
     )
+
+
+# BPE merge rounds learned by text_bpe_vocab. Real tokenizers learn
+# 30k-100k; 12 keeps the gate query bounded while exercising the full
+# iterate-count-merge loop.
+BPE_MERGES = 12
+# Training-vocabulary cap: the merge loop state is bounded O(cap)
+# regardless of corpus size (the min-frequency pruning every real
+# tokenizer trainer applies).
+BPE_VOCAB_CAP = 50_000
+
+
+def _bpe_apply_merge(syms: list, left: str, right: str) -> list:
+    """One greedy left-to-right BPE merge pass over a symbol list —
+    the exact scan order every BPE implementation uses (overlapping
+    occurrences resolve leftmost-first: 'aaa' under (a,a) -> [aa, a]).
+    Shared by the Spark kernel and the pure-Python reference in
+    tests/test_text_lm.py, so the two can only diverge in
+    orchestration, not merge semantics."""
+    out = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@register(
+    "text_bpe_vocab",
+    tags=("text", "tokenizer", "iterative", "llm_pipeline"),
+    oracle=None,  # iterative (each argmax feeds the next round's
+    # counts) — not SQL-expressible, same rows-only class as
+    # embedding_kmeans; tests/test_text_lm.py pins the merge sequence
+    # against a pure-Python BPE reference instead.
+)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary learning — the tokenizer-training
+    pass of an LLM data pipeline. Classic BPE trains on the WORD
+    FREQUENCY table, not corpus positions: ONE corpus-scaled
+    aggregation (map-side combined) produces (word, count); the merge
+    loop then needs only that table. Output: the learned merge table
+    (rank, left, right, pair_count) — the tokenizer's merges.txt.
+
+    Scale contract: the corpus is touched exactly once. The merge
+    loop runs driver-side over the top-``BPE_VOCAB_CAP`` word types
+    by count (deterministic tie-break on the word) — a BOUNDED O(cap)
+    collect, never O(corpus): capping the training vocabulary is what
+    production tokenizer trainers do anyway (min-frequency pruning /
+    training-corpus caps), and it is what keeps the loop's state
+    independent of corpus size. A first version iterated the merge
+    loop as 12 distributed jobs over the vocab table; at gate scale
+    that was ~46 s of pure job overhead for a table of a few thousand
+    rows — the count is the only part of this problem that is big.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    top = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(BPE_VOCAB_CAP)
+        .collect()
+    )
+    vocab: dict[tuple, int] = {}
+    for r in top:
+        key = tuple(r["w"])
+        vocab[key] = vocab.get(key, 0) + int(r["cnt"])
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(BPE_MERGES):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + cnt
+                )
+        if not pairs:
+            break
+        (left, right), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, pc))
+        merged: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            key = tuple(_bpe_apply_merge(list(syms), left, right))
+            merged[key] = merged.get(key, 0) + cnt
+        vocab = merged
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )

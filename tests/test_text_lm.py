@@ -68,3 +68,53 @@ def test_collocations_hand_computed(spark, tmp_path):
     # N=18 tokens, M=9 bigrams, n1(alpha)=n1(beta)=5
     want = math.log((5 * 18.0 * 18.0) / (9.0 * 5.0 * 5.0))
     assert abs(pmi - round(want, 4)) < 1e-9
+
+
+def test_bpe_vocab_matches_python_reference(spark):
+    """The distributed BPE loop must reproduce, merge for merge, a
+    pure-Python BPE over the same word-frequency table: same argmax
+    pair each round (count desc, then lexicographic), same greedy
+    leftmost-first application, same weighted pair counts."""
+    from collections import Counter
+
+    from go_integ_spark.operators.text import (
+        BPE_MERGES,
+        _bpe_apply_merge,
+        text_bpe_vocab,
+    )
+    from go_integ_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in text_bpe_vocab(spark, sf).orderBy("merge_rank").collect()
+    ]
+
+    counts = Counter()
+    for row in load_table(spark, sf, "documents").select("text").collect():
+        for w in row["text"].split(" "):
+            if w:
+                counts[w] += 1
+    vocab: dict[tuple, int] = {}
+    for word, cnt in counts.items():
+        key = tuple(word)
+        vocab[key] = vocab.get(key, 0) + cnt
+
+    want = []
+    for rank in range(BPE_MERGES):
+        pairs: Counter = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (left, right), pc = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, left, right, pc))
+        merged: dict[tuple, int] = {}
+        for syms, cnt in vocab.items():
+            key = tuple(_bpe_apply_merge(list(syms), left, right))
+            merged[key] = merged.get(key, 0) + cnt
+        vocab = merged
+    assert got == want
