@@ -160,6 +160,7 @@ _MEASURED_COST = {
     "dedup_containment": 1.0,
     "text_collocations": 1.2,
     "text_bpe_vocab": 1.5,
+    "agg_histogram": 0.6,
 }
 
 

@@ -746,3 +746,64 @@ def agg_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("hll_orders") - F.col("n_orders")) <= 0.05 * F.col("n_orders")).alias("hll_orders_ok"),
         (F.abs(F.col("p50_approx") - F.col("median_exact")) <= 0.01 * F.col("median_exact")).alias("p50_ok"),
     )
+
+
+HIST_BINS = 20
+
+
+@register(
+    "agg_histogram",
+    tags=("agg", "histogram", "two_pass"),
+    oracle=f"""
+WITH stats AS (
+    SELECT min(value) AS mn, max(value) AS mx FROM events
+), b AS (
+    SELECT CAST(least(floor((e.value - s.mn) * {HIST_BINS} / (s.mx - s.mn)),
+                      {HIST_BINS - 1}) AS INT) AS bucket,
+           s.mn, s.mx
+    FROM events e CROSS JOIN stats s
+)
+SELECT bucket,
+       round(mn + bucket * ((mx - mn) / {HIST_BINS}), 4) AS bin_lo,
+       round(mn + (bucket + 1) * ((mx - mn) / {HIST_BINS}), 4) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b
+GROUP BY bucket, mn, mx
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the event value distribution — the
+    profiling aggregate behind range-partition planning, skew
+    detection, and dashboard distributions. Two passes, both
+    map-side-combined: pass 1 reduces to a single (min, max) row that
+    rides a one-row broadcast cross join; pass 2 buckets row-locally
+    and aggregates {HIST_BINS} counter rows. Scan-bound at 100 TB —
+    the shuffle carries at most {HIST_BINS} rows per task.
+
+    Cross-engine exactness: the bucket expression is the identical
+    left-associated double arithmetic in both engines
+    (floor((v - mn) * B / (mx - mn)) capped at B - 1), and the bin
+    edges derive from the same (mn, mx) scalars, so even boundary
+    values bucket identically.
+    """
+    ev = load_table(spark, sf_dir, "events").select("value")
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    bucket = F.least(
+        F.floor(
+            ((F.col("value") - F.col("mn")) * HIST_BINS) / (F.col("mx") - F.col("mn"))
+        ),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    width = (F.col("mx") - F.col("mn")) / HIST_BINS
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("mn") + F.col("bucket") * width, 4).alias("bin_lo"),
+            F.round(F.col("mn") + (F.col("bucket") + 1) * width, 4).alias("bin_hi"),
+            "n",
+        )
+    )

@@ -59,3 +59,25 @@ def test_funnel_counts_monotone_non_increasing(spark):
     counts = [r["n_docs"] for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert counts[-1] > 0
+
+
+def test_histogram_partitions_the_corpus(spark):
+    """Histogram invariants: bucket counts sum to the corpus row
+    count, bucket ids are within [0, HIST_BINS), and bin edges tile
+    [mn, mx] contiguously (each bucket's hi equals the next one's lo
+    at 4-decimal resolution)."""
+    from go_integ_spark.operators.advanced import HIST_BINS, agg_histogram
+    from go_integ_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        agg_histogram(spark, sf).collect(), key=lambda r: r["bucket"]
+    )
+    total = load_table(spark, sf, "events").count()
+    assert sum(r["n"] for r in rows) == total
+    assert all(0 <= r["bucket"] < HIST_BINS for r in rows)
+    by_bucket = {r["bucket"]: r for r in rows}
+    for b, r in by_bucket.items():
+        nxt = by_bucket.get(b + 1)
+        if nxt is not None:
+            assert abs(r["bin_hi"] - nxt["bin_lo"]) < 1e-9
