@@ -303,3 +303,84 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.octet_length("frame")).alias("sampled_bytes"),
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    tags=("multimodal", "dedup", "pandas_udf"),
+    oracle="""
+WITH m AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS media_type,
+           text
+    FROM documents
+), h AS (
+    SELECT doc_id, media_type,
+           CAST(list_sum(list_transform(generate_series(0, 7), j ->
+               CASE WHEN 8 * len(list_filter(string_split(text, ''),
+                                             c -> ascii(c) % 8 = j))
+                         > length(text)
+                    THEN (1 << j) ELSE 0 END)) AS BIGINT) AS phash
+    FROM m
+)
+SELECT media_type, phash,
+       CAST(count(*) AS BIGINT) AS n_items,
+       min(doc_id) AS keep_doc_id,
+       list_sort(list(doc_id)) AS doc_ids
+FROM h
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over binary media payloads — the
+    image-dedup pass of a multimodal pipeline (group visually-equal
+    assets without byte equality). The pHash here is the stub-decoder
+    analogue of a real DCT pHash: bit j is whether byte-histogram
+    bucket j exceeds its uniform share, i.e. ``8 * count_j > n_bytes``
+    — a PURE INTEGER predicate, so the hash is engine-exact without
+    fixed-point tricks. Swap the kernel body for a real pHash when a
+    codec is available; the grouping plan is unchanged.
+
+    Scale shape: one Arrow-batched map computes the 8-bit hash
+    (numpy bincount per payload — no per-byte Python), then one
+    groupBy on (media_type, phash) — the shuffle carries an 8-byte
+    hash and doc ids, never payloads. The oracle spells the identical
+    histogram over characters, valid because this corpus is pure
+    ASCII (byte == code point); the kernel itself is byte-true for
+    arbitrary binaries.
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+
+    def _phash(col):  # pd.Series[bytes] -> pd.Series[int64]
+        out = np.zeros(len(col), dtype=np.int64)
+        for i, p in enumerate(col):
+            b = bytes(p or b"")
+            if not b:
+                continue
+            counts = np.bincount(
+                np.frombuffer(b, dtype=np.uint8) % 8, minlength=8
+            )
+            bits = (8 * counts > len(b)).astype(np.int64)
+            out[i] = int((bits << np.arange(8, dtype=np.int64)).sum())
+        return pd.Series(out)
+
+    phash_udf = F.pandas_udf(_phash, "bigint")
+    hashed = media.select(
+        "doc_id", "media_type", phash_udf(F.col("payload")).alias("phash")
+    )
+    return (
+        hashed.groupBy("media_type", "phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_items") >= 2)
+        .select("media_type", "phash", "n_items", "keep_doc_id", "doc_ids")
+    )

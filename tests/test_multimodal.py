@@ -61,3 +61,28 @@ def test_decode_is_deterministic(spark, media):
     a = sorted(map(tuple, decode_media(media).collect()))
     b = sorted(map(tuple, decode_media(media).collect()))
     assert a == b
+
+
+def test_phash_groups_permuted_payloads_together(spark, tmp_path):
+    """The perceptual hash must be invariant to byte ORDER (it is a
+    histogram sketch): two docs with permuted but equal byte
+    multisets share a phash group, while a doc with a different byte
+    distribution does not; groups never cross media_type."""
+    from go_integ_spark.operators.multimodal import multimodal_phash_dedup
+
+    # doc 0 and 3 share media_type (0 % 3 == 3 % 3) AND a byte multiset
+    rows = [
+        (0, "aabbccdd"),
+        (3, "ddccbbaa"),
+        (6, "zzzzzzzz"),
+        (1, "aabbccdd"),  # same bytes, different media_type -> no group
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        path + "/documents.parquet"
+    )
+    got = {
+        (r["media_type"], tuple(r["doc_ids"])): r["keep_doc_id"]
+        for r in multimodal_phash_dedup(spark, path).collect()
+    }
+    assert got == {("image", (0, 3)): 0}
