@@ -46,3 +46,44 @@ def cosine_sim(alias_a: str, alias_b: str) -> Column:
     return dot(F.col(f"{alias_a}.e"), F.col(f"{alias_b}.e")) / (
         F.col(f"{alias_a}.e_norm") * F.col(f"{alias_b}.e_norm")
     )
+
+
+def cosine_sim_pd(vec_a, norm_a, vec_b, norm_b) -> Column:
+    """Arrow-batched twin of ``dot(a, b) / (norm_a * norm_b)`` — the
+    pair-scoring hot path of every candidate-verification join (ANN
+    search, kNN graph, embedding dedup, threshold join). The JVM
+    expression runs ~2*dim interpreted lambda calls PER PAIR (HOFs
+    evaluate outside codegen), which is the dominant cost once cell
+    joins emit millions of candidate pairs; the kernel is a
+    vectorized fold over the batch.
+
+    Bit-identity with the expression (pinned in
+    tests/test_similarity.py) comes from replaying the fold's float
+    sequence exactly: per dimension one rounded product then one
+    rounded add (numpy elementwise ops never fuse), and the norm
+    product rounded once before the divide — so swapping it in
+    changes no query result and invalidates no DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _cos(a_col, na_col, b_col, nb_col):
+        n = len(a_col)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack([np.asarray(x, dtype=np.float64) for x in a_col])
+        b = np.stack([np.asarray(x, dtype=np.float64) for x in b_col])
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(a.shape[1]):
+            acc += a[:, d] * b[:, d]
+        denom = np.asarray(na_col, dtype=np.float64) * np.asarray(
+            nb_col, dtype=np.float64
+        )
+        return pd.Series(acc / denom)
+
+    cos_udf = F.pandas_udf(_cos, "double")
+
+    def _c(c):
+        return F.col(c) if isinstance(c, str) else c
+
+    return cos_udf(_c(vec_a), _c(norm_a), _c(vec_b), _c(norm_b))

@@ -658,7 +658,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     here; production near-dup thresholds (>= 0.8) concentrate
     neighbors into far fewer probed cells.
     """
-    from go_integ_spark.functions.vector import dot, with_norm
+    from go_integ_spark.functions.vector import cosine_sim_pd, with_norm
     from go_integ_spark.operators.similarity import ivf_centroids, nearest_cells_pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -690,7 +690,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("e_norm").alias("nb"),
     )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    sim = cosine_sim_pd("ea", "na", "eb", "nb")
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")

@@ -6,7 +6,8 @@ corpus (50k docs / 20k vectors, deterministic seed, with injected
 near-dup clusters AND a heavy 16-word boilerplate paragraph to
 pressure both the LSH ``max_bucket`` cap and the paragraph-dedup hot
 hash key), runs ``dedup_minhash_lsh``, ``ann_ivf_topk``,
-``ann_ivfpq_topk``, and ``dedup_paragraph``
+``ann_ivfpq_topk``, ``dedup_paragraph``, ``embedding_knn_graph``,
+and ``text_bpe_vocab``
 against it, and reports per-stage shuffle volume and task-time skew
 from the Spark UI REST API. The pass criterion (recorded in
 STATUS.md) is no task over 10x the median task time in any shuffle
@@ -149,6 +150,11 @@ def main() -> None:
         "ann_ivf_topk",
         "ann_ivfpq_topk",
         "dedup_paragraph",
+        # round-5 additions with a distinct scale shape: the
+        # whole-corpus kNN cell join (probe side NOT broadcastable)
+        # and the corpus-once + bounded-collect BPE trainer.
+        "embedding_knn_graph",
+        "text_bpe_vocab",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()

@@ -620,3 +620,33 @@ def test_nearest_cells_kernel_matches_expression(spark):
         new = v.select("vec_id", nearest_cells_pd(crow, n_probe).alias("p"))
         assert new.exceptAll(old).count() == 0, n_probe
         assert old.exceptAll(new).count() == 0, n_probe
+
+
+def test_cosine_kernel_matches_jvm_expression(spark):
+    """cosine_sim_pd must emit the EXACT doubles of the
+    dot/(norm*norm) higher-order expression it replaced in the pair
+    scorers — same fold order, same rounding points — across a full
+    self-join's worth of pairs."""
+    from go_integ_spark.functions.vector import cosine_sim_pd, dot, with_norm
+    from go_integ_spark.tables import load_table
+
+    v = with_norm(
+        load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ).limit(80)
+    a = v.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("e_norm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("e_norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    expr_sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    both = pairs.select(
+        "va",
+        "vb",
+        expr_sim.alias("s_expr"),
+        cosine_sim_pd("ea", "na", "eb", "nb").alias("s_kern"),
+    ).collect()
+    assert len(both) == 80 * 79 // 2
+    for r in both:
+        assert r["s_expr"] == r["s_kern"], (r["va"], r["vb"])
