@@ -807,3 +807,163 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+ATTRIBUTION_DAYS = 7
+
+
+@register(
+    "asof_join_click_attribution",
+    tags=("join", "asof", "window"),
+    oracle=f"""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, 0 AS kind FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, event_id, 1 AS kind FROM events WHERE event_type = 'purchase'
+), w AS (
+    SELECT user_id, ts, event_id, kind,
+           min(CASE WHEN kind = 1 THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, kind, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS next_purchase_us
+    FROM tagged
+)
+SELECT event_id, user_id, ts,
+       CAST(CASE WHEN next_purchase_us - epoch_us(ts)
+                      <= {ATTRIBUTION_DAYS} * 86400000000 THEN next_purchase_us
+            END AS BIGINT) AS attributed_purchase_us,
+       coalesce(next_purchase_us - epoch_us(ts)
+                    <= {ATTRIBUTION_DAYS} * 86400000000, FALSE) AS attributed
+FROM w WHERE kind = 0
+""",
+)
+def asof_join_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance window — the attribution
+    query (each click matched to the user's next purchase at-or-after
+    it, only if within 7 days). The mirror of
+    ``asof_join_purchase_click``: same union + single-shuffle window
+    shape, but the running aggregate is a suffix-min over the
+    FOLLOWING frame instead of a prefix-max — both directions of
+    as-of now exist as first-class queries. O(1) state per partition,
+    unchanged at 100 TB.
+
+    Ordering (ts, kind, event_id) is total and puts clicks (kind 0)
+    before purchases at equal timestamps, so a same-instant purchase
+    is attributable — the same convention, mirrored, that the
+    backward query uses.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = F.min(F.when(F.col("kind") == 1, F.unix_micros(F.col("ts")))).over(w)
+    horizon = ATTRIBUTION_DAYS * 86_400_000_000
+    in_window = (F.col("next_purchase_us") - F.unix_micros(F.col("ts"))) <= horizon
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("next_purchase_us", nxt)
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(in_window, F.col("next_purchase_us"))
+            .cast("bigint")
+            .alias("attributed_purchase_us"),
+            F.coalesce(in_window, F.lit(False)).alias("attributed"),
+        )
+    )
+
+
+RFM_BUCKETS = 5
+
+
+@register(
+    "events_rfm",
+    tags=("events", "window", "scoring"),
+    oracle=f"""
+WITH px AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), anchor AS (
+    SELECT max(ts) AS mx FROM px
+), rfm AS (
+    SELECT p.user_id,
+           CAST(date_diff('day', max(p.ts), a.mx) AS BIGINT) AS recency_days,
+           CAST(count(*) AS BIGINT) AS frequency,
+           round(sum(p.value), 4) AS monetary
+    FROM px p CROSS JOIN anchor a
+    GROUP BY p.user_id, a.mx
+)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(ntile({RFM_BUCKETS}) OVER (
+           ORDER BY recency_days, user_id) AS INT) AS r_score,
+       CAST(ntile({RFM_BUCKETS}) OVER (
+           ORDER BY frequency DESC, user_id) AS INT) AS f_score,
+       CAST(ntile({RFM_BUCKETS}) OVER (
+           ORDER BY monetary DESC, user_id) AS INT) AS m_score
+FROM rfm
+""",
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer scoring — the
+    classic segmentation aggregate: per purchasing user, days since
+    last purchase (vs the corpus max — deterministic anchor),
+    purchase count, total spend, and quintile scores for each
+    (ntile over a TOTAL order: metric then user_id, so both engines
+    tile identically).
+
+    Scale note: the per-user rollup is one map-side-combined
+    aggregation; the ntile windows are global single-partition sorts
+    over the USER table (users << events). At extreme user counts the
+    scores would come from approx-quantile cuts against the same
+    rollup (the embedding_outliers two-pass pattern) instead of a
+    global sort — documented trade, not needed at gate scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    px = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    anchor = px.agg(F.max("ts").alias("mx"))
+    rfm = (
+        px.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "mx")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff(F.to_date("mx"), F.to_date("last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )

@@ -81,3 +81,41 @@ def test_histogram_partitions_the_corpus(spark):
         nxt = by_bucket.get(b + 1)
         if nxt is not None:
             assert abs(r["bin_hi"] - nxt["bin_lo"]) < 1e-9
+
+
+def test_click_attribution_window_semantics(spark, tmp_path):
+    """Forward as-of: a click attributes to the NEXT purchase
+    at-or-after it only within the 7-day window; same-instant
+    purchases attribute; clicks with no later purchase stay NULL."""
+    from datetime import datetime
+
+    from go_integ_spark.operators.advanced import asof_join_click_attribution
+
+    def ts(day, hour=0):
+        return datetime(2024, 1, day, hour)
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, ts(1), 1, "click", 0.0, "{}"),      # purchase same instant -> attributed
+        (2, ts(1), 1, "purchase", 5.0, "{}"),
+        (3, ts(2), 1, "click", 0.0, "{}"),      # next purchase day 20 -> outside window
+        (4, ts(20), 1, "purchase", 5.0, "{}"),
+        (5, ts(25), 1, "click", 0.0, "{}"),     # no later purchase -> NULL
+        (6, ts(3), 2, "click", 0.0, "{}"),      # purchase day 9 -> inside 7d? 6 days -> yes
+        (7, ts(9), 2, "purchase", 1.0, "{}"),
+    ]
+    path = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(path + "/events.parquet")
+    got = {
+        r["event_id"]: (r["attributed"], r["attributed_purchase_us"])
+        for r in asof_join_click_attribution(spark, path).collect()
+    }
+    us = lambda d: int(datetime(2024, 1, d).timestamp() * 1_000_000)
+    assert got[1] == (True, us(1))
+    assert got[3] == (False, None)
+    assert got[5] == (False, None)
+    assert got[6] == (True, us(9))
