@@ -87,3 +87,32 @@ def cosine_sim_pd(vec_a, norm_a, vec_b, norm_b) -> Column:
         return F.col(c) if isinstance(c, str) else c
 
     return cos_udf(_c(vec_a), _c(norm_a), _c(vec_b), _c(norm_b))
+
+
+def squared_dist_pd(vec_a, vec_b) -> Column:
+    """Arrow-batched twin of the squared-euclidean fold
+    ``aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0.0, +)`` —
+    same per-dimension rounded subtract/multiply/add sequence, so the
+    output doubles are bit-identical to the JVM expression (pinned in
+    tests/test_similarity.py)."""
+    import numpy as np
+    import pandas as pd
+
+    def _d2(a_col, b_col):
+        n = len(a_col)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack([np.asarray(x, dtype=np.float64) for x in a_col])
+        b = np.stack([np.asarray(x, dtype=np.float64) for x in b_col])
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(a.shape[1]):
+            diff = a[:, d] - b[:, d]
+            acc += diff * diff
+        return pd.Series(acc)
+
+    d2_udf = F.pandas_udf(_d2, "double")
+
+    def _c(c):
+        return F.col(c) if isinstance(c, str) else c
+
+    return d2_udf(_c(vec_a), _c(vec_b))

@@ -416,34 +416,47 @@ def kmeans_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]]) 
     the assign step's 100 TB shape: the corpus never moves, only the
     tiny centroid set does.
     """
-    cent = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+    import numpy as np
+    import pandas as pd
+
+    assert [c for c, _ in centroids] == sorted(c for c, _ in centroids)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+
+    # Arrow-batched argmin, bit-identical to the former
+    # array_min(transform(...)) expression (K * dim interpreted
+    # lambdas per row): per dimension one rounded subtract, multiply,
+    # add — numpy never fuses — and np.argmin's first-occurrence tie
+    # rule equals the (dist2, cid) struct ordering because cids
+    # ascend. tests/test_kmeans.py pins kernel == expression.
+    def _best(col):
+        n = len(col)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "cid": pd.Series([], dtype="int32"),
+                    "dist2": pd.Series([], dtype="float64"),
+                }
             )
-            for cid, vec in centroids
-        ]
-    )
-    dists = F.transform(
-        cent,
-        lambda s: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"), s["c"], lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist2"),
-            s["cid"].alias("cid"),
-        ),
-    )
-    best = F.array_min(dists)  # struct ordering: dist2 first, cid tie-break
-    return vectors.select(
+        e = np.stack([np.asarray(x, dtype=np.float64) for x in col])
+        acc = np.zeros((n, cmat.shape[0]), dtype=np.float64)
+        for d in range(cmat.shape[1]):
+            diff = e[:, d : d + 1] - cmat[:, d][None, :]
+            acc += diff * diff
+        idx = np.argmin(acc, axis=1)
+        return pd.DataFrame(
+            {
+                "cid": cids[idx].astype("int32"),
+                "dist2": acc[np.arange(n), idx],
+            }
+        )
+
+    best_udf = F.pandas_udf(_best, "cid int, dist2 double")
+    return vectors.withColumn("_b", best_udf(F.col("embedding"))).select(
         "vec_id",
         "embedding",
-        best["cid"].alias("cid"),
-        best["dist2"].alias("dist2"),
+        F.col("_b.cid").alias("cid"),
+        F.col("_b.dist2").alias("dist2"),
     )
 
 
@@ -553,14 +566,9 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("label", F.col("pm.m").alias("c"))
     )
-    dist2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("e"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        4,
-    )
+    from go_integ_spark.functions.vector import squared_dist_pd
+
+    dist2 = F.round(squared_dist_pd("e", "c"), 4)
     d = emb.join(F.broadcast(cent), "label").select(
         "vec_id", "label", dist2.alias("dist2")
     )

@@ -78,3 +78,52 @@ def test_kmeans_beats_label_partition_wcss(spark):
     final = kmeans_assign(emb.select("vec_id", "embedding"), cents)
     kmeans_wcss = final.agg(F.sum("dist2")).first()[0]
     assert kmeans_wcss < label_wcss, (kmeans_wcss, label_wcss)
+
+
+def test_assign_kernel_matches_jvm_expression(spark):
+    """The Arrow-batched assign kernel must emit exactly the (cid,
+    dist2) the former array_min(transform(...)) expression produced —
+    same fold floats, same lowest-cid tie rule."""
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.operators.similarity import KMEANS_K, kmeans_assign
+    from go_integ_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < KMEANS_K).collect()
+    )
+    centroids = [(i, vec) for i, (_, vec) in enumerate(centroids)]
+
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    dists = F.transform(
+        cent,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), s["c"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+            s["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(dists)
+    expr = emb.select(
+        "vec_id", best["cid"].alias("cid"), best["dist2"].alias("dist2")
+    )
+    kern = kmeans_assign(emb, centroids).select("vec_id", "cid", "dist2")
+    assert kern.exceptAll(expr).count() == 0
+    assert expr.exceptAll(kern).count() == 0

@@ -650,3 +650,26 @@ def test_cosine_kernel_matches_jvm_expression(spark):
     assert len(both) == 80 * 79 // 2
     for r in both:
         assert r["s_expr"] == r["s_kern"], (r["va"], r["vb"])
+
+
+def test_squared_dist_kernel_matches_jvm_expression(spark):
+    """squared_dist_pd must equal the (x-y)^2 fold expression bit for
+    bit (embedding_outliers' oracle depends on those exact doubles)."""
+    from go_integ_spark.functions.vector import as_double, squared_dist_pd
+    from go_integ_spark.tables import load_table
+
+    v = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("va"), F.col("e").alias("ea")).limit(60)
+    b = v.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb")).limit(60)
+    pairs = a.join(b, F.col("va") < F.col("vb"))
+    expr = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows = pairs.select(
+        expr.alias("d_expr"), squared_dist_pd("ea", "eb").alias("d_kern")
+    ).collect()
+    assert rows and all(r["d_expr"] == r["d_kern"] for r in rows)
