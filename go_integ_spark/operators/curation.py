@@ -687,3 +687,183 @@ def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         h60(F.concat(did, F.lit(f":{SHUFFLE_SALT}"))).alias("sort_key"),
         F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
     )
+
+
+# Embedding-level decontamination settings: eval split = every 10th
+# vector; similarity bar matches dedup_embedding_cosine's verified
+# recall-1.0 operating point (6 probed cells at 0.45 on this corpus).
+CONTAM_EMB_THRESHOLD = 0.45
+CONTAM_EMB_PROBES = 6
+
+
+@register(
+    "contamination_embedding",
+    tags=("curation", "contamination", "vector"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), ev AS (
+    SELECT * FROM v WHERE vec_id % 10 = 0
+), tr AS (
+    SELECT * FROM v WHERE vec_id % 10 <> 0
+), best AS (
+    SELECT eval_id, train_id, s FROM (
+        SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+               list_cosine_similarity(ev.e, tr.e) AS s,
+               row_number() OVER (
+                   PARTITION BY ev.vec_id
+                   ORDER BY list_cosine_similarity(ev.e, tr.e) DESC, tr.vec_id
+               ) AS rn
+        FROM ev JOIN tr
+          ON list_cosine_similarity(ev.e, tr.e) >= {CONTAM_EMB_THRESHOLD}
+    ) WHERE rn = 1
+)
+SELECT ev.vec_id AS eval_id,
+       (b.eval_id IS NOT NULL) AS contaminated,
+       b.train_id AS best_train_id,
+       round(b.s, 4) AS best_cos
+FROM ev LEFT JOIN best b ON b.eval_id = ev.vec_id
+""",
+)
+def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/eval decontamination — the semantic twin
+    of ``contamination_ngram_overlap``: an eval item is contaminated
+    when any training item sits above cosine 0.45 (paraphrases and
+    near-translations that n-gram overlap misses). Output: one row
+    per eval vector with the verdict and its closest training match.
+
+    Scale shape mirrors dedup_embedding_cosine (shared IVF cells, no
+    cross join): both splits probe their {CONTAM_EMB_PROBES} nearest
+    cells, candidates come from one cell equi-join, exact cosine
+    verifies, and the per-eval best is a bounded window. The
+    brute-force oracle re-asserts candidate recall 1.0 at this
+    operating point every gate run. At 100 TB the train side is
+    written partitioned by cell_id, so each eval batch reads only its
+    probed cells.
+    """
+    from go_integ_spark.functions.vector import cosine_sim_pd, with_norm
+    from go_integ_spark.operators.similarity import ivf_centroids, nearest_cells_pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    (crow,) = ivf_centroids(v).collect()
+    probed = v.select(
+        "vec_id",
+        "e",
+        "e_norm",
+        F.explode(nearest_cells_pd(crow, CONTAM_EMB_PROBES)).alias("cell_id"),
+    )
+    ev = probed.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("e").alias("ee"),
+        F.col("e_norm").alias("en"),
+        "cell_id",
+    )
+    tr = probed.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("e").alias("te"),
+        F.col("e_norm").alias("tn"),
+        "cell_id",
+    )
+    cand = (
+        ev.join(tr, "cell_id")
+        .select("eval_id", "train_id", "ee", "en", "te", "tn")
+        .dropDuplicates(["eval_id", "train_id"])
+    )
+    scored = cand.withColumn(
+        "s", cosine_sim_pd("ee", "en", "te", "tn")
+    ).filter(F.col("s") >= CONTAM_EMB_THRESHOLD)
+    w = Window.partitionBy("eval_id").orderBy(F.col("s").desc(), "train_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("eval_id", "train_id", "s")
+    )
+    evals = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id")
+    )
+    return evals.join(best, "eval_id", "left").select(
+        "eval_id",
+        F.col("train_id").isNotNull().alias("contaminated"),
+        F.col("train_id").alias("best_train_id"),
+        F.round(F.col("s"), 4).alias("best_cos"),
+    )
+
+
+DIVERSITY_PER_CELL = 2
+
+
+@register(
+    "curation_diversity_sample",
+    tags=("curation", "sampling", "vector"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT 16
+), assigned AS (
+    SELECT vec_id, cent_id AS cell_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS arn
+        FROM v CROSS JOIN cent c
+    ) WHERE arn = 1
+), picked AS (
+    SELECT vec_id, cell_id, CAST(rn AS INT) AS pick_rank FROM (
+        SELECT vec_id, cell_id,
+               row_number() OVER (
+                   PARTITION BY cell_id
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rn
+        FROM assigned
+    ) WHERE rn <= {DIVERSITY_PER_CELL}
+)
+SELECT p.vec_id AS doc_id, p.cell_id, p.pick_rank, d.lang
+FROM picked p JOIN documents d ON d.doc_id = p.vec_id
+""",
+)
+def curation_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware curation sampling: instead of uniform or
+    per-language strata (``sample_stratified``), pick a fixed quota
+    per EMBEDDING-SPACE cell — the cheap MMR stand-in that guarantees
+    the sample spans content space rather than oversampling the dense
+    head. Strata come from the shared IVF cell assignment; the
+    in-cell pick is a deterministic md5 rank (the engine-portable
+    randomness convention), joined back to the documents table for
+    its metadata.
+
+    Scale shape: assignment is the Arrow-batched map
+    (``nearest_cells_pd``); the per-cell pick is a window over K
+    bounded groups of hash ranks — only (vec_id, cell_id, rank) rows
+    move, and the documents join is id-equi (broadcastable at quota
+    scale: output is K * quota rows).
+    """
+    from go_integ_spark.functions.vector import with_norm
+    from go_integ_spark.operators.similarity import ivf_centroids, nearest_cells_pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    (crow,) = ivf_centroids(v).collect()
+    assigned = v.select(
+        "vec_id", F.element_at(nearest_cells_pd(crow, 1), 1).alias("cell_id")
+    )
+    w = Window.partitionBy("cell_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    picked = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= DIVERSITY_PER_CELL)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "cell_id",
+            F.col("rn").cast("int").alias("pick_rank"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return picked.join(docs, "doc_id").select(
+        "doc_id", "cell_id", "pick_rank", "lang"
+    )

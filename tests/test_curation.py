@@ -83,3 +83,61 @@ def test_boilerplate_drop_fires_on_templated_corpus(spark, tmp_path):
     assert all(r["boiler_ratio"] > 0.5 for r in templated)
     fresh = [out[100 + i] for i in range(3)]
     assert all(r["keep"] for r in fresh)
+
+
+def test_contamination_embedding_recall_vs_bruteforce(spark):
+    """Cell-join candidate generation must not miss any contaminated
+    (eval, train) pair the brute-force check finds at the threshold —
+    recall 1.0 is the property that makes the brute-force oracle
+    valid for the IVF-probed implementation."""
+    import itertools
+
+    import numpy as np
+
+    from go_integ_spark.operators.curation import (
+        CONTAM_EMB_THRESHOLD,
+        contamination_embedding,
+    )
+    from go_integ_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["eval_id"]: (r["contaminated"], r["best_train_id"])
+        for r in contamination_embedding(spark, sf).collect()
+    }
+    emb = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for ev in (i for i in emb if i % 10 == 0):
+        best, best_s = None, CONTAM_EMB_THRESHOLD
+        for tr in (i for i in emb if i % 10 != 0):
+            s = float(
+                emb[ev] @ emb[tr]
+                / (np.linalg.norm(emb[ev]) * np.linalg.norm(emb[tr]))
+            )
+            if s > best_s or (s == best_s and best is None):
+                if s >= CONTAM_EMB_THRESHOLD and (best is None or s > best_s):
+                    best, best_s = tr, s
+        assert got[ev][0] == (best is not None), ev
+
+
+def test_diversity_sample_spans_cells(spark):
+    """Every populated cell contributes exactly min(cell_size, quota)
+    picks, ranks are 1..quota, and no doc repeats."""
+    from collections import Counter
+
+    from go_integ_spark.operators.curation import (
+        DIVERSITY_PER_CELL,
+        curation_diversity_sample,
+    )
+
+    rows = curation_diversity_sample(spark, "/root/testdata/sf0.001").collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+    per_cell = Counter(r["cell_id"] for r in rows)
+    assert all(1 <= n <= DIVERSITY_PER_CELL for n in per_cell.values())
+    for r in rows:
+        assert 1 <= r["pick_rank"] <= DIVERSITY_PER_CELL
