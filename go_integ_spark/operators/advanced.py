@@ -750,11 +750,9 @@ def agg_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HIST_BINS = 20
 
-
-@register(
-    "agg_histogram",
-    tags=("agg", "histogram", "two_pass"),
-    oracle=f"""
+# Shared with streaming_histogram: driven to completion, the streamed
+# bucket counts must equal this batch result exactly.
+HISTOGRAM_ORACLE = f"""
 WITH stats AS (
     SELECT min(value) AS mn, max(value) AS mx FROM events
 ), b AS (
@@ -769,7 +767,13 @@ SELECT bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM b
 GROUP BY bucket, mn, mx
-""",
+"""
+
+
+@register(
+    "agg_histogram",
+    tags=("agg", "histogram", "two_pass"),
+    oracle=HISTOGRAM_ORACLE,
 )
 def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of the event value distribution — the

@@ -561,3 +561,59 @@ def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_stream(spark, path, schema, max_files_per_trigger=2)
     deduped = paragraph_hashes(stream).select("ph").dropDuplicates(["ph"])
     return _run_to_memory(deduped, "append", "spr")
+
+
+from go_integ_spark.operators.advanced import HISTOGRAM_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_histogram",
+    tags=("streaming", "histogram", "two_pass"),
+    oracle=HISTOGRAM_ORACLE,  # driven to completion == the batch histogram
+)
+def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline-fit / online-apply histogram: the (min, max) bounds
+    come from a batch pass (two scalars — the 'fitted' value range),
+    then the STREAMING engine buckets every event row-locally against
+    those literal bounds and maintains the per-bucket counts in the
+    state store (complete mode, availableNow). Driven to completion
+    the result equals ``agg_histogram`` exactly, so it shares its
+    full value oracle — the same fit-offline/apply-online contract as
+    ``streaming_anomaly_mad``, exercised here on a global (non-keyed,
+    non-windowed) running aggregation, which no other streaming query
+    covers.
+
+    The literal bounds are the same IEEE doubles the batch query's
+    broadcast (min, max) row carries, so bucket boundaries are
+    bit-identical.
+    """
+    from go_integ_spark.operators.advanced import HIST_BINS
+
+    ev = load_table(spark, sf_dir, "events")
+    (stats,) = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    ).collect()
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+
+    path, schema = _events_stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(path)
+    )
+    bucket = F.least(
+        F.floor(((F.col("value") - F.lit(mn)) * HIST_BINS) / F.lit(mx - mn)),
+        F.lit(HIST_BINS - 1),
+    ).cast("int")
+    counts = stream.select(bucket.alias("bucket")).groupBy("bucket").count()
+    out = _run_to_memory(counts, "complete", "hist")
+    width = (mx - mn) / HIST_BINS
+    return out.select(
+        "bucket",
+        F.round(F.lit(mn) + F.col("bucket") * F.lit(width), 4).alias("bin_lo"),
+        F.round(F.lit(mn) + (F.col("bucket") + 1) * F.lit(width), 4).alias(
+            "bin_hi"
+        ),
+        F.col("count").cast("bigint").alias("n"),
+    )
+
