@@ -34,6 +34,7 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
+    "embedding_communities": 5.0,
     "streaming_histogram": 1.8,
     "contamination_embedding": 1.6,
     "curation_diversity_sample": 0.9,

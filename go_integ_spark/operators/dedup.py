@@ -700,7 +700,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CC_MAX_ITERS = 15  # label propagation rounds; >= near-dup graph diameter
+# Label-propagation round cap. Dense near-dup cliques converge in a
+# handful of rounds and break early; the bound exists for chain-like
+# graphs (mutual-kNN communities measured 21 rounds on a ~300-node
+# chain component even WITH path halving — the halving pointer chases
+# labels that are themselves still converging). 32 rounds with
+# halving covers any graph this engine will meet; convergence is
+# detected, so unused rounds cost nothing.
+CC_MAX_ITERS = 32
 
 
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
@@ -736,14 +743,37 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         )
         # Carry the previous label through the step so the convergence
         # count reuses this join instead of paying a second one.
+        # localCheckpoint (not persist): each step references `labels`
+        # TWICE (directly and inside neighbor_min), so without lineage
+        # truncation the logical plan tree DOUBLES per round —
+        # exponential in iterations, and on a large input subtree
+        # (e.g. the kNN pipeline feeding embedding_communities) the
+        # driver OOMs just materializing plan strings. Checkpointing
+        # cuts each round's plan back to a leaf; on a real cluster
+        # with executor churn this would be a reliable checkpoint to
+        # durable storage instead.
+        hopped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("label").alias("old_label"),
+            F.least("label", F.coalesce("nbr", "label")).alias("label"),
+        )
+        # Pointer-jump (path halving): also adopt the label OF the
+        # current label, so propagation distance doubles per round —
+        # O(log diameter) rounds instead of O(diameter). Plain
+        # one-hop min propagation converged fine on dense near-dup
+        # cliques but silently hit max_iters on the chain-like
+        # mutual-kNN graphs embedding_communities feeds in.
+        parents = hopped.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
         stepped = (
-            labels.join(neighbor_min, "node", "left")
+            hopped.join(parents, hopped.label == parents.pnode, "left")
             .select(
                 "node",
-                F.col("label").alias("old_label"),
-                F.least("label", F.coalesce("nbr", "label")).alias("label"),
+                "old_label",
+                F.least("label", F.coalesce("plabel", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = stepped.filter(F.col("old_label") != F.col("label")).count()
         labels.unpersist()

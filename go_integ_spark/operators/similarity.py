@@ -1502,11 +1502,10 @@ KNN_GRAPH_K = 5
 KNN_GRAPH_PROBES = 2
 
 
-@register(
-    "embedding_knn_graph",
-    tags=("similarity", "graph", "vector"),
-    oracle=f"""
-WITH v AS (
+# Shared CTE chain (v -> cent[sqrt-K] -> assigned -> probes -> scored
+# -> knn) reused by embedding_knn_graph and embedding_communities.
+_KNN_CTES = f"""
+v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), cent AS (
     -- sqrt-scaled cell count (the faiss nlist rule), same formula the
@@ -1552,6 +1551,13 @@ WITH v AS (
         FROM scored
     ) WHERE rn <= {KNN_GRAPH_K}
 )
+"""
+
+
+@register(
+    "embedding_knn_graph",
+    tags=("similarity", "graph", "vector"),
+    oracle="WITH " + _KNN_CTES + """
 SELECT k.src_id, k.dst_id, round(k.s, 4) AS cos_sim,
        CAST(k.rn AS INT) AS rank,
        (r.src_id IS NOT NULL) AS mutual
@@ -1628,4 +1634,72 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("e.s"), 4).alias("cos_sim"),
         F.col("e.rn").cast("int").alias("rank"),
         "mutual",
+    )
+
+
+@register(
+    "embedding_communities",
+    tags=("similarity", "graph", "iterative"),
+    oracle="WITH RECURSIVE " + _KNN_CTES + """,
+medges AS (
+    SELECT k.src_id AS src, k.dst_id AS dst
+    FROM knn k
+    JOIN knn r ON r.src_id = k.dst_id AND r.dst_id = k.src_id
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM medges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN medges e ON r.dst = e.src
+),
+lab AS (
+    SELECT src AS node, least(src, min(dst)) AS community FROM reach GROUP BY src
+),
+memb AS (
+    SELECT v.vec_id, coalesce(l.community, v.vec_id) AS community_id
+    FROM v LEFT JOIN lab l ON l.node = v.vec_id
+)
+SELECT m.vec_id, m.community_id, CAST(c.n AS BIGINT) AS community_size
+FROM memb m
+JOIN (
+    SELECT community_id, count(*) AS n FROM memb GROUP BY community_id
+) c USING (community_id)
+""",
+)
+def embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic community detection: connected components over the
+    MUTUAL-kNN edge set (the high-precision subgraph of
+    ``embedding_knn_graph``) — the clustering pass that groups a
+    corpus into topical islands for curation mix decisions, per-
+    community caps, or near-dup triage. Every vector gets a
+    community id (its component's smallest vec_id; singletons keep
+    their own id) and the community size.
+
+    Reuses the dedup CC machinery (min-label propagation, one shuffle
+    per round, persisted edge list, driver holds two longs) on the
+    mutual edges; like ``dedup_clusters`` the iteration is still
+    SQL-expressible as a recursive CTE, so it keeps a full value
+    oracle.
+    """
+    from go_integ_spark.operators.dedup import connected_components
+
+    g = embedding_knn_graph(spark, sf_dir)
+    edges = g.filter(F.col("mutual")).select(
+        F.col("src_id").alias("doc_a"), F.col("dst_id").alias("doc_b")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("vec_id"), F.col("component").alias("community_id")
+    )
+    all_ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("community_id", F.col("vec_id")).alias("community_id")
+        )
+    )
+    sizes = all_ids.groupBy("community_id").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return all_ids.join(sizes, "community_id").select(
+        "vec_id", "community_id", "community_size"
     )
