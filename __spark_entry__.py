@@ -34,6 +34,7 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
+    "events_top_paths": 0.5,
     "embedding_communities": 5.0,
     "streaming_histogram": 1.8,
     "contamination_embedding": 1.6,

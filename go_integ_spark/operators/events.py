@@ -521,3 +521,56 @@ def flag_mad_anomalies(scored: DataFrame) -> DataFrame:
         F.round("mad", 4).alias("mad"),
         (dev > MAD_SIGMAS * MAD_SCALE * F.col("mad")).alias("is_anomaly"),
     )
+
+
+PATH_MIN_COUNT = 5
+
+
+@register(
+    "events_top_paths",
+    tags=("events", "sequence", "window"),
+    oracle=f"""
+WITH tri AS (
+    SELECT event_type AS s1,
+           lead(event_type, 1) OVER uw AS s2,
+           lead(event_type, 2) OVER uw AS s3
+    FROM events
+    WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_paths
+FROM tri
+WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+GROUP BY s1, s2, s3
+HAVING count(*) >= {PATH_MIN_COUNT}
+""",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the frequent 3-step event-type
+    sequences in each user's ordered event stream — the discovery
+    counterpart to the pairwise ``events_transition_matrix`` (paths
+    answer "what do users actually do", funnels then test a
+    hypothesis). Trigram extraction is two ``lead`` calls over the
+    per-user window — NO per-user array collection, so a
+    million-event user costs the same per row as a light one. To
+    scope paths to sessions instead, add the ``events_sessionize``
+    session_seq to the window partition key (this corpus's sessions
+    are near-singletons — 9,549 sessions over 10,000 events at gate
+    scale — so the user stream is the meaningful unit here).
+
+    One shuffle on user_id serves the leads; the count aggregate
+    shuffles (type^3)-bounded rows with map-side combine, and the
+    min-count floor keeps output vocabulary-scaled.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(uw).alias("s2"),
+        F.lead("event_type", 2).over(uw).alias("s3"),
+    )
+    return (
+        tri.filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .filter(F.col("n_paths") >= PATH_MIN_COUNT)
+    )
