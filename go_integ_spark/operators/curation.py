@@ -747,32 +747,40 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
     (crow,) = ivf_centroids(v).collect()
+    # Candidate generation moves IDS ONLY (the dedup_embedding_cosine
+    # shape): the probe explode and cell join shuffle 16-byte pairs,
+    # and vectors are re-attached once per distinct pair afterwards —
+    # shuffling the exploded vectors themselves would carry 6x dim
+    # doubles per candidate for no semantic difference.
     probed = v.select(
         "vec_id",
-        "e",
-        "e_norm",
         F.explode(nearest_cells_pd(crow, CONTAM_EMB_PROBES)).alias("cell_id"),
     )
-    ev = probed.filter(F.col("vec_id") % 10 == 0).select(
+    ev_ids = probed.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"), "cell_id"
+    )
+    tr_ids = probed.filter(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("train_id"), "cell_id"
+    )
+    cand = (
+        ev_ids.join(tr_ids, "cell_id").select("eval_id", "train_id").distinct()
+    )
+    ev_vecs = v.select(
         F.col("vec_id").alias("eval_id"),
         F.col("e").alias("ee"),
         F.col("e_norm").alias("en"),
-        "cell_id",
     )
-    tr = probed.filter(F.col("vec_id") % 10 != 0).select(
+    tr_vecs = v.select(
         F.col("vec_id").alias("train_id"),
         F.col("e").alias("te"),
         F.col("e_norm").alias("tn"),
-        "cell_id",
     )
-    cand = (
-        ev.join(tr, "cell_id")
-        .select("eval_id", "train_id", "ee", "en", "te", "tn")
-        .dropDuplicates(["eval_id", "train_id"])
+    scored = (
+        cand.join(ev_vecs, "eval_id")
+        .join(tr_vecs, "train_id")
+        .withColumn("s", cosine_sim_pd("ee", "en", "te", "tn"))
+        .filter(F.col("s") >= CONTAM_EMB_THRESHOLD)
     )
-    scored = cand.withColumn(
-        "s", cosine_sim_pd("ee", "en", "te", "tn")
-    ).filter(F.col("s") >= CONTAM_EMB_THRESHOLD)
     w = Window.partitionBy("eval_id").orderBy(F.col("s").desc(), "train_id")
     best = (
         scored.withColumn("rn", F.row_number().over(w))

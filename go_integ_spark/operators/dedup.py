@@ -711,14 +711,15 @@ CC_MAX_ITERS = 32
 
 
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
-    """(node, component): min-doc-id label propagation over an
-    undirected edge list. Each round is ONE shuffle (groupBy node
-    after an edge join); rounds needed = graph diameter, which for
-    near-dup graphs is tiny (dup clusters are dense cliques-ish).
-    Convergence is checked with a count per round — the driver holds
-    two longs, never the graph. At 100 TB this is the standard
-    alternating label-propagation CC; for adversarial long-chain
-    graphs swap in large-star/small-star (same building blocks).
+    """(node, component): min-doc-id label propagation with path
+    halving over an undirected edge list. Each round is one
+    neighbor-min hop (edge join + groupBy) plus one pointer-jump
+    self-join on the persisted hop result; rounds needed =
+    O(log diameter) thanks to the halving (dense near-dup cliques
+    converge in a handful either way). Convergence is checked with a
+    count per round — the driver holds two longs, never the graph.
+    At 100 TB this is the standard label-propagation CC; for
+    adversarial graphs large-star/small-star uses the same blocks.
     """
     # Persist the symmetrized edge list BEFORE iterating: the input is
     # typically the full pair-mining pipeline (shingle + bucket join),
@@ -763,6 +764,9 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         # one-hop min propagation converged fine on dense near-dup
         # cliques but silently hit max_iters on the chain-like
         # mutual-kNN graphs embedding_communities feeds in.
+        # hopped feeds BOTH sides of the halving self-join; persist it
+        # so the hop join + aggregation run once per round, not twice.
+        hopped = hopped.persist()
         parents = hopped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
@@ -776,6 +780,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             .localCheckpoint()
         )
         changed = stepped.filter(F.col("old_label") != F.col("label")).count()
+        hopped.unpersist()
         labels.unpersist()
         labels = stepped
         if changed == 0:

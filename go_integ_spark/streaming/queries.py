@@ -596,11 +596,7 @@ def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn, mx = float(stats["mn"]), float(stats["mx"])
 
     path, schema = _events_stream_source(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(path)
-    )
+    stream = read_stream(spark, path, schema, max_files_per_trigger=2)
     bucket = F.least(
         F.floor(((F.col("value") - F.lit(mn)) * HIST_BINS) / F.lit(mx - mn)),
         F.lit(HIST_BINS - 1),
