@@ -1603,12 +1603,67 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e_norm").alias("qe_norm"),
         F.explode(nearest_cells_pd(crow, KNN_GRAPH_PROBES)).alias("cell_id"),
     )
-    sim = cosine_sim_pd("qe", "qe_norm", "e", "e_norm")
+    # Per-cell BLOCK scoring via cogroup, not a row-per-pair join: the
+    # pair join shipped BOTH full vectors for every candidate pair
+    # through the Arrow boundary (~1 KB x pairs — 5 GB at the 50k
+    # smoke); cogrouping moves each cell's vectors ONCE (corpus block
+    # + probe block), scores them as a fold-exact blocked matmul (the
+    # same rounded multiply-add sequence per dimension, so every s is
+    # bit-identical to the pair expression and the DuckDB oracle),
+    # and emits only each src's per-cell top-k (s, dst) rows — the
+    # global top-k over nprobe * k survivors per src is then exact.
+    # Skew note: one cogroup task per cell; the sqrt-N cell count
+    # bounds cell sizes, and a pathological hot cell would be split
+    # by sub-salting the cell key (same trick as salted_topk).
+    import numpy as np
+    import pandas as pd
+
+    k_local = KNN_GRAPH_K
+
+    def _score_cell(corpus_pdf, probe_pdf):
+        n_c, m_c = len(corpus_pdf), len(probe_pdf)
+        if n_c == 0 or m_c == 0:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series([], dtype="int64"),
+                    "dst_id": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        e = np.stack([np.asarray(x, dtype=np.float64) for x in corpus_pdf["e"]])
+        en = corpus_pdf["e_norm"].to_numpy(dtype=np.float64)
+        dst = corpus_pdf["vec_id"].to_numpy(dtype=np.int64)
+        q = np.stack([np.asarray(x, dtype=np.float64) for x in probe_pdf["qe"]])
+        qn = probe_pdf["qe_norm"].to_numpy(dtype=np.float64)
+        src = probe_pdf["src_id"].to_numpy(dtype=np.int64)
+        acc = np.zeros((m_c, n_c), dtype=np.float64)
+        for d in range(q.shape[1]):
+            acc += q[:, d : d + 1] * e[:, d][None, :]
+        sim = acc / (qn[:, None] * en[None, :])
+        out_src, out_dst, out_s = [], [], []
+        for i in range(m_c):
+            row = sim[i]
+            keep = dst != src[i]
+            order = np.lexsort((dst[keep], -row[keep]))[:k_local]
+            d_k = dst[keep][order]
+            out_src.append(np.full(len(d_k), src[i], dtype=np.int64))
+            out_dst.append(d_k)
+            out_s.append(row[keep][order])
+        return pd.DataFrame(
+            {
+                "src_id": np.concatenate(out_src),
+                "dst_id": np.concatenate(out_dst),
+                "s": np.concatenate(out_s),
+            }
+        )
+
     scored = (
-        assigned.join(probes, "cell_id")
-        .filter(F.col("vec_id") != F.col("src_id"))
-        .withColumn("s", sim)
-        .select("src_id", F.col("vec_id").alias("dst_id"), "s")
+        assigned.groupBy("cell_id")
+        .cogroup(probes.groupBy("cell_id"))
+        .applyInPandas(
+            lambda left, right: _score_cell(left, right),
+            "src_id bigint, dst_id bigint, s double",
+        )
     )
     knn = salted_topk(
         scored, "src_id", [F.col("s").desc(), F.col("dst_id")], KNN_GRAPH_K
