@@ -741,45 +741,66 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     written partitioned by cell_id, so each eval batch reads only its
     probed cells.
     """
-    from go_integ_spark.functions.vector import cosine_sim_pd, with_norm
+    from go_integ_spark.functions.vector import with_norm
     from go_integ_spark.operators.similarity import ivf_centroids, nearest_cells_pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
     (crow,) = ivf_centroids(v).collect()
-    # Candidate generation moves IDS ONLY (the dedup_embedding_cosine
-    # shape): the probe explode and cell join shuffle 16-byte pairs,
-    # and vectors are re-attached once per distinct pair afterwards —
-    # shuffling the exploded vectors themselves would carry 6x dim
-    # doubles per candidate for no semantic difference.
+    # Per-cell BLOCK scoring (the dedup_embedding_cosine /
+    # embedding_knn_graph shape): each probed split ships its vectors
+    # to a cell ONCE, the eval x train block is a fold-exact blocked
+    # matmul, and only above-threshold pairs leave the kernel — a
+    # row-per-pair join would push ~1 KB of vectors per candidate
+    # pair through the Arrow boundary.
+    import numpy as np
+    import pandas as pd
+
     probed = v.select(
         "vec_id",
+        "e",
+        "e_norm",
         F.explode(nearest_cells_pd(crow, CONTAM_EMB_PROBES)).alias("cell_id"),
     )
-    ev_ids = probed.filter(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("eval_id"), "cell_id"
-    )
-    tr_ids = probed.filter(F.col("vec_id") % 10 != 0).select(
-        F.col("vec_id").alias("train_id"), "cell_id"
-    )
-    cand = (
-        ev_ids.join(tr_ids, "cell_id").select("eval_id", "train_id").distinct()
-    )
-    ev_vecs = v.select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("e").alias("ee"),
-        F.col("e_norm").alias("en"),
-    )
-    tr_vecs = v.select(
-        F.col("vec_id").alias("train_id"),
-        F.col("e").alias("te"),
-        F.col("e_norm").alias("tn"),
-    )
+    ev_side = probed.filter(F.col("vec_id") % 10 == 0)
+    tr_side = probed.filter(F.col("vec_id") % 10 != 0)
+
+    def _contam_pairs(ev_pdf, tr_pdf):
+        m, n = len(ev_pdf), len(tr_pdf)
+        empty = pd.DataFrame(
+            {
+                "eval_id": pd.Series([], dtype="int64"),
+                "train_id": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="float64"),
+            }
+        )
+        if m == 0 or n == 0:
+            return empty
+        qe = np.stack([np.asarray(x, dtype=np.float64) for x in ev_pdf["e"]])
+        qn = ev_pdf["e_norm"].to_numpy(dtype=np.float64)
+        eids = ev_pdf["vec_id"].to_numpy(dtype=np.int64)
+        te = np.stack([np.asarray(x, dtype=np.float64) for x in tr_pdf["e"]])
+        tn = tr_pdf["e_norm"].to_numpy(dtype=np.float64)
+        tids = tr_pdf["vec_id"].to_numpy(dtype=np.int64)
+        acc = np.zeros((m, n), dtype=np.float64)
+        for d in range(qe.shape[1]):
+            acc += qe[:, d : d + 1] * te[:, d][None, :]
+        sim = acc / (qn[:, None] * tn[None, :])
+        ii, jj = np.where(sim >= CONTAM_EMB_THRESHOLD)
+        if len(ii) == 0:
+            return empty
+        return pd.DataFrame(
+            {"eval_id": eids[ii], "train_id": tids[jj], "s": sim[ii, jj]}
+        )
+
     scored = (
-        cand.join(ev_vecs, "eval_id")
-        .join(tr_vecs, "train_id")
-        .withColumn("s", cosine_sim_pd("ee", "en", "te", "tn"))
-        .filter(F.col("s") >= CONTAM_EMB_THRESHOLD)
+        ev_side.groupBy("cell_id")
+        .cogroup(tr_side.groupBy("cell_id"))
+        .applyInPandas(
+            lambda left, right: _contam_pairs(left, right),
+            "eval_id bigint, train_id bigint, s double",
+        )
+        .distinct()  # a pair sharing several cells scores identically
     )
     w = Window.partitionBy("eval_id").orderBy(F.col("s").desc(), "train_id")
     best = (

@@ -655,63 +655,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation — NO all-pairs cross join anywhere in the
     plan.
 
-    Shape: the fixed-K hash-selected centroid set shared with
-    ann_ivf_topk (``ivf_centroids`` — an O(K*dim) driver collect,
-    never O(corpus)); every vector computes its DEDUP_EMB_PROBES
-    nearest cells ROW-LOCALLY via the ``nearest_cells_pd`` kernel (no
-    join operator at all), explodes to (vec_id, cell_id), and
-    candidate pairs come from one equi self-join on cell_id. Exact
-    cosine verification then filters candidates, so precision is
-    always 1.0; recall is 1.0 on this corpus at threshold 0.45 with
-    the probe count below (measured on sf0.001 and sf0.01 — the
-    oracle below stays the brute-force truth, so the gate re-asserts
-    recall every run).
+    Shape: sqrt(N) hash-selected cells (the faiss nlist rule — a
+    FIXED cell count turns per-cell pair enumeration quadratic as the
+    corpus grows; the count is parquet-metadata-only); every vector
+    computes its DEDUP_EMB_PROBES nearest cells ROW-LOCALLY via the
+    ``nearest_cells_pd`` kernel and ships its vector to those cells
+    ONCE. Each cell is then scored as ONE cogrouped block — a
+    fold-exact blocked matmul emitting only the pairs above
+    threshold — instead of a row-per-pair join that would push
+    ~1 KB of vectors per candidate pair through the Arrow boundary.
+    Precision is always 1.0 (exact cosine); candidate recall is 1.0
+    on both gate corpora at threshold 0.45 with these settings
+    (measured; the brute-force oracle re-asserts it every gate run).
 
-    Scale: the corpus shuffles once on cell_id; per-cell pair
-    enumeration is bounded by cell size. 0.45 is near the random-pair
-    noise floor for 64-dim vectors, which forces a high probe count
-    here; production near-dup thresholds (>= 0.8) concentrate
-    neighbors into far fewer probed cells.
+    0.45 is near the random-pair noise floor for 64-dim vectors,
+    which forces a high probe count here; production near-dup
+    thresholds (>= 0.8) concentrate neighbors into far fewer cells.
     """
-    from go_integ_spark.functions.vector import cosine_sim_pd, with_norm
-    from go_integ_spark.operators.similarity import ivf_centroids, nearest_cells_pd
+    import numpy as np
+    import pandas as pd
+
+    from go_integ_spark.functions.vector import with_norm
+    from go_integ_spark.operators.similarity import IVF_K, ivf_centroids, nearest_cells_pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k_cells = max(IVF_K, int(emb.count() ** 0.5))
     v = with_norm(emb)
-    (crow,) = ivf_centroids(v).collect()
-    assigned = v.select(
+    (crow,) = ivf_centroids(v, k_cells).collect()
+    probed = v.select(
         "vec_id",
+        "e",
+        "e_norm",
         F.explode(nearest_cells_pd(crow, DEDUP_EMB_PROBES)).alias("cell_id"),
     )
-    cand = (
-        assigned.alias("x")
-        .join(
-            assigned.alias("y"),
-            (F.col("x.cell_id") == F.col("y.cell_id"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(
-            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
-        )
-        .distinct()
+
+    def _pairs_above(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        e = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
+        en = pdf["e_norm"].to_numpy(dtype=np.float64)
+        acc = np.zeros((n, n), dtype=np.float64)
+        for d in range(e.shape[1]):
+            acc += e[:, d : d + 1] * e[:, d][None, :]
+        sim = acc / (en[:, None] * en[None, :])
+        ii, jj = np.where(np.triu(sim >= 0.45, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"vec_a": a2, "vec_b": b2, "s": sim[ii, jj]})
+
+    scored = probed.groupBy("cell_id").applyInPandas(
+        _pairs_above, "vec_a bigint, vec_b bigint, s double"
     )
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("e_norm").alias("na"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("e_norm").alias("nb"),
-    )
-    sim = cosine_sim_pd("ea", "na", "eb", "nb")
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
-        .withColumn("raw_sim", sim)
-        .filter(F.col("raw_sim") >= 0.45)
-        .select("vec_a", "vec_b", F.round(F.col("raw_sim"), 4).alias("cos_sim"))
+    # A pair sharing several probed cells is scored once per cell with
+    # the identical bit pattern — dedupe on all three columns.
+    return scored.distinct().select(
+        "vec_a", "vec_b", F.round(F.col("s"), 4).alias("cos_sim")
     )
 
 
