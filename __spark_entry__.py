@@ -34,6 +34,8 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
+    "cdc_scd2_history": 0.5,
+    "join_interval_overlap": 0.6,
     "text_fingerprint": 0.16,
     "text_pii_redact": 0.18,
     "text_repetition_ratio": 0.19,

@@ -971,3 +971,118 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("m_score"),
     )
+
+
+@register(
+    "cdc_scd2_history",
+    tags=("cdc", "window"),
+    oracle="""
+SELECT user_id, event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(lead(epoch_us(ts)) OVER w AS BIGINT) AS valid_to_us,
+       (lead(ts) OVER w IS NULL) AS is_current,
+       round(value, 4) AS value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build — the OTHER standard CDC
+    materialization next to keep-latest (``dedup_keep_latest``
+    compacts to one row per key; SCD2 keeps EVERY version with a
+    validity interval): per key, ``valid_from`` is the change's own
+    timestamp, ``valid_to`` the next change's (NULL + is_current for
+    the open row). One shuffle on the key serves the single lead
+    window; at 100 TB this is the classic one-pass history rebuild,
+    and the same window incrementalizes per micro-batch (new rows
+    close the previous current row — the foreachBatch MERGE pattern
+    streaming_foreach_batch_merge demonstrates).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros(F.col("ts"))).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("valid_from_us"),
+        nxt.cast("bigint").alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+        F.round("value", 4).alias("value"),
+    )
+
+
+OVERLAP_BIN_US = 86_400_000_000  # 1-day bins for the interval overlap
+
+
+@register(
+    "join_interval_overlap",
+    tags=("join", "range", "interval"),
+    oracle="""
+SELECT p.event_id AS purchase_id, x.event_id AS error_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') x
+  ON x.user_id = p.user_id
+ AND p.ts <= x.ts + INTERVAL 1 DAY
+ AND x.ts <= p.ts + INTERVAL 7 DAY
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (both sides are ranges —
+    the class range_join_error_clicks' point-in-interval bins don't
+    cover): each purchase carries a 7-day attribution window, each
+    error a 1-day impact window, and the query emits same-user
+    overlapping (purchase, error) window pairs.
+
+    Scale shape: both interval sets explode to their covered day
+    bins, the join is a hash equi-join on (user_id, bin) — never a
+    nested loop — duplicate bin hits collapse with one distinct, and
+    the exact overlap predicate filters bin-grazing false positives.
+    Bin width trades explode factor against join selectivity; a day
+    keeps it at <= 8 rows per purchase and 2 per error.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    day = OVERLAP_BIN_US
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            us.alias("p_lo"),
+            (us + 7 * day).alias("p_hi"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.col("p_lo") / day).cast("bigint"),
+                    (F.col("p_hi") / day).cast("bigint"),
+                )
+            ),
+        )
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            us.alias("x_lo"),
+            (us + day).alias("x_hi"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.col("x_lo") / day).cast("bigint"),
+                    (F.col("x_hi") / day).cast("bigint"),
+                )
+            ),
+        )
+    )
+    overlap = (F.col("p_lo") <= F.col("x_hi")) & (F.col("x_lo") <= F.col("p_hi"))
+    return (
+        purchases.join(errors, ["user_id", "bin"])
+        .filter(overlap)
+        .select("purchase_id", "error_id")
+        .distinct()
+    )

@@ -347,3 +347,13 @@ def test_bigram_logprob_hash_joins_only(registry, spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_op(df, "SortMergeJoin") + count_op(df, "BroadcastHashJoin") >= 2
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_interval_overlap_is_hash_join(registry, spark):
+    """Interval x interval overlap must plan as the binned hash
+    equi-join — the bare double-inequality formulation degenerates to
+    a nested loop."""
+    df = _df(registry, spark, "join_interval_overlap")
+    plan = executed_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
