@@ -1086,3 +1086,82 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "error_id")
         .distinct()
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    tags=("agg", "window"),
+    oracle="""
+SELECT user_id, event_type AS mode_event_type, CAST(n AS BIGINT) AS n
+FROM (
+    SELECT user_id, event_type, count(*) AS n,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type
+           ) AS rn
+    FROM events
+    GROUP BY user_id, event_type
+)
+WHERE rn = 1
+""",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value) with a DETERMINISTIC tie
+    rule (count desc, then value) — built-in ``mode()`` breaks ties
+    arbitrarily in both engines, which is exactly what a correctness
+    gate cannot accept, so the portable spelling is count + window.
+    Scale: the count aggregate combines map-side to (group, value)
+    cardinality; the window partitions by group over value-bounded
+    rows — nothing is corpus-sized after the first combine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_correlation",
+    tags=("agg", "statistics"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_quantity), 4) AS sd_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical co-movement aggregates per group: Pearson
+    correlation, sample covariance, and standard deviation — the
+    profiling numbers behind feature selection and anomaly baselines.
+    All three are single-pass mergeable aggregates (sum/sum-of-
+    squares/cross-product moments combine map-side), so the plan is
+    one combine-enabled aggregation — the 100 TB shape by
+    construction. Rounding absorbs the engines' moment-accumulation
+    order differences (same contract as agg_percentiles).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
