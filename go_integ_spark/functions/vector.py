@@ -116,3 +116,25 @@ def squared_dist_pd(vec_a, vec_b) -> Column:
         return F.col(c) if isinstance(c, str) else c
 
     return d2_udf(_c(vec_a), _c(vec_b))
+
+
+def fold_cosine_block(a_vecs, a_norms, b_vecs, b_norms):
+    """(len(a), len(b)) cosine matrix from two pandas blocks, with the
+    EXACT fold float sequence of ``dot/(norm*norm)``: per dimension
+    one rounded product then one rounded accumulate (numpy never
+    fuses), and the norm product rounded once before the divide.
+    Shared by every cogrouped per-cell scorer (kNN graph, embedding
+    dedup, embedding contamination) so the bit-identity that lets
+    cross-cell duplicates collapse under ``.distinct()`` — and keeps
+    the DuckDB oracles valid — lives in exactly one place.
+    """
+    import numpy as np
+
+    a = np.stack([np.asarray(x, dtype=np.float64) for x in a_vecs])
+    b = np.stack([np.asarray(x, dtype=np.float64) for x in b_vecs])
+    an = np.asarray(a_norms, dtype=np.float64)
+    bn = np.asarray(b_norms, dtype=np.float64)
+    acc = np.zeros((len(an), len(bn)), dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc += a[:, d : d + 1] * b[:, d][None, :]
+    return acc / (an[:, None] * bn[None, :])

@@ -1043,41 +1043,39 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     day = OVERLAP_BIN_US
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
+
+    def with_bins(df, lo, hi):
+        # one row per covered day bin; cast truncation == floor for
+        # the non-negative microsecond timestamps this corpus carries
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.col(lo) / day).cast("bigint"),
+                    (F.col(hi) / day).cast("bigint"),
+                )
+            ),
+        )
+
+    purchases = with_bins(
+        ev.filter(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("purchase_id"),
             "user_id",
             us.alias("p_lo"),
             (us + 7 * day).alias("p_hi"),
-        )
-        .withColumn(
-            "bin",
-            F.explode(
-                F.sequence(
-                    (F.col("p_lo") / day).cast("bigint"),
-                    (F.col("p_hi") / day).cast("bigint"),
-                )
-            ),
-        )
+        ),
+        "p_lo",
+        "p_hi",
     )
-    errors = (
-        ev.filter(F.col("event_type") == "error")
-        .select(
+    errors = with_bins(
+        ev.filter(F.col("event_type") == "error").select(
             F.col("event_id").alias("error_id"),
             "user_id",
             us.alias("x_lo"),
             (us + day).alias("x_hi"),
-        )
-        .withColumn(
-            "bin",
-            F.explode(
-                F.sequence(
-                    (F.col("x_lo") / day).cast("bigint"),
-                    (F.col("x_hi") / day).cast("bigint"),
-                )
-            ),
-        )
+        ),
+        "x_lo",
+        "x_hi",
     )
     overlap = (F.col("p_lo") <= F.col("x_hi")) & (F.col("x_lo") <= F.col("p_hi"))
     return (

@@ -741,12 +741,17 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     written partitioned by cell_id, so each eval batch reads only its
     probed cells.
     """
-    from go_integ_spark.functions.vector import with_norm
-    from go_integ_spark.operators.similarity import ivf_centroids, nearest_cells_pd
+    from go_integ_spark.functions.vector import fold_cosine_block, with_norm
+    from go_integ_spark.operators.similarity import IVF_K, ivf_centroids, nearest_cells_pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # sqrt(N) cells, like dedup_embedding_cosine: dense block scoring
+    # with a FIXED cell count would grow each cogroup's sim matrix
+    # quadratically with the corpus (recall 1.0 re-measured at both
+    # gate scales under this rule before the switch).
+    k_cells = max(IVF_K, int(emb.count() ** 0.5))
     v = with_norm(emb)
-    (crow,) = ivf_centroids(v).collect()
+    (crow,) = ivf_centroids(v, k_cells).collect()
     # Per-cell BLOCK scoring (the dedup_embedding_cosine /
     # embedding_knn_graph shape): each probed split ships its vectors
     # to a cell ONCE, the eval x train block is a fold-exact blocked
@@ -776,16 +781,11 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if m == 0 or n == 0:
             return empty
-        qe = np.stack([np.asarray(x, dtype=np.float64) for x in ev_pdf["e"]])
-        qn = ev_pdf["e_norm"].to_numpy(dtype=np.float64)
         eids = ev_pdf["vec_id"].to_numpy(dtype=np.int64)
-        te = np.stack([np.asarray(x, dtype=np.float64) for x in tr_pdf["e"]])
-        tn = tr_pdf["e_norm"].to_numpy(dtype=np.float64)
         tids = tr_pdf["vec_id"].to_numpy(dtype=np.int64)
-        acc = np.zeros((m, n), dtype=np.float64)
-        for d in range(qe.shape[1]):
-            acc += qe[:, d : d + 1] * te[:, d][None, :]
-        sim = acc / (qn[:, None] * tn[None, :])
+        sim = fold_cosine_block(
+            ev_pdf["e"], ev_pdf["e_norm"], tr_pdf["e"], tr_pdf["e_norm"]
+        )
         ii, jj = np.where(sim >= CONTAM_EMB_THRESHOLD)
         if len(ii) == 0:
             return empty

@@ -675,7 +675,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from go_integ_spark.functions.vector import with_norm
+    from go_integ_spark.functions.vector import fold_cosine_block, with_norm
     from go_integ_spark.operators.similarity import IVF_K, ivf_centroids, nearest_cells_pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -700,12 +700,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        e = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
-        en = pdf["e_norm"].to_numpy(dtype=np.float64)
-        acc = np.zeros((n, n), dtype=np.float64)
-        for d in range(e.shape[1]):
-            acc += e[:, d : d + 1] * e[:, d][None, :]
-        sim = acc / (en[:, None] * en[None, :])
+        sim = fold_cosine_block(
+            pdf["e"], pdf["e_norm"], pdf["e"], pdf["e_norm"]
+        )
         ii, jj = np.where(np.triu(sim >= 0.45, k=1))
         a, b = ids[ii], ids[jj]
         swap = a > b

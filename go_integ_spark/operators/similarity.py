@@ -1620,6 +1620,8 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k_local = KNN_GRAPH_K
 
+    from go_integ_spark.functions.vector import fold_cosine_block
+
     def _score_cell(corpus_pdf, probe_pdf):
         n_c, m_c = len(corpus_pdf), len(probe_pdf)
         if n_c == 0 or m_c == 0:
@@ -1630,30 +1632,30 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "s": pd.Series([], dtype="float64"),
                 }
             )
-        e = np.stack([np.asarray(x, dtype=np.float64) for x in corpus_pdf["e"]])
-        en = corpus_pdf["e_norm"].to_numpy(dtype=np.float64)
+        # Sort the corpus block by dst id FIRST: a stable row-wise
+        # argsort of -sim then breaks similarity ties toward the
+        # lower dst — the exact (s desc, dst asc) total order the
+        # oracle's row_number uses — with no per-row Python loop.
+        corpus_pdf = corpus_pdf.sort_values("vec_id")
         dst = corpus_pdf["vec_id"].to_numpy(dtype=np.int64)
-        q = np.stack([np.asarray(x, dtype=np.float64) for x in probe_pdf["qe"]])
-        qn = probe_pdf["qe_norm"].to_numpy(dtype=np.float64)
         src = probe_pdf["src_id"].to_numpy(dtype=np.int64)
-        acc = np.zeros((m_c, n_c), dtype=np.float64)
-        for d in range(q.shape[1]):
-            acc += q[:, d : d + 1] * e[:, d][None, :]
-        sim = acc / (qn[:, None] * en[None, :])
-        out_src, out_dst, out_s = [], [], []
-        for i in range(m_c):
-            row = sim[i]
-            keep = dst != src[i]
-            order = np.lexsort((dst[keep], -row[keep]))[:k_local]
-            d_k = dst[keep][order]
-            out_src.append(np.full(len(d_k), src[i], dtype=np.int64))
-            out_dst.append(d_k)
-            out_s.append(row[keep][order])
+        sim = fold_cosine_block(
+            probe_pdf["qe"], probe_pdf["qe_norm"],
+            corpus_pdf["e"], corpus_pdf["e_norm"],
+        )
+        # Self-pairs sink to the bottom; -inf survivors are dropped.
+        masked = np.where(dst[None, :] == src[:, None], -np.inf, sim)
+        k_take = min(k_local, n_c)
+        order = np.argsort(-masked, axis=1, kind="stable")[:, :k_take]
+        rows = np.repeat(np.arange(m_c), k_take)
+        cols = order.ravel()
+        s_flat = masked[rows, cols]
+        keep = np.isfinite(s_flat)
         return pd.DataFrame(
             {
-                "src_id": np.concatenate(out_src),
-                "dst_id": np.concatenate(out_dst),
-                "s": np.concatenate(out_s),
+                "src_id": src[rows[keep]],
+                "dst_id": dst[cols[keep]],
+                "s": s_flat[keep],
             }
         )
 
