@@ -673,3 +673,39 @@ def test_squared_dist_kernel_matches_jvm_expression(spark):
         expr.alias("d_expr"), squared_dist_pd("ea", "eb").alias("d_kern")
     ).collect()
     assert rows and all(r["d_expr"] == r["d_kern"] for r in rows)
+
+
+def test_fold_cosine_block_matches_jvm_expression(spark):
+    """The shared per-cell block scorer must emit the exact doubles
+    of the pairwise dot/(norm*norm) fold for EVERY (a, b) entry —
+    this bit-identity is what lets cross-cell duplicate pairs
+    collapse under distinct() in the three cogrouped scorers."""
+    import numpy as np
+
+    from go_integ_spark.functions.vector import (
+        dot,
+        fold_cosine_block,
+        with_norm,
+    )
+    from go_integ_spark.tables import load_table
+
+    v = with_norm(
+        load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ).limit(40)
+    rows = v.select("vec_id", "e", "e_norm").collect()
+    pdf_e = [list(r["e"]) for r in rows]
+    pdf_n = [float(r["e_norm"]) for r in rows]
+    block = fold_cosine_block(pdf_e, pdf_n, pdf_e, pdf_n)
+
+    a = v.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("e_norm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("e_norm").alias("nb")
+    )
+    expr = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    idx = {int(r["vec_id"]): i for i, r in enumerate(rows)}
+    got = a.join(b, F.col("va") < F.col("vb")).select("va", "vb", expr.alias("s")).collect()
+    assert got
+    for r in got:
+        assert block[idx[r["va"]], idx[r["vb"]]] == r["s"], (r["va"], r["vb"])
