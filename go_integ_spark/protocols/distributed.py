@@ -104,3 +104,31 @@ def sink_airbyte_envelope(spark, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
     return airbyte_envelope(orders, "orders", _SINK_TS)
+
+
+@register(
+    "sink_singer_envelope",
+    tags=("sink", "protocol"),
+    oracle=f"""
+SELECT to_json({{type: 'RECORD', stream: 'customer',
+           time_extracted: {_SINK_TS},
+           record: {{c_custkey: c_custkey, c_name: c_name,
+                     c_mktsegment: c_mktsegment,
+                     c_nationkey: c_nationkey}}}})::VARCHAR AS line
+FROM customer
+""",
+)
+def sink_singer_envelope(spark, sf_dir: str) -> DataFrame:
+    """Singer RECORD envelopes for the customer stream (K3's
+    distributed emission path) — the Singer twin of
+    ``sink_airbyte_envelope``: the envelope is flat (stream and
+    time_extracted ride at the top level next to the record, per the
+    Singer spec) where Airbyte nests everything under ``record``.
+    Encoded entirely JVM-side; DuckDB builds the identical bytes, so
+    the driver gate value-checks the encoder itself. Pure map-side
+    projection — envelope emission runs at scan speed at 100 TB.
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey"
+    )
+    return singer_envelope(customer, "customer", _SINK_TS)
