@@ -34,6 +34,8 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
+    "text_winnow_overlap": 0.8,
+    "agg_regression": 0.4,
     "sink_singer_envelope": 0.3,
     "agg_mode_deterministic": 0.4,
     "agg_correlation": 0.4,

@@ -224,10 +224,10 @@ def winnow_fingerprints(
     )
 
 
-@register(
-    "text_winnow_fingerprint",
-    tags=("text", "fingerprint", "dedup"),
-    oracle=f"""
+# Shared winnowing CTE: (doc_id, fps) per doc, mirroring
+# winnow_fingerprints exactly (same k-gram hash, window min,
+# distinct, and the >= window length filter).
+_WINNOW_CTE = f"""
 WITH g AS (
     SELECT doc_id,
            list_transform(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 0)),
@@ -242,6 +242,14 @@ WITH g AS (
                AS fps
     FROM g WHERE len(hashes) >= {WINNOW_WINDOW}
 )
+"""
+
+
+@register(
+    "text_winnow_fingerprint",
+    tags=("text", "fingerprint", "dedup"),
+    oracle=_WINNOW_CTE
+    + """
 SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
        list_min(fps) AS min_fingerprint
 FROM f
@@ -1162,4 +1170,112 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "covar_qty_price"
         ),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
+
+
+WINNOW_OVERLAP_THRESHOLD = 0.35  # MOSS-style report threshold
+
+
+@register(
+    "text_winnow_overlap",
+    tags=("text", "fingerprint", "join"),
+    oracle=_WINNOW_CTE
+    + f"""
+, sz AS (
+    SELECT doc_id, len(fps) AS n FROM f
+), e AS (
+    SELECT doc_id, unnest(fps) AS fp FROM f
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared / least(sa.n, sb.n), 4) AS overlap
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE shared / least(sa.n, sb.n) >= {WINNOW_OVERLAP_THRESHOLD}
+""",
+)
+def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style document-overlap report: pairs of documents sharing
+    >= 35% of the SMALLER side's winnowing fingerprints — the
+    plagiarism/quote-detection statistic (Schleimer et al.), robust
+    to reordering and insertion where shingle Jaccard is not, and
+    asymmetric like ``dedup_containment`` so a short excerpt inside a
+    long doc still trips it.
+
+    Reuses the winnowing fingerprints (h60 char-grams, window mins —
+    value-oracled in ``text_winnow_fingerprint``) and the dedup
+    family's bucket-and-enumerate pair counting: one shuffle groups
+    fingerprint buckets, pairs enumerate JVM-side inside each bucket,
+    sizes ride in the bucket structs. Fingerprints are winnow-sampled
+    (~2/(window+1) of all k-grams), so the bucket volume is a
+    fraction of the full-shingle path's at the same corpus.
+    """
+    from go_integ_spark.operators.dedup import cooccurrence_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k, window = WINNOW_K, WINNOW_WINDOW
+    from go_integ_spark.functions.hashing import h60_expr
+
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
+        f" i -> {h60_expr(f'substring(text, i, {k})')})"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(hashes) - {window - 1}, 0)),"
+        f" i -> array_min(slice(hashes, i, {window})))"
+    )
+    sets_ = (
+        docs.select("doc_id", grams.alias("hashes"))
+        .filter(F.size("hashes") >= window)
+        .select("doc_id", F.array_distinct(mins).alias("fps"))
+        .withColumn("n", F.size("fps"))
+    )
+    sh = sets_.select("doc_id", "n", F.explode("fps").alias("sid"))
+    pairs = cooccurrence_counts(sh)
+    overlap = F.col("c") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        pairs.filter(overlap >= WINNOW_OVERLAP_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").cast("bigint").alias("shared"),
+            F.round(overlap, 4).alias("overlap"),
+        )
+    )
+
+
+@register(
+    "agg_regression",
+    tags=("agg", "statistics"),
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (price ~ quantity):
+    slope, intercept, and R^2 via the SQL regression aggregates —
+    single-pass mergeable moment accumulators (sums of x, y, xy, xx),
+    so the whole fit is one combine-enabled aggregation with no
+    second pass over the data. The trend-extraction shape behind
+    q6-style forecasting at 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
     )
