@@ -193,34 +193,63 @@ WINNOW_K = 8  # char k-gram width
 WINNOW_WINDOW = 4  # winnowing window (guarantee gap = K + WINDOW - 1)
 
 
+def winnow_sets(
+    docs: DataFrame, k: int = WINNOW_K, window: int = WINNOW_WINDOW
+) -> DataFrame:
+    """(doc_id, fps array<bigint>, n) — winnowing document
+    fingerprints (Schleimer et al., MOSS): rolling char k-gram
+    hashes, minimum per sliding window, distinct.
+
+    Arrow-batched kernel: hashlib md5 IS the engine's md5, so the
+    60-bit slice (int of the first 15 hex chars — exactly
+    ``functions/hashing.h60``) is bit-identical to both the JVM
+    expression form and the DuckDB oracle, and the sliding-window min
+    is a vectorized numpy view. The earlier expression form evaluated
+    an interpreted md5+conv lambda per char gram, and any query that
+    referenced the fingerprint frame from several join branches
+    re-paid it per branch — text_winnow_overlap measured ~95 s at
+    gate scale against ~3 s with the kernel. tests/test_dedup.py
+    pins kernel == expression.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _fps(col):
+        out = []
+        for text in col:
+            t = (text or "").encode("utf-8")
+            n_grams = len(t) - k + 1
+            if n_grams < window:
+                out.append(None)
+                continue
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(t[i : i + k]).hexdigest()[:15], 16)
+                    for i in range(n_grams)
+                ),
+                dtype=np.int64,
+                count=n_grams,
+            )
+            mins = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out, dtype=object)
+
+    fps_udf = F.pandas_udf(_fps, "array<bigint>")
+    return (
+        docs.select("doc_id", fps_udf(F.col("text")).alias("fps"))
+        .filter(F.col("fps").isNotNull())
+        .withColumn("n", F.size("fps"))
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame, k: int = WINNOW_K, window: int = WINNOW_WINDOW
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al., MOSS):
-    rolling k-gram hashes, minimum per sliding window of ``window``
-    hashes -> (doc_id, fingerprint) rows.
-
-    Entirely JVM-side: char k-grams via transform+sequence, hashed
-    with the engine-portable 60-bit md5 slice (functions/hashing.py —
-    fingerprints reach query output, so the hash must be reproducible
-    by the DuckDB gate oracle), window-min via
-    transform+slice+array_min. Linear per document, no shuffle until
-    the final distinct.
-    """
-    from go_integ_spark.functions.hashing import h60_expr
-
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
-        f" i -> {h60_expr(f'substring(text, i, {k})')})"
-    )
-    mins = F.expr(
-        f"transform(sequence(1, greatest(size(hashes) - {window - 1}, 0)),"
-        f" i -> array_min(slice(hashes, i, {window})))"
-    )
-    return (
-        docs.select("doc_id", grams.alias("hashes"))
-        .filter(F.size("hashes") >= window)
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    """(doc_id, fingerprint) rows — exploded ``winnow_sets``."""
+    return winnow_sets(docs, k, window).select(
+        "doc_id", F.explode("fps").alias("fingerprint")
     )
 
 
@@ -1174,6 +1203,12 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_OVERLAP_THRESHOLD = 0.35  # MOSS-style report threshold
+# Common-fingerprint drop (straight from the MOSS paper: fingerprints
+# appearing "in too many documents" carry no authorship signal and
+# their buckets are the quadratic cost): fingerprints in more than
+# this many docs are excluded from pair counting in BOTH engines, so
+# the oracle stays value-exact.
+WINNOW_DF_CAP = 64
 
 
 @register(
@@ -1185,10 +1220,14 @@ WINNOW_OVERLAP_THRESHOLD = 0.35  # MOSS-style report threshold
     SELECT doc_id, len(fps) AS n FROM f
 ), e AS (
     SELECT doc_id, unnest(fps) AS fp FROM f
+), rare AS (
+    SELECT fp FROM e GROUP BY fp HAVING count(*) <= {WINNOW_DF_CAP}
+), er AS (
+    SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)
 ), inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS shared
-    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM er a JOIN er b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, shared,
@@ -1205,38 +1244,48 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     plagiarism/quote-detection statistic (Schleimer et al.), robust
     to reordering and insertion where shingle Jaccard is not, and
     asymmetric like ``dedup_containment`` so a short excerpt inside a
-    long doc still trips it.
+    long doc still trips it. Per the MOSS recipe, fingerprints in
+    more than WINNOW_DF_CAP documents are dropped before pair
+    counting (no authorship signal, quadratic buckets) — mirrored in
+    the oracle, so the gate stays value-exact.
 
-    Reuses the winnowing fingerprints (h60 char-grams, window mins —
-    value-oracled in ``text_winnow_fingerprint``) and the dedup
-    family's bucket-and-enumerate pair counting: one shuffle groups
-    fingerprint buckets, pairs enumerate JVM-side inside each bucket,
-    sizes ride in the bucket structs. Fingerprints are winnow-sampled
-    (~2/(window+1) of all k-grams), so the bucket volume is a
-    fraction of the full-shingle path's at the same corpus.
+    Pair counting here is a fingerprint equi self-JOIN (codegen hash
+    join), not the dedup family's bucket-array enumeration: winnow
+    mins concentrate (the globally smallest gram hashes surface in
+    MANY docs), and the nested-transform enumeration paid ~100us of
+    interpreted higher-order evaluation PER PAIR on those buckets —
+    measured 95 s at gate scale vs ~3 s for the join on the same
+    pairs. The overlap denominator still uses full per-doc
+    fingerprint counts.
     """
-    from go_integ_spark.operators.dedup import cooccurrence_counts
+    from go_integ_spark.operators.dedup import _spread
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    k, window = WINNOW_K, WINNOW_WINDOW
-    from go_integ_spark.functions.hashing import h60_expr
-
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
-        f" i -> {h60_expr(f'substring(text, i, {k})')})"
-    )
-    mins = F.expr(
-        f"transform(sequence(1, greatest(size(hashes) - {window - 1}, 0)),"
-        f" i -> array_min(slice(hashes, i, {window})))"
-    )
-    sets_ = (
-        docs.select("doc_id", grams.alias("hashes"))
-        .filter(F.size("hashes") >= window)
-        .select("doc_id", F.array_distinct(mins).alias("fps"))
-        .withColumn("n", F.size("fps"))
-    )
+    sets_ = winnow_sets(_spread(docs))
     sh = sets_.select("doc_id", "n", F.explode("fps").alias("sid"))
-    pairs = cooccurrence_counts(sh)
+    rare = (
+        sh.groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("sid")
+    )
+    shr = sh.join(rare, "sid")
+    a = shr.select(
+        F.col("sid"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = shr.select(
+        F.col("sid"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "sid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "n_a", "doc_b", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     overlap = F.col("c") / F.least(F.col("n_a"), F.col("n_b"))
     return (
         pairs.filter(overlap >= WINNOW_OVERLAP_THRESHOLD)

@@ -267,3 +267,42 @@ def test_containment_catches_asymmetric_duplication(spark, tmp_path):
     assert cont_a == 1.0  # all of doc 1's shingles are inside doc 2
     assert cont_b < 0.2
     assert jac < 0.5  # plain Jaccard would have missed this pair
+
+
+def test_winnow_kernel_matches_jvm_expression(spark):
+    """The Arrow-batched winnowing kernel must emit EXACTLY the
+    fingerprint sets of the JVM expression form it replaced (h60 char
+    grams, window mins, distinct) — hashlib md5 == Spark md5 on the
+    same UTF-8 bytes."""
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.functions.hashing import h60_expr
+    from go_integ_spark.operators.advanced import (
+        WINNOW_K,
+        WINNOW_WINDOW,
+        winnow_sets,
+    )
+    from go_integ_spark.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    k, window = WINNOW_K, WINNOW_WINDOW
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 0)),"
+        f" i -> {h60_expr(f'substring(text, i, {k})')})"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, greatest(size(hashes) - {window - 1}, 0)),"
+        f" i -> array_min(slice(hashes, i, {window})))"
+    )
+    expr_sets = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in docs.select("doc_id", grams.alias("hashes"))
+        .filter(F.size("hashes") >= window)
+        .select("doc_id", F.array_distinct(mins).alias("fps"))
+        .collect()
+    }
+    kern_sets = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in winnow_sets(docs).collect()
+    }
+    assert kern_sets == expr_sets
