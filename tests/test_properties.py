@@ -239,3 +239,65 @@ def test_paragraph_dedup_matches_python_reference(spark, tmp_path_factory, docs)
         for r in dedup_paragraph(spark, path).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e3,
+                max_value=1e3,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e3,
+                max_value=1e3,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_fold_cosine_block_matches_sequential_python(a_vecs, b_vecs):
+    """fold_cosine_block must reproduce, bit for bit, a pure-Python
+    left-to-right fold (product then accumulate per dimension, norm
+    product rounded once) — the association order that keeps it equal
+    to the JVM expression and the DuckDB oracles. Fuzzing guards the
+    kernel against vectorization changes (FMA, pairwise summation)
+    that would silently break cross-cell dedupe."""
+    import math
+
+    from go_integ_spark.functions.vector import fold_cosine_block
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    a_norms = [norm(v) or 1.0 for v in a_vecs]
+    b_norms = [norm(v) or 1.0 for v in b_vecs]
+    block = fold_cosine_block(a_vecs, a_norms, b_vecs, b_norms)
+    for i, av in enumerate(a_vecs):
+        for j, bv in enumerate(b_vecs):
+            acc = 0.0
+            for d in range(len(av)):
+                acc = acc + av[d] * bv[d]
+            want = acc / (a_norms[i] * b_norms[j])
+            assert block[i, j] == want, (i, j)
