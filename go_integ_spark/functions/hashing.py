@@ -34,3 +34,12 @@ def h60_expr(expr: str) -> str:
 # DuckDB spelling of the identical value, for oracle strings.
 def h60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# Pure-Python spelling of the identical value, for Arrow-batched
+# kernels and driver-side model builders. md5 of the UTF-8 bytes ==
+# Spark md5 of the string == DuckDB md5.
+def h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

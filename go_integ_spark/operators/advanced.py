@@ -211,24 +211,24 @@ def winnow_sets(
     gate scale against ~3 s with the kernel. tests/test_dedup.py
     pins kernel == expression.
     """
-    import hashlib
-
     import numpy as np
     import pandas as pd
+
+    from go_integ_spark.functions.hashing import h60_py
 
     def _fps(col):
         out = []
         for text in col:
-            t = (text or "").encode("utf-8")
+            t = text or ""
+            # Grams are CHARACTER windows (matching Spark substring /
+            # DuckDB substr), each hashed over its UTF-8 bytes — the
+            # byte-sliced variant diverges on any multi-byte text.
             n_grams = len(t) - k + 1
             if n_grams < window:
                 out.append(None)
                 continue
             h = np.fromiter(
-                (
-                    int(hashlib.md5(t[i : i + k]).hexdigest()[:15], 16)
-                    for i in range(n_grams)
-                ),
+                (h60_py(t[i : i + k]) for i in range(n_grams)),
                 dtype=np.int64,
                 count=n_grams,
             )
@@ -291,8 +291,10 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64-based); near-dup detection equivalence with Jaccard is
     pinned in tests/test_dedup.py.
     """
+    from go_integ_spark.operators.dedup import _spread
+
     docs = load_table(spark, sf_dir, "documents")
-    fp = winnow_fingerprints(docs)
+    fp = winnow_fingerprints(_spread(docs))
     return fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fingerprint").alias("min_fingerprint"),

@@ -1423,10 +1423,9 @@ def _rp_sign(j: int, d: int) -> int:
     """Deterministic Rademacher (+/-1) projection entry, derived from
     md5 so DuckDB reproduces the identical matrix (functions/hashing
     h60 convention: md5 is the engine-portable randomness source)."""
-    import hashlib
+    from go_integ_spark.functions.hashing import h60_py
 
-    bit = int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:15], 16) & 1
-    return 1 if bit else -1
+    return 1 if h60_py(f"rp:{j}:{d}") & 1 else -1
 
 
 _RP_SIGN_SQL = (

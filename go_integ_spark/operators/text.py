@@ -398,10 +398,11 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     around it is row-local, so throughput scales with executors and
     maxRecordsPerBatch controls the batch shape a model server wants.
     """
-    import hashlib
     from collections.abc import Iterator
 
     import pandas as pd
+
+    from go_integ_spark.functions.hashing import h60_py
 
     from pyspark.sql.types import (
         DoubleType,
@@ -426,7 +427,7 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 toks = text.split(" ")
                 counts = [0] * EMBED_DIM
                 for w in toks:
-                    j = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % EMBED_DIM
+                    j = h60_py(w) % EMBED_DIM
                     counts[j] += 1
                 nt = float(len(toks))
                 for j in range(EMBED_DIM):

@@ -306,3 +306,19 @@ def test_winnow_kernel_matches_jvm_expression(spark):
         for r in winnow_sets(docs).collect()
     }
     assert kern_sets == expr_sets
+
+    # Non-ASCII parity: grams must be CHARACTER windows hashed over
+    # UTF-8 bytes — a byte-sliced kernel diverges on multi-byte text.
+    intl = spark.createDataFrame(
+        [(1, "café déjà-vu naïve façade smörgåsbord 日本語テスト語語語")],
+        "doc_id bigint, text string",
+    )
+    e2 = {
+        r["doc_id"]: sorted(r["fps"])
+        for r in intl.select("doc_id", grams.alias("hashes"))
+        .filter(F.size("hashes") >= window)
+        .select("doc_id", F.array_distinct(mins).alias("fps"))
+        .collect()
+    }
+    k2 = {r["doc_id"]: sorted(r["fps"]) for r in winnow_sets(intl).collect()}
+    assert k2 == e2
