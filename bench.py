@@ -98,6 +98,25 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    # The shared per-doc shingle-set cache is a ONE-TIME build that
+    # four dedup queries reuse; billed to its own line so the LSH
+    # number measures LSH (r1-r5 billed it to dedup_minhash_lsh,
+    # which made that line's trend unreadable — VERDICT r5 item 5).
+    if "dedup_minhash_lsh" in bench_queries:
+        from go_integ_spark.operators.dedup import _cached_doc_sets
+        from go_integ_spark.tables import load_table
+
+        t0 = time.perf_counter()
+        _cached_doc_sets(
+            load_table(spark, sf_dir, "documents")
+        ).write.format("noop").mode("overwrite").save()
+        timings["dedup_shingle_cache_build"] = round(time.perf_counter() - t0, 4)
+        print(
+            f"# dedup_shingle_cache_build: "
+            f"{timings['dedup_shingle_cache_build']:.3f}s",
+            file=sys.stderr,
+        )
+
     for name in bench_queries:
         spec = registry[name]
         t0 = time.perf_counter()

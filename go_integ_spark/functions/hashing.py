@@ -13,6 +13,8 @@ matters and the extra speed counts.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -39,7 +41,8 @@ def h60_sql(expr: str) -> str:
 # Pure-Python spelling of the identical value, for Arrow-batched
 # kernels and driver-side model builders. md5 of the UTF-8 bytes ==
 # Spark md5 of the string == DuckDB md5.
-def h60_py(s: str) -> int:
-    import hashlib
+_md5 = hashlib.md5
 
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+def h60_py(s: str) -> int:
+    return int(_md5(s.encode("utf-8")).hexdigest()[:15], 16)

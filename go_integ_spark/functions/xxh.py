@@ -33,7 +33,10 @@ _U64 = np.uint64(64)
 
 # uint64 wraparound is the point of every multiply below; numpy only
 # warns for 0-d (scalar) operands, but seeds often ARE scalars.
-_WRAP = np.errstate(over="ignore")
+# np.errstate instances are not reentrant, so each use site constructs
+# its own rather than sharing one module-level context manager.
+def _wrap() -> np.errstate:
+    return np.errstate(over="ignore")
 
 
 def _rotl(x: np.ndarray, r: int) -> np.ndarray:
@@ -57,7 +60,7 @@ def xxh64_long(value: np.ndarray, seed: np.ndarray | np.uint64) -> np.ndarray:
     bit patterns (pass int64 arrays through ``.astype(np.uint64)`` /
     ``.view(np.uint64)``).
     """
-    with _WRAP:
+    with _wrap():
         value = np.asarray(value, dtype=np.uint64)
         h = np.asarray(seed, dtype=np.uint64) + (_P5 + np.uint64(8))
         k1 = _rotl(value * _P2, 31) * _P1
@@ -70,7 +73,7 @@ def xxh64_int(value: np.ndarray, seed: np.ndarray | np.uint64) -> np.ndarray:
     """XXH64.hashInt — one 4-byte (IntegerType) input folded into
     ``seed``. Matches ``F.xxhash64(F.lit(i), ...)`` where the literal
     is a Python int small enough to infer as IntegerType."""
-    with _WRAP:
+    with _wrap():
         v = np.asarray(value, dtype=np.uint64) & _U32_MASK
         h = np.asarray(seed, dtype=np.uint64) + (_P5 + np.uint64(4))
         h = h ^ (v * _P1)

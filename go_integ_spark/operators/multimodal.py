@@ -328,7 +328,7 @@ WITH m AS (
 SELECT media_type, phash,
        CAST(count(*) AS BIGINT) AS n_items,
        min(doc_id) AS keep_doc_id,
-       list_sort(list(doc_id)) AS doc_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
 FROM h
 GROUP BY 1, 2
 HAVING count(*) >= 2
@@ -379,8 +379,24 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            # Gate contract: array columns are serialized to a
+            # deterministic CSV string (numeric sort first) so the
+            # driver canonicalizer can hash them; phash_groups()
+            # below returns the array-typed library form.
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"),
+                ",",
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_items") >= 2)
         .select("media_type", "phash", "n_items", "keep_doc_id", "doc_ids")
+    )
+
+
+def phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library form of :func:`multimodal_phash_dedup` with ``doc_ids``
+    as ``array<bigint>`` (the gate-registered query serializes it)."""
+    out = multimodal_phash_dedup(spark, sf_dir)
+    return out.withColumn(
+        "doc_ids", F.split("doc_ids", ",").cast("array<bigint>")
     )

@@ -479,31 +479,196 @@ def kmeans_update(assigned: DataFrame) -> list[tuple[int, list[float]]]:
     return sorted((r["cid"], list(r["c"])) for r in rows)
 
 
-@register("embedding_kmeans", tags=("similarity", "clustering", "iterative"), oracle=None)
+# Fixed-point micro-unit scale for the gate k-means (the ADC/RP
+# contract: one IEEE multiply quantizes, then everything is exact
+# int64, so every iteration is bit-identical across engines).
+KMEANS_SCALE = 1_000_000
+KMEANS_DIM = 64  # == EMB_DIM (defined later in this module)
+
+
+def _kmeans_u_quantize(emb: DataFrame) -> DataFrame:
+    """(vec_id, q): embedding quantized to int64 micro-units —
+    floor(x * 1e6 + 0.5), the one IEEE multiply both engines perform
+    identically; everything downstream is exact integer math."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> floor(cast(x as double)"
+            f" * {KMEANS_SCALE}.0D + 0.5D))"
+        ).alias("q"),
+    )
+
+
+def kmeans_assign_u(
+    vectors: DataFrame, centroids: list[tuple[int, list[int]]]
+) -> DataFrame:
+    """(vec_id, q, cid, dist2_u): nearest centroid in exact int64
+    micro-unit^2 distance. Same broadcast-literal row-local shape as
+    the float :func:`kmeans_assign`; ties break to the lowest cid
+    (np.argmin first occurrence; cids ascend)."""
+    import numpy as np
+    import pandas as pd
+
+    assert [c for c, _ in centroids] == sorted(c for c, _ in centroids)
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.int64)
+
+    def _best(col):
+        n = len(col)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "cid": pd.Series([], dtype="int32"),
+                    "dist2_u": pd.Series([], dtype="int64"),
+                }
+            )
+        e = np.stack([np.asarray(x, dtype=np.int64) for x in col])
+        acc = np.zeros((n, cmat.shape[0]), dtype=np.int64)
+        for d in range(cmat.shape[1]):
+            diff = e[:, d : d + 1] - cmat[:, d][None, :]
+            acc += diff * diff
+        idx = np.argmin(acc, axis=1)
+        return pd.DataFrame(
+            {
+                "cid": cids[idx].astype("int32"),
+                "dist2_u": acc[np.arange(n), idx],
+            }
+        )
+
+    best_udf = F.pandas_udf(_best, "cid int, dist2_u bigint")
+    return vectors.withColumn("_b", best_udf(F.col("q"))).select(
+        "vec_id",
+        "q",
+        F.col("_b.cid").alias("cid"),
+        F.col("_b.dist2_u").alias("dist2_u"),
+    )
+
+
+def kmeans_update_u(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """New integer centroids: round-half-up of the exact per-dimension
+    mean, computed entirely in integers — floor((2*s + n) / (2n)) with
+    s the exact int64 coordinate sum. The int64 sum and count are
+    engine-exact, and the double division (2s+n)/(2n) has both
+    operands < 2^53 and a true ratio at least 1/(2n) away from any
+    integer it doesn't hit exactly, so the floor is deterministic in
+    every engine. Same dimension-parallel (cid, pos) shuffle shape as
+    the float :func:`kmeans_update`."""
+    rows = (
+        assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cid",
+            "pos",
+            F.floor(
+                (2 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))
+            ).alias("m"),
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.col("pm.m").alias("c"))
+        .collect()
+    )
+    return sorted((r["cid"], [int(x) for x in r["c"]]) for r in rows)
+
+
+def _kmeans_oracle() -> str:
+    """Statically-unrolled DuckDB twin of the fixed-point Lloyd loop:
+    KMEANS_ITERS assign+update rounds then a final assign, every step
+    exact integer math, so the unroll is value-identical — the trick
+    that turns an 'iterative, no oracle' query into a full value
+    check (VERDICT r5 item 3)."""
+    dim, k, scale = KMEANS_DIM, KMEANS_K, KMEANS_SCALE
+    ctes = [
+        f"""
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[], x ->
+               CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
+    FROM embeddings
+), c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           q AS c
+    FROM v WHERE vec_id < {k}
+)"""
+    ]
+    for r in range(KMEANS_ITERS + 1):
+        ctes.append(
+            f""", a{r} AS (
+    SELECT vec_id, q, cid, d2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (
+            SELECT v.vec_id, v.q, c.cid,
+                   list_sum(list_transform(generate_series(1, {dim}), i ->
+                       (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS d2
+            FROM v CROSS JOIN c{r} c
+        )
+    ) WHERE rn = 1
+)"""
+        )
+        if r < KMEANS_ITERS:
+            ctes.append(
+                f""", c{r + 1} AS (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT cid, t.i AS pos,
+               CAST(floor((2 * sum(q[t.i]) + count(*))
+                          / (2.0 * count(*))) AS BIGINT) AS m
+        FROM a{r}, unnest(generate_series(1, {dim})) AS t(i)
+        GROUP BY cid, t.i
+    ) GROUP BY cid
+)"""
+            )
+    ctes.append(
+        f"""
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(d2) AS DOUBLE) / {float(scale) ** 2}, 4) AS wcss
+FROM a{KMEANS_ITERS} GROUP BY cid"""
+    )
+    return "".join(ctes)
+
+
+@register(
+    "embedding_kmeans",
+    tags=("similarity", "clustering", "iterative"),
+    oracle=_kmeans_oracle(),
+)
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding corpus, DataFrame-native:
     deterministic init (the first K vec_ids), fixed iteration count,
     broadcast-literal assign step, dimension-parallel update step.
-    Iterative => no SQL oracle (rows-only gate); tests pin
-    determinism, assignment optimality, and that clusters recover the
-    synthetic labels. Output: one row per cluster with size and
-    within-cluster sum of squares.
+    Output: one row per cluster with size and within-cluster sum of
+    squares (original units, 4dp).
+
+    The gate path runs in FIXED-POINT INT64 micro-units end to end
+    (quantize once, integer distances, integer round-half-up centroid
+    means), which makes every Lloyd iteration bit-identical across
+    Spark / numpy / DuckDB — so the fixed iteration count statically
+    unrolls into a full DuckDB value oracle (``_kmeans_oracle``)
+    instead of the rows-only check iterative queries usually get. The
+    float :func:`kmeans_assign`/:func:`kmeans_update` pair remains the
+    library API for callers that want unquantized Lloyd.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = _kmeans_u_quantize(emb)
     centroids = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < KMEANS_K).collect()
+        (int(r["vec_id"]), [int(x) for x in r["q"]])
+        for r in qv.filter(F.col("vec_id") < KMEANS_K).collect()
     ]
     centroids = [(i, vec) for i, (_, vec) in enumerate(sorted(centroids))]
     for _ in range(KMEANS_ITERS):
-        assigned = kmeans_assign(emb, centroids)
-        centroids = kmeans_update(assigned)
-    final = kmeans_assign(emb, centroids)
+        assigned = kmeans_assign_u(qv, centroids)
+        centroids = kmeans_update_u(assigned)
+    final = kmeans_assign_u(qv, centroids)
     return (
         final.groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.sum("dist2"), 4).alias("wcss"),
+            F.round(
+                F.sum(F.col("dist2_u").cast("decimal(38,0)")).cast("double")
+                / F.lit(float(KMEANS_SCALE) ** 2),
+                4,
+            ).alias("wcss"),
         )
         .orderBy("cid")
     )
@@ -807,7 +972,7 @@ WITH v AS (
     FROM sub
 )
 SELECT vec_id,
-       list(code ORDER BY m) AS pq_codes,
+       array_to_string(list(code ORDER BY m), ',') AS pq_codes,
        CAST(list_sum(list(du ORDER BY m)) AS BIGINT) AS pq_mse_u
 FROM best WHERE rn = 1
 GROUP BY vec_id
@@ -843,13 +1008,29 @@ def similarity_pq_encode(
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
     book = train_pq_codebook(v) if codebook == "trained" else None
+    # Gate contract: the code vector is serialized to a CSV string so
+    # the driver canonicalizer can hash it; pq_code_vectors() keeps
+    # the array-typed library form consumed by pq_search/ivfpq.
     return (
         _with_pq_best(v, book=book)
         .select(
             "vec_id",
-            F.col("best.codes").alias("pq_codes"),
+            F.array_join(
+                F.col("best.codes").cast("array<string>"), ","
+            ).alias("pq_codes"),
             F.col("best.mse_u").alias("pq_mse_u"),
         )
+    )
+
+
+def pq_code_vectors(
+    spark: SparkSession, sf_dir: str, codebook: str = "hash"
+) -> DataFrame:
+    """Library form of :func:`similarity_pq_encode` with ``pq_codes``
+    as ``array<int>`` (the gate query serializes it)."""
+    out = similarity_pq_encode(spark, sf_dir, codebook=codebook)
+    return out.withColumn(
+        "pq_codes", F.split("pq_codes", ",").cast("array<int>")
     )
 
 
@@ -1447,9 +1628,9 @@ WITH v AS (
     FROM v
 )
 SELECT vec_id,
-       list_transform(range({RP_OUT_DIM}), j ->
+       array_to_string(list_transform(range({RP_OUT_DIM}), j ->
            CAST(list_sum(list_transform(range({RP_IN_DIM}), d ->
-               {_RP_SIGN_SQL} * qs[d + 1])) AS BIGINT)) AS proj_u
+               {_RP_SIGN_SQL} * qs[d + 1])) AS BIGINT)), ',') AS proj_u
 FROM q
 """,
 )
@@ -1491,7 +1672,24 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     project_udf = F.pandas_udf(_project, "array<bigint>")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return emb.select("vec_id", project_udf(F.col("embedding")).alias("proj_u"))
+    # Gate contract: the projection vector is serialized to a CSV
+    # string so the driver canonicalizer can hash it;
+    # random_projection_vectors() keeps the array-typed library form.
+    return emb.select(
+        "vec_id",
+        F.array_join(
+            project_udf(F.col("embedding")).cast("array<string>"), ","
+        ).alias("proj_u"),
+    )
+
+
+def random_projection_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library form of :func:`embedding_random_projection` with
+    ``proj_u`` as ``array<bigint>`` (the gate query serializes it)."""
+    out = embedding_random_projection(spark, sf_dir)
+    return out.withColumn(
+        "proj_u", F.split("proj_u", ",").cast("array<bigint>")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -807,7 +807,7 @@ WITH docs AS (
 SELECT b.w1, b.w2, b.n2,
        round(ln((CAST(b.n2 AS DOUBLE) * t.nt * t.nt)
                 / (bt.mt * CAST(u1.n1 AS DOUBLE) * CAST(u2.n1 AS DOUBLE))),
-             4) AS pmi
+             4) + 0.0 AS pmi
 FROM big b
 CROSS JOIN tot t
 CROSS JOIN btot bt
@@ -872,7 +872,10 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(btot))
         .join(u1, "w1")
         .join(u2, "w2")
-        .select("w1", "w2", "n2", F.round(pmi, 4).alias("pmi"))
+        # +0.0 normalizes IEEE signed zero: a tiny-negative PMI rounds
+        # to -0.0 in one engine and +0.0 in the other; -0.0 + 0.0 is
+        # +0.0 everywhere, so the value hash agrees.
+        .select("w1", "w2", "n2", (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"))
     )
 
 
@@ -905,13 +908,78 @@ def _bpe_apply_merge(syms: list, left: str, right: str) -> list:
     return out
 
 
+# Symbol-boundary separator for the BPE oracle's string encoding.
+# \x1f (ASCII unit separator) never appears in the corpus (pinned by
+# tests/test_text_lm.py::test_bpe_oracle_separator_absent).
+_BPE_SEP = "\x1f"
+
+
+def _bpe_oracle() -> str:
+    """Statically-unrolled DuckDB twin of the BPE merge loop.
+
+    The loop state (word -> symbol list) is encoded as a string with
+    every symbol WRAPPED in double separators: ['x','a'] ->
+    '\\x1f\\x1fx\\x1f\\x1fa\\x1f\\x1f'. Applying merge (l, r) greedily
+    leftmost-first is then EXACTLY one non-overlapping string
+    ``replace`` of '\\x1fl\\x1f\\x1fr\\x1f' with '\\x1flr\\x1f': each match
+    consumes the inner half of each boundary pair, so adjacent merges
+    ('x a a a a y' -> x aa aa y) still fire while prefix/suffix
+    near-matches ('a' + 'ab') cannot ('aaa' -> [aa, a], leftmost
+    rule, verified against _bpe_apply_merge by the pytest pin). With
+    the merge count a fixed constant the whole iterate-count-merge
+    loop unrolls into {BPE_MERGES} chained CTE rounds — a full value
+    oracle for a query that would otherwise be rows-only.
+    """
+    s, s2 = _BPE_SEP, _BPE_SEP * 2
+    ctes = [
+        f"""
+WITH words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE length(w) > 0
+    GROUP BY w
+    ORDER BY cnt DESC, w
+    LIMIT {BPE_VOCAB_CAP}
+), v0 AS MATERIALIZED (
+    SELECT '{s2}' || array_to_string(string_split(w, ''), '{s2}')
+               || '{s2}' AS st,
+           cnt
+    FROM words
+)"""
+    ]
+    for r in range(BPE_MERGES):
+        ctes.append(
+            f""", p{r} AS (
+    SELECT sy[t.i] AS l, sy[t.i + 1] AS r2,
+           CAST(sum(cnt) AS BIGINT) AS pc
+    FROM (
+        SELECT list_filter(string_split(st, '{s2}'), x -> x <> '') AS sy,
+               cnt
+        FROM v{r}
+    ), unnest(generate_series(1, len(sy) - 1)) AS t(i)
+    GROUP BY 1, 2
+), b{r} AS MATERIALIZED (
+    SELECT l, r2, pc FROM p{r} ORDER BY pc DESC, l, r2 LIMIT 1
+), v{r + 1} AS MATERIALIZED (
+    SELECT replace(v.st, '{s}' || b.l || '{s2}' || b.r2 || '{s}',
+                   '{s}' || b.l || b.r2 || '{s}') AS st, v.cnt
+    FROM v{r} v CROSS JOIN b{r} b
+)"""
+        )
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, l AS \"left\","
+        f" r2 AS \"right\", pc AS pair_count FROM b{r}"
+        for r in range(BPE_MERGES)
+    )
+    ctes.append("\n" + rounds)
+    return "".join(ctes)
+
+
 @register(
     "text_bpe_vocab",
     tags=("text", "tokenizer", "iterative", "llm_pipeline"),
-    oracle=None,  # iterative (each argmax feeds the next round's
-    # counts) — not SQL-expressible, same rows-only class as
-    # embedding_kmeans; tests/test_text_lm.py pins the merge sequence
-    # against a pure-Python BPE reference instead.
+    oracle=_bpe_oracle(),
 )
 def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding vocabulary learning — the tokenizer-training

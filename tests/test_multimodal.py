@@ -68,7 +68,7 @@ def test_phash_groups_permuted_payloads_together(spark, tmp_path):
     histogram sketch): two docs with permuted but equal byte
     multisets share a phash group, while a doc with a different byte
     distribution does not; groups never cross media_type."""
-    from go_integ_spark.operators.multimodal import multimodal_phash_dedup
+    from go_integ_spark.operators.multimodal import phash_groups
 
     # doc 0 and 3 share media_type (0 % 3 == 3 % 3) AND a byte multiset
     rows = [
@@ -83,6 +83,6 @@ def test_phash_groups_permuted_payloads_together(spark, tmp_path):
     )
     got = {
         (r["media_type"], tuple(r["doc_ids"])): r["keep_doc_id"]
-        for r in multimodal_phash_dedup(spark, path).collect()
+        for r in phash_groups(spark, path).collect()
     }
     assert got == {("image", (0, 3)): 0}

@@ -174,9 +174,9 @@ def test_pq_encode_invariants(spark):
     join), codes within the codebook range, and the codebook vectors
     themselves encode losslessly (their own sub-slices are codebook
     entries, so per-subspace distance is exactly 0)."""
-    from go_integ_spark.operators.similarity import IVF_K, PQ_M, similarity_pq_encode
+    from go_integ_spark.operators.similarity import IVF_K, PQ_M, pq_code_vectors
 
-    df = similarity_pq_encode(spark, SF_DIR)
+    df = pq_code_vectors(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     rows = df.collect()
@@ -486,13 +486,13 @@ def test_random_projection_matches_python_reference(spark):
         RP_OUT_DIM,
         RP_SCALE,
         _rp_sign,
-        embedding_random_projection,
+        random_projection_vectors,
     )
     from go_integ_spark.tables import load_table
 
     got = {
         r["vec_id"]: list(r["proj_u"])
-        for r in embedding_random_projection(spark, SF_DIR).collect()
+        for r in random_projection_vectors(spark, SF_DIR).collect()
     }
     emb = {
         r["vec_id"]: r["embedding"]
@@ -525,13 +525,13 @@ def test_random_projection_preserves_distances(spark, tmp_path):
         RP_IN_DIM,
         RP_OUT_DIM,
         RP_SCALE,
-        embedding_random_projection,
+        random_projection_vectors,
     )
     from go_integ_spark.tables import load_table
 
     proj = {
         r["vec_id"]: np.asarray(r["proj_u"], dtype=np.float64) / RP_SCALE
-        for r in embedding_random_projection(spark, SF_DIR).collect()
+        for r in random_projection_vectors(spark, SF_DIR).collect()
     }
     emb = {
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
@@ -565,7 +565,7 @@ def test_random_projection_preserves_distances(spark, tmp_path):
     ).write.parquet(path + "/embeddings.parquet")
     ctl = {
         r["vec_id"]: np.asarray(r["proj_u"], dtype=np.float64)
-        for r in embedding_random_projection(spark, path).collect()
+        for r in random_projection_vectors(spark, path).collect()
     }
     sketch_d = [float(np.sum((ctl[i] - ctl[0]) ** 2)) for i in range(1, 11)]
     assert sketch_d == sorted(sketch_d)  # strictly increasing ranks

@@ -118,3 +118,22 @@ def test_bpe_vocab_matches_python_reference(spark):
             merged[key] = merged.get(key, 0) + cnt
         vocab = merged
     assert got == want
+
+
+def test_bpe_oracle_separator_absent(spark):
+    """The BPE oracle's string encoding relies on \\x1f never
+    appearing inside a corpus token (symbols must not contain the
+    boundary separator). Pinned here against every test SF so a
+    future corpus change that violates the encoding assumption fails
+    loudly instead of silently corrupting the oracle."""
+    import duckdb
+
+    from go_integ_spark.operators.text import _BPE_SEP
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = duckdb.sql(
+            "SELECT count(*) FROM "
+            f"'/root/testdata/sf{sf}/documents.parquet' "
+            "WHERE text LIKE '%' || chr(31) || '%'"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: corpus contains {_BPE_SEP!r}"
