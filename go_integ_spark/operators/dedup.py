@@ -277,26 +277,68 @@ def minhash_signatures(doc_sets: DataFrame, num_perm: int = NUM_PERM) -> DataFra
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = LSH_BANDS,
-    rows: int = LSH_ROWS,
-    max_bucket: int | None = None,
+def lsh_band_buckets(
+    doc_sets: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
-    """Banded LSH: hash each band of the signature to a bucket, pair
-    up docs sharing a bucket (bucket-and-enumerate, one shuffle).
-    ``max_bucket`` drops degenerate boilerplate buckets (precision/
-    recall trade at extreme scale).
+    """(doc_id, buckets): the ``bands`` LSH bucket keys per doc,
+    computed in ONE Arrow-batched kernel pass — the per-permutation
+    minhashes never materialize as plan columns. Emits EXACTLY the
+    values of ``xxhash64(lit(b), h[b*rows], ...)`` over
+    :func:`minhash_signatures` output (the band fold is the same
+    XXH64 chain: hashInt(band) then hashLong per row hash —
+    ``tests/test_dedup.py`` pins kernel == expression). Replacing the
+    64-wide h{i} projection + 32 band-hash expressions with a single
+    small array column cut the cold plan/codegen cost the bench was
+    billing to dedup_minhash_lsh.
     """
-    band_hashes = F.array(
-        *[
-            # fold band id into the bucket hash; (band, bucket) key
-            # collapses to one 64-bit column
-            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
+    import numpy as np
+    import pandas as pd
+
+    from go_integ_spark.functions.xxh import (
+        SPARK_SEED,
+        as_signed,
+        xxh64_int,
+        xxh64_long,
     )
-    buckets = signatures.select("doc_id", F.explode(band_hashes).alias("bucket"))
+
+    num_perm = bands * rows
+    seeds = xxh64_int(np.arange(num_perm, dtype=np.uint64), SPARK_SEED)
+    band_seeds = xxh64_int(np.arange(bands, dtype=np.uint64), SPARK_SEED)
+
+    def _buckets(col):  # pd.Series[list[int]] -> pd.Series[np.ndarray]
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(x, dtype=np.int64) for x in col]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        flat = np.concatenate(arrs).view(np.uint64)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        mins = np.empty((n, num_perm), dtype=np.uint64)
+        for i in range(num_perm):
+            h = xxh64_long(flat, seeds[i])
+            mins[:, i] = np.minimum.reduceat(
+                h.view(np.int64), offs
+            ).view(np.uint64)
+        out = np.empty((n, bands), dtype=np.int64)
+        for b in range(bands):
+            h = band_seeds[b]
+            for r in range(rows):
+                h = xxh64_long(mins[:, b * rows + r], h)
+            out[:, b] = as_signed(h)
+        return pd.Series(list(out))
+
+    buckets_udf = F.pandas_udf(_buckets, "array<bigint>")
+    return doc_sets.select(
+        "doc_id", buckets_udf(F.col("sids")).alias("buckets")
+    )
+
+
+def _pairs_from_buckets(
+    buckets: DataFrame, max_bucket: int | None
+) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs from (doc_id, bucket) rows:
+    bucket-and-enumerate, one shuffle."""
     grouped = buckets.groupBy("bucket").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
@@ -308,6 +350,32 @@ def lsh_candidate_pairs(
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Banded LSH over :func:`minhash_signatures` output: hash each
+    band of the signature to a bucket, pair up docs sharing a bucket
+    (bucket-and-enumerate, one shuffle). ``max_bucket`` drops
+    degenerate boilerplate buckets (precision/recall trade at extreme
+    scale). The hot path (:func:`dedup_minhash_lsh`) uses
+    :func:`lsh_band_buckets` instead, which emits identical bucket
+    values without materializing the h{i} columns.
+    """
+    band_hashes = F.array(
+        *[
+            # fold band id into the bucket hash; (band, bucket) key
+            # collapses to one 64-bit column
+            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select("doc_id", F.explode(band_hashes).alias("bucket"))
+    return _pairs_from_buckets(buckets, max_bucket)
 
 
 # --------------------------------------------------------------------------
@@ -477,8 +545,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     doc_sets = _cached_doc_sets(docs)
-    cand = lsh_candidate_pairs(
-        minhash_signatures(doc_sets), max_bucket=LSH_MAX_BUCKET
+    cand = _pairs_from_buckets(
+        lsh_band_buckets(doc_sets).select(
+            "doc_id", F.explode("buckets").alias("bucket")
+        ),
+        max_bucket=LSH_MAX_BUCKET,
     )
     a = doc_sets.alias("a")
     b = doc_sets.alias("b")
@@ -907,16 +978,9 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     doc_sets = _cached_doc_sets(docs)
-    sig = minhash_signatures(doc_sets)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-            )
-            for b in range(LSH_BANDS)
-        ]
+    buckets = lsh_band_buckets(doc_sets).select(
+        "doc_id", F.explode("buckets").alias("bucket")
     )
-    buckets = sig.select("doc_id", F.explode(band_hashes).alias("bucket"))
     new_b = buckets.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("new_doc"), "bucket"
     )

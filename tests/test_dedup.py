@@ -322,3 +322,38 @@ def test_winnow_kernel_matches_jvm_expression(spark):
     }
     k2 = {r["doc_id"]: sorted(r["fps"]) for r in winnow_sets(intl).collect()}
     assert k2 == e2
+
+
+def test_band_bucket_kernel_matches_jvm_expression(spark):
+    """lsh_band_buckets must emit EXACTLY the bucket values of the
+    banding expression over minhash_signatures output
+    (xxhash64(lit(b), h[b*rows], h[b*rows+1])) — the bit-identity
+    that lets the hot path skip the 64-wide h{i} projection without
+    changing a single candidate pair."""
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        doc_shingle_sets,
+        lsh_band_buckets,
+        minhash_signatures,
+    )
+
+    sets_ = doc_shingle_sets(load_table(spark, SF_DIR, "documents"))
+    new = lsh_band_buckets(sets_).select(
+        "doc_id", F.explode("buckets").alias("bucket")
+    )
+    sig = minhash_signatures(sets_)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    old = sig.select("doc_id", F.explode(band_hashes).alias("bucket"))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
