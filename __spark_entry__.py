@@ -98,7 +98,7 @@ _MEASURED_COST = {
     "multimodal_frame_sample": 0.48,
     "window_share_of_segment": 0.48,
     "dedup_canonical_pick": 0.5,
-    "text_bpe_vocab": 0.5,
+    "text_bpe_vocab": 0.66,
     "range_join_error_clicks": 0.51,
     "text_lang_id": 0.52,
     "events_hourly_gapfill": 0.53,
@@ -164,7 +164,7 @@ _MEASURED_COST = {
     "dedup_containment": 1.73,
     "dedup_embedding_cosine": 1.73,
     "streaming_histogram": 1.82,
-    "embedding_kmeans": 1.85,
+    "embedding_kmeans": 3.47,
     "streaming_static_enrich": 1.89,
     "text_embed_hash": 2.19,
     "ann_ivfpq_residual_topk": 2.21,
@@ -176,6 +176,9 @@ _MEASURED_COST = {
     "connector_datasource_distributed_read": 3.9,
     "embedding_communities": 8.32,
     "text_winnow_overlap": 1.2,
+    "curation_token_budget_select": 3.7,
+    "curation_ngram_novelty": 2.27,
+    "dedup_srp_buckets": 3.62,
 }
 
 

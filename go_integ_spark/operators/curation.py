@@ -896,3 +896,164 @@ def curation_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.join(docs, "doc_id").select(
         "doc_id", "cell_id", "pick_rank", "lang"
     )
+
+
+# Per-language token budget for the greedy budget selection. At the
+# gate SFs every language is only partially selected (en alone has
+# ~12k whitespace tokens at sf0.01), so the boundary-group logic is
+# exercised, not just the keep-everything fast path.
+TOKEN_BUDGET_PER_LANG = 2_000
+
+
+@register(
+    "curation_token_budget_select",
+    tags=("curation", "sampling", "two_pass"),
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok
+    FROM documents
+), c AS (
+    SELECT doc_id, lang, tok,
+           sum(tok) OVER (
+               PARTITION BY lang ORDER BY tok DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id, lang, tok FROM c WHERE cum <= {TOKEN_BUDGET_PER_LANG}
+""",
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection: per language, keep documents in
+    (tokens DESC, doc_id) order while the running token total stays
+    within the budget — the "fill each language's training quota with
+    the longest documents first" curation pass.
+
+    The oracle spells it as the obvious per-language window running
+    sum. The Spark plan deliberately does NOT: a per-language global
+    sort puts an entire language on one reducer, which is exactly the
+    single-key skew a 100 TB corpus cannot afford. Instead the greedy
+    prefix is reconstructed in two bounded passes — valid because the
+    running sum is monotone along the selection order, so the kept
+    set is always (all docs of the fully-fitting token-count groups)
+    + (a doc_id-prefix of the single boundary group):
+
+    1. aggregate (lang, tok) -> (n_docs, sum_tok) — a few hundred
+       rows total (token counts are small integers), collected;
+       the driver walks each language's groups in tok-DESC order to
+       find the boundary token count and the per-language remaining
+       budget — O(distinct token values) driver work;
+    2. full groups become a row-local broadcast-filter on
+       (lang, tok); the boundary group — one token value per
+       language — gets a doc_id row_number window over only its own
+       docs (~1/|distinct tok| of the corpus), keeping
+       floor(remaining / tok*) docs.
+
+    Both constructions select the identical set (the pytest pin and
+    the oracle assert it), but the Spark one shuffles counts, not
+    corpora.
+    """
+    tok = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    ).cast("bigint")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tok.alias("tok")
+    )
+    groups = (
+        docs.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tok"))
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in groups:
+        by_lang.setdefault(r["lang"], []).append(r)
+    full_keep: list[tuple[str, int]] = []  # (lang, tok) fully kept
+    boundary: dict[str, tuple[int, int]] = {}  # lang -> (tok*, m)
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: -r["tok"])
+        remaining = TOKEN_BUDGET_PER_LANG
+        for r in rows:
+            if r["sum_tok"] <= remaining:
+                full_keep.append((lang, r["tok"]))
+                remaining -= r["sum_tok"]
+            else:
+                m = remaining // r["tok"] if r["tok"] > 0 else 0
+                if m > 0:
+                    boundary[lang] = (r["tok"], int(m))
+                break  # running sum is monotone: nothing later fits
+    spark_s = docs.sparkSession
+    full_df = spark_s.createDataFrame(
+        full_keep or [("", -1)], "lang string, tok bigint"
+    )
+    kept_full = docs.join(F.broadcast(full_df), ["lang", "tok"])
+    bnd_df = spark_s.createDataFrame(
+        [(lang, t, m) for lang, (t, m) in boundary.items()] or [("", -1, 0)],
+        "lang string, tok bigint, m int",
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    kept_bnd = (
+        docs.join(F.broadcast(bnd_df), ["lang", "tok"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("m"))
+        .drop("rn", "m")
+    )
+    return kept_full.unionByName(kept_bnd).select("doc_id", "lang", "tok")
+
+
+@register(
+    "curation_ngram_novelty",
+    tags=("curation", "quality", "dedup"),
+    oracle=_SH_CTE
+    + """
+, first AS (
+    SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM sh s JOIN first f USING (shingle)
+GROUP BY s.doc_id
+""",
+)
+def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-k-gram shingles whose FIRST occurrence (by doc_id order) is
+    this doc — the standard "how much of this document is new text"
+    signal used to down-weight boilerplate/recycled content before
+    training (complement of the dedup family: scores every doc
+    instead of emitting pairs).
+
+    Scale shape: reuses the session-cached per-doc shingle-ID sets
+    (row-local build, 8-byte xxhash64 IDs — same collision-freeness
+    contract as the dedup oracles); one vocabulary-scaled groupBy
+    computes each shingle's first doc, and the join back is on the
+    same shingle key, so only ids ever shuffle — text never moves,
+    and nothing is corpus-pair-scaled.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _cached_doc_sets(docs).select(
+        "doc_id", F.explode("sids").alias("sid")
+    )
+    first = sh.groupBy("sid").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first, "sid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_grams").cast("double"), 4
+            ).alias("novelty"),
+        )
+    )

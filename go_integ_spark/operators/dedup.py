@@ -1347,3 +1347,165 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 4).alias("dup_frac"),
         (frac <= PARA_KEEP_MAX_DUP).alias("keep"),
     )
+
+
+# Signed-random-projection (SRP / hyperplane) LSH for embeddings:
+# SRP_BANDS bands of SRP_ROWS sign bits each, over SRP_BANDS*SRP_ROWS
+# Rademacher projections (the same md5-derived matrix family as
+# similarity.py's JL sketch). Completes the LSH family: MinHash for
+# token sets, SimHash for text, SRP for dense vectors. 8x5 puts the
+# per-pair candidate probability at ~0.63 for cos 0.45 on 64-dim
+# vectors (1 - (1 - (1 - theta/pi)^5)^8) — tuned for this corpus's
+# weak near-dup band; production near-dup thresholds (>= 0.8) get
+# high recall with far fewer bands.
+SRP_BANDS = 8
+SRP_ROWS = 5
+SRP_COS_THRESHOLD = 0.45
+
+
+@register(
+    "dedup_srp_buckets",
+    tags=("dedup", "lsh", "vector"),
+    oracle=None,  # assigned below — needs similarity's sign SQL
+)
+def dedup_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH
+    (Charikar hyperplane hashing): each vector's bucket keys are
+    SRP_BANDS bands of SRP_ROWS projection SIGN BITS; vectors sharing
+    any band bucket are candidates, verified with exact cosine.
+
+    This is the third LSH in the family and the one for DENSE
+    vectors: candidate probability is (1 - theta/pi)^rows per band —
+    concentrated on genuinely-close pairs — and unlike the IVF route
+    (dedup_embedding_cosine) it needs NO centroid training pass, so
+    it drops into a streaming/incremental corpus unchanged. Recall is
+    probabilistic by construction (banding s-curve; the registered
+    oracle replicates the construction exactly rather than asserting
+    recall against all-pairs truth — contrast dedup_minhash_lsh,
+    whose measured candidate recall lets it share the exact oracle).
+
+    Scale shape: the 32 projections + sign-packing are ONE
+    Arrow-batched row-local kernel over the fixed-point micro-unit
+    grid (bit-identical in Spark/numpy/DuckDB — the RP contract);
+    each vector ships to SRP_BANDS buckets; each bucket is scored as
+    one cogrouped block with the shared fold-exact cosine. Zero
+    training, zero corpus-pair joins, payload vectors cross the
+    Arrow boundary once per band.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from go_integ_spark.functions.vector import fold_cosine_block, with_norm
+    from go_integ_spark.operators.similarity import RP_IN_DIM, RP_SCALE, _rp_sign
+
+    nproj = SRP_BANDS * SRP_ROWS
+    sign = np.array(
+        [[_rp_sign(j, d) for d in range(RP_IN_DIM)] for j in range(nproj)],
+        dtype=np.int64,
+    )
+
+    def _buckets(col):  # pd.Series[list[float]] -> pd.Series[np.ndarray]
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        e = np.stack([np.asarray(x, dtype=np.float64) for x in col])
+        q = np.floor(e * RP_SCALE + 0.5).astype(np.int64)
+        proj = q @ sign.T  # (n, nproj) exact int64
+        bits = (proj >= 0).astype(np.int64)
+        out = np.empty((n, SRP_BANDS), dtype=np.int64)
+        for b in range(SRP_BANDS):
+            band = bits[:, b * SRP_ROWS : (b + 1) * SRP_ROWS]
+            out[:, b] = b * (1 << SRP_ROWS) + (
+                band << np.arange(SRP_ROWS, dtype=np.int64)
+            ).sum(axis=1)
+        return pd.Series(list(out))
+
+    buckets_udf = F.pandas_udf(_buckets, "array<bigint>")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    bucketed = v.select(
+        "vec_id",
+        "e",
+        "e_norm",
+        F.explode(buckets_udf(F.col("embedding"))).alias("bucket"),
+    )
+
+    def _pairs_above(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sim = fold_cosine_block(pdf["e"], pdf["e_norm"], pdf["e"], pdf["e_norm"])
+        ii, jj = np.where(np.triu(sim >= SRP_COS_THRESHOLD, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "vec_a": np.where(swap, b, a),
+                "vec_b": np.where(swap, a, b),
+                "s": sim[ii, jj],
+            }
+        )
+
+    scored = bucketed.groupBy("bucket").applyInPandas(
+        _pairs_above, "vec_a bigint, vec_b bigint, s double"
+    )
+    # a pair colliding in several bands scores with the identical bit
+    # pattern each time (shared fold) — dedupe on all three columns
+    return scored.distinct().select(
+        "vec_a", "vec_b", F.round(F.col("s"), 4).alias("cos_sim")
+    )
+
+
+def _srp_oracle() -> str:
+    from go_integ_spark.operators.similarity import (
+        _RP_SIGN_SQL,
+        RP_IN_DIM,
+        RP_SCALE,
+    )
+
+    nproj = SRP_BANDS * SRP_ROWS
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+    SELECT vec_id,
+           list_transform(e, x -> CAST(floor(x * {RP_SCALE} + 0.5) AS BIGINT))
+               AS qs
+    FROM v
+), proj AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(range({nproj}), j ->
+               CAST(list_sum(list_transform(range({RP_IN_DIM}), d ->
+                   {_RP_SIGN_SQL} * qs[d + 1])) AS BIGINT)) AS p
+    FROM q
+), bk AS (
+    SELECT vec_id,
+           unnest(list_transform(range({SRP_BANDS}), b ->
+               b * {1 << SRP_ROWS} +
+               list_sum(list_transform(range({SRP_ROWS}), i ->
+                   CASE WHEN p[b * {SRP_ROWS} + i + 1] >= 0
+                        THEN (1 << i) ELSE 0 END)))) AS bucket
+    FROM proj
+), pairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT p.vec_a, p.vec_b,
+       round(list_cosine_similarity(va.e, vb.e), 4) AS cos_sim
+FROM pairs p
+JOIN v va ON va.vec_id = p.vec_a
+JOIN v vb ON vb.vec_id = p.vec_b
+WHERE list_cosine_similarity(va.e, vb.e) >= {SRP_COS_THRESHOLD}
+"""
+
+
+from go_integ_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["dedup_srp_buckets"].oracle = _srp_oracle()

@@ -141,3 +141,64 @@ def test_diversity_sample_spans_cells(spark):
     assert all(1 <= n <= DIVERSITY_PER_CELL for n in per_cell.values())
     for r in rows:
         assert 1 <= r["pick_rank"] <= DIVERSITY_PER_CELL
+
+
+def test_token_budget_select_is_greedy_prefix(spark):
+    """The two-pass bucket construction must select EXACTLY the
+    greedy (tokens DESC, doc_id) prefix a direct running sum keeps
+    within budget, and every language's kept token total must respect
+    the budget."""
+    import re
+
+    from go_integ_spark.operators.curation import (
+        TOKEN_BUDGET_PER_LANG,
+        curation_token_budget_select,
+    )
+    from go_integ_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["lang"], r["doc_id"]): r["tok"]
+        for r in curation_token_budget_select(spark, sf).collect()
+    }
+    docs = [
+        (r["lang"], len(re.findall(r"\S+", r["text"])), r["doc_id"])
+        for r in load_table(spark, sf, "documents").collect()
+    ]
+    want: dict[tuple, int] = {}
+    by_lang: dict[str, list] = {}
+    for lang, tok, did in docs:
+        by_lang.setdefault(lang, []).append((tok, did))
+    for lang, rows in by_lang.items():
+        cum = 0
+        for tok, did in sorted(rows, key=lambda x: (-x[0], x[1])):
+            cum += tok
+            if cum > TOKEN_BUDGET_PER_LANG:
+                break
+            want[(lang, did)] = tok
+    assert got == want
+    per_lang: dict[str, int] = {}
+    for (lang, _), tok in got.items():
+        per_lang[lang] = per_lang.get(lang, 0) + tok
+    assert all(v <= TOKEN_BUDGET_PER_LANG for v in per_lang.values())
+
+
+def test_ngram_novelty_bounds_and_copies(spark, tmp_path):
+    """An exact copy of an earlier doc scores novelty 0; the earliest
+    doc scores 1; everything sits in [0, 1]."""
+    from go_integ_spark.operators.curation import curation_ngram_novelty
+
+    base = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"x{i}" for i in range(20))
+    rows = [(1, base, "en"), (2, base, "en"), (3, other, "en")]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(path + "/documents.parquet")
+    got = {
+        r["doc_id"]: r["novelty"]
+        for r in curation_ngram_novelty(spark, path).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+    assert got[3] == 1.0

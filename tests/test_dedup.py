@@ -357,3 +357,30 @@ def test_band_bucket_kernel_matches_jvm_expression(spark):
     old = sig.select("doc_id", F.explode(band_hashes).alias("bucket"))
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+
+
+def test_srp_identical_vectors_always_pair(spark, tmp_path):
+    """Identical vectors share every band bucket, so an exact
+    duplicate MUST surface with cos_sim 1.0 regardless of the banding
+    s-curve; a far-away vector must not pair with either."""
+    import numpy as np
+
+    from go_integ_spark.operators.dedup import dedup_srp_buckets
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(64)
+    far = -v  # cosine -1
+    rows = [
+        (0, [float(x) for x in v], 0),
+        (1, [float(x) for x in v], 0),
+        (2, [float(x) for x in far], 1),
+    ]
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    ).write.parquet(path + "/embeddings.parquet")
+    got = [
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in dedup_srp_buckets(spark, path).collect()
+    ]
+    assert got == [(0, 1, 1.0)]
