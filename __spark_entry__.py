@@ -179,6 +179,7 @@ _MEASURED_COST = {
     "curation_token_budget_select": 3.7,
     "curation_ngram_novelty": 2.27,
     "dedup_srp_buckets": 3.62,
+    "text_gopher_quality": 0.35,
 }
 
 

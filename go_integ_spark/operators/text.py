@@ -1038,3 +1038,111 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+# Gopher quality-rule bounds (Rae et al. 2021, table A1 — the public
+# rule set Dolma/RefinedWeb-style pipelines reuse). Word-count floor
+# lowered 50 -> 20 for this corpus's short synthetic docs; every
+# other bound is the published value.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+_GOPHER_STOPS = "the|be|to|of|and|that|have|with"
+
+
+@register(
+    "text_gopher_quality",
+    tags=("text", "quality", "llm_pipeline"),
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS n_nonws_chars,
+           CAST(length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3
+                AS BIGINT) AS n_symbols,
+           CAST(len(regexp_extract_all(text, '\\S*[a-zA-Z]\\S*')) AS BIGINT)
+               AS n_alpha_words,
+           CAST(len(regexp_extract_all(lower(text),
+                '\\b({_GOPHER_STOPS})\\b')) AS BIGINT) AS n_stop_hits
+    FROM documents
+)
+SELECT doc_id, n_words,
+       round(n_nonws_chars / greatest(n_words, 1)::DOUBLE, 4)
+           AS mean_word_len,
+       round(n_symbols / greatest(n_words, 1)::DOUBLE, 4) AS symbol_ratio,
+       round(n_alpha_words / greatest(n_words, 1)::DOUBLE, 4) AS alpha_frac,
+       n_stop_hits,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND n_nonws_chars / greatest(n_words, 1)::DOUBLE
+            BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND n_symbols / greatest(n_words, 1)::DOUBLE
+            <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND n_alpha_words / greatest(n_words, 1)::DOUBLE
+            >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS gopher_ok
+FROM m
+""",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021) — the
+    published heuristic gate web-scale pipelines (Gopher, Dolma,
+    RefinedWeb variants) apply before any model-based scoring: word
+    count bounds, mean word length bounds, symbol-to-word ratio
+    (# and ellipsis), fraction of words containing an alphabetic
+    character, and a minimum stop-word hit count. Emits the metrics
+    AND the composite verdict so downstream curation can re-weight
+    instead of hard-dropping.
+
+    All five signals are integer token/char counts from
+    ``regexp_extract_all`` / ``replace`` projections — scan-bound
+    row-local JVM expressions (no UDF, no shuffle), identical in
+    DuckDB because the patterns stay inside the Java-regex/RE2 common
+    subset (character classes, alternation, ``\\b``).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    ).cast("bigint")
+    n_nonws = F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("bigint")
+    n_symbols = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S*[a-zA-Z]\S*"), 0)
+    ).cast("bigint")
+    n_stops = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(rf"\b({_GOPHER_STOPS})\b"), 0
+        )
+    ).cast("bigint")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = n_nonws / nw
+    sym_ratio = n_symbols / nw
+    alpha_frac = n_alpha / nw
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        n_stops.alias("n_stop_hits"),
+        (
+            n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+            & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+            & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+            & (n_stops >= GOPHER_MIN_STOP_HITS)
+        ).alias("gopher_ok"),
+    )

@@ -202,3 +202,23 @@ def test_ngram_novelty_bounds_and_copies(spark, tmp_path):
     assert got[1] == 1.0
     assert got[2] == 0.0
     assert got[3] == 1.0
+
+
+def test_gopher_rules_fire_individually(spark, tmp_path):
+    """Each Gopher rule must be able to fail a doc on its own: too
+    short, symbol-heavy, and stopword-free docs all fail while a
+    plain English paragraph passes."""
+    from go_integ_spark.operators.text import text_gopher_quality
+
+    good = ("the quick brown fox jumps over that lazy dog and then runs "
+            "away with the bone to share it of course " * 2).strip()
+    short = "the cat and that dog have fun with it"  # < 20 words
+    symbols = " ".join(["word#"] * 30) + " the and that have"  # symbol ratio 
+    nostops = " ".join(f"token{i}" for i in range(30))  # no stopword hits
+    rows = [(1, good, "en"), (2, short, "en"), (3, symbols, "en"), (4, nostops, "en")]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(path + "/documents.parquet")
+    got = {r["doc_id"]: r["gopher_ok"] for r in text_gopher_quality(spark, path).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
