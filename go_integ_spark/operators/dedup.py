@@ -801,6 +801,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ITERS = 32
 
 
+def _checkpoint_fresh_stats(df: DataFrame) -> DataFrame:
+    """localCheckpoint + plan-statistics reset, for ITERATIVE
+    self-join loops.
+
+    Root cause this guards against (round 6, found via jstack):
+    Catalyst's size-only stats estimate a join as the PRODUCT of its
+    children's ``sizeInBytes``, and ``Dataset.localCheckpoint``
+    deliberately carries ``originStats`` through the checkpoint — so
+    a loop whose round joins the label table with a projection of
+    itself SQUARES the estimate every round. By round ~11 the
+    BigInteger had 8,000+ decimal digits and by round ~20 each
+    planning pass burned entire SECONDS of driver CPU in
+    ``BigInteger.multiplyToomCook3`` (executor task time stayed at
+    ~5 ms; 22 CC rounds took 190 s instead of 12). Rebuilding the
+    DataFrame from the checkpointed internal RDD drops originStats,
+    so every round re-starts from the default estimate and the
+    within-round product stays tiny.
+
+    Falls back to the plain localCheckpoint if the internal
+    constructor ever disappears — correctness is unaffected either
+    way, only iteration-planning cost.
+    """
+    ck = df.localCheckpoint()
+    try:
+        jdf = ck._jdf
+        spark = ck.sparkSession
+        fresh = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, spark)
+    except Exception:  # pragma: no cover - internal-API drift guard
+        return ck
+
+
 def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """(node, component): min-doc-id label propagation with path
     halving over an undirected edge list. Each round is one
@@ -857,18 +891,20 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         # mutual-kNN graphs embedding_communities feeds in.
         # hopped feeds BOTH sides of the halving self-join; persist it
         # so the hop join + aggregation run once per round, not twice.
+        # (Round 6 measured a DOUBLE jump per round: rounds halved but
+        # each checkpoint job grew ~10x — two chained self-joins per
+        # materialization schedule several extra AQE stages — so the
+        # single jump is strictly faster at every scale tried.)
         hopped = hopped.persist()
         parents = hopped.select(
             F.col("node").alias("pnode"), F.col("label").alias("plabel")
         )
-        stepped = (
-            hopped.join(parents, hopped.label == parents.pnode, "left")
-            .select(
+        stepped = _checkpoint_fresh_stats(
+            hopped.join(parents, hopped.label == parents.pnode, "left").select(
                 "node",
                 "old_label",
                 F.least("label", F.coalesce("plabel", "label")).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = stepped.filter(F.col("old_label") != F.col("label")).count()
         hopped.unpersist()

@@ -548,11 +548,14 @@ def kmeans_update_u(assigned: DataFrame) -> list[tuple[int, list[int]]]:
     """New integer centroids: round-half-up of the exact per-dimension
     mean, computed entirely in integers — floor((2*s + n) / (2n)) with
     s the exact int64 coordinate sum. The int64 sum and count are
-    engine-exact, and the double division (2s+n)/(2n) has both
-    operands < 2^53 and a true ratio at least 1/(2n) away from any
-    integer it doesn't hit exactly, so the floor is deterministic in
-    every engine. Same dimension-parallel (cid, pos) shuffle shape as
-    the float :func:`kmeans_update`."""
+    engine-exact; the double division (2s+n)/(2n) floors
+    deterministically while |2s+n| < 2^53 (true ratio at least
+    1/(2n) from any integer it doesn't hit, and exact operands make
+    the quotient correctly rounded) — that covers clusters up to
+    ~4e9 vectors at unit-scale coordinates; past it, swap the
+    division for exact integer divmod (same value, no float). Same
+    dimension-parallel (cid, pos) shuffle shape as the float
+    :func:`kmeans_update`."""
     rows = (
         assigned.select("cid", F.posexplode("q").alias("pos", "v"))
         .groupBy("cid", "pos")

@@ -301,3 +301,24 @@ def test_fold_cosine_block_matches_sequential_python(a_vecs, b_vecs):
                 acc = acc + av[d] * bv[d]
             want = acc / (a_norms[i] * b_norms[j])
             assert block[i, j] == want, (i, j)
+
+
+@given(
+    st.lists(st.integers(min_value=-(10**13), max_value=10**13), min_size=1, max_size=50)
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_centroid_rounding_is_exact_half_up(values):
+    """The k-means gate path computes centroid coordinates as
+    floor((2*s + n) / (2n)) over exact integer sums. That must equal
+    round-half-UP of the true rational mean s/n for any sign — the
+    property that makes the unrolled DuckDB oracle bit-identical —
+    and the double division inside must never flip the floor (the
+    ratio is at least 1/(2n) from any integer it doesn't hit)."""
+    from fractions import Fraction
+
+    import math
+
+    s, n = sum(values), len(values)
+    got = int(math.floor((2 * s + n) / (2.0 * n)))
+    want = int(math.floor(Fraction(s, n) + Fraction(1, 2)))
+    assert got == want
