@@ -34,152 +34,152 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
-    "incremental_cursor_read": 0.16,
-    "sink_airbyte_envelope": 0.17,
+    "sink_airbyte_envelope": 0.14,
+    "text_pii_redact": 0.14,
     "sort_limit_top_lineitems": 0.17,
     "multimodal_metadata": 0.18,
-    "sample_stratified": 0.18,
     "text_repetition_ratio": 0.18,
-    "window_running_customer_spend": 0.18,
-    "q6_forecast_revenue": 0.2,
-    "text_fingerprint": 0.2,
-    "curation_mix_weights": 0.21,
-    "corpus_token_stats": 0.22,
-    "text_token_count": 0.23,
-    "connector_file_incremental_read": 0.24,
+    "curation_shuffle_shards": 0.19,
+    "q6_forecast_revenue": 0.19,
+    "text_fingerprint": 0.19,
+    "window_order_gaps": 0.19,
+    "sample_stratified": 0.2,
+    "sink_singer_envelope": 0.2,
+    "text_quality_score": 0.2,
+    "asof_join_purchase_click": 0.21,
+    "incremental_cursor_read": 0.21,
+    "agg_correlation": 0.22,
+    "agg_percentiles": 0.22,
+    "curation_weighted_sample": 0.22,
+    "dedup_exact": 0.22,
+    "text_chunk_overlap": 0.22,
+    "agg_distinct_counts": 0.23,
+    "window_running_customer_spend": 0.23,
     "events_pivot_type_counts": 0.24,
-    "text_pii_redact": 0.24,
-    "agg_distinct_counts": 0.25,
-    "agg_grouping_sets": 0.25,
-    "asof_join_purchase_click": 0.25,
-    "text_unigram_entropy": 0.25,
-    "window_order_gaps": 0.25,
-    "agg_cube_status_priority": 0.26,
+    "asof_join_click_attribution": 0.25,
+    "connector_file_incremental_read": 0.25,
+    "contamination_ngram_overlap": 0.25,
+    "events_sessionize": 0.25,
+    "join_anti_customers_without_orders": 0.25,
+    "cdc_scd2_history": 0.26,
+    "curation_domain_cap": 0.26,
     "dedup_keep_latest": 0.26,
-    "events_hourly_rollup": 0.26,
-    "join_semi_customers_with_orders": 0.26,
-    "agg_percentiles": 0.27,
-    "curation_domain_cap": 0.27,
-    "curation_shuffle_shards": 0.27,
-    "text_chunk_overlap": 0.27,
-    "dedup_clusters": 0.28,
-    "set_except_rich_not_building": 0.28,
-    "text_word_stats": 0.28,
-    "dedup_exact": 0.29,
-    "q1_pricing_summary": 0.29,
-    "set_intersect_rich_building": 0.29,
-    "agg_sketch_accuracy": 0.3,
-    "join_anti_customers_without_orders": 0.31,
-    "subquery_orders_above_avg": 0.31,
-    "cdc_scd2_history": 0.34,
-    "contamination_ngram_overlap": 0.34,
-    "curation_pack_sequences": 0.34,
-    "window_top_orders_per_customer": 0.34,
+    "text_unigram_entropy": 0.26,
+    "window_trailing_spend": 0.26,
+    "text_token_count": 0.27,
+    "join_semi_customers_with_orders": 0.28,
+    "agg_cube_status_priority": 0.29,
+    "corpus_token_stats": 0.29,
+    "window_top_orders_per_customer": 0.29,
+    "agg_regression": 0.3,
+    "q1_pricing_summary": 0.3,
+    "set_intersect_rich_building": 0.3,
+    "text_word_stats": 0.3,
+    "agg_sketch_accuracy": 0.31,
+    "agg_grouping_sets": 0.32,
+    "events_hourly_rollup": 0.32,
+    "subquery_orders_above_avg": 0.32,
+    "events_funnel": 0.33,
+    "dedup_paragraph": 0.34,
+    "events_json_extract": 0.34,
+    "set_union_distinct": 0.34,
+    "agg_rollup_nation_segment": 0.35,
+    "multimodal_decode_features": 0.35,
     "multimodal_resize_thumbs": 0.35,
-    "text_quality_score": 0.35,
-    "cdc_snapshot_diff": 0.36,
-    "multimodal_decode_features": 0.36,
-    "asof_join_click_attribution": 0.37,
-    "events_funnel": 0.37,
-    "events_json_extract": 0.37,
-    "set_union_distinct": 0.38,
-    "sink_singer_envelope": 0.38,
-    "agg_regression": 0.39,
-    "q4_late_orders": 0.39,
-    "embedding_health": 0.41,
-    "events_sessionize": 0.41,
-    "events_transition_matrix": 0.43,
-    "q13_customer_distribution": 0.43,
-    "agg_histogram": 0.44,
-    "curation_quality_filter": 0.45,
-    "dedup_exact_substring": 0.46,
-    "agg_rollup_nation_segment": 0.47,
-    "events_cohort_retention": 0.48,
-    "multimodal_frame_sample": 0.48,
-    "window_share_of_segment": 0.48,
-    "dedup_canonical_pick": 0.5,
-    "text_bpe_vocab": 0.66,
-    "range_join_error_clicks": 0.51,
-    "text_lang_id": 0.52,
-    "events_hourly_gapfill": 0.53,
-    "q14_promo_effect": 0.53,
-    "text_collocations": 0.54,
-    "text_heavy_hitters": 0.55,
-    "q16_supplier_part_count": 0.57,
-    "q22_idle_customers": 0.57,
-    "curation_weighted_sample": 0.58,
+    "text_embed_hash": 0.35,
+    "embedding_health": 0.37,
+    "cdc_snapshot_diff": 0.38,
+    "curation_pack_sequences": 0.38,
+    "curation_mix_weights": 0.39,
+    "events_transition_matrix": 0.39,
+    "set_except_rich_not_building": 0.39,
+    "dedup_soft_weights": 0.41,
+    "q14_promo_effect": 0.41,
+    "events_top_paths": 0.42,
+    "agg_mode_deterministic": 0.43,
+    "embedding_random_projection": 0.43,
+    "multimodal_frame_sample": 0.43,
+    "range_join_error_clicks": 0.43,
+    "q13_customer_distribution": 0.44,
+    "q17_small_quantity_revenue": 0.45,
+    "text_heavy_hitters": 0.45,
+    "text_lang_id": 0.45,
+    "agg_histogram": 0.46,
+    "curation_quality_filter": 0.46,
+    "events_hourly_gapfill": 0.46,
+    "events_rfm": 0.46,
+    "q19_disjunctive_predicates": 0.47,
+    "dedup_canonical_pick": 0.49,
+    "dedup_containment": 0.49,
+    "curation_boilerplate_ngrams": 0.5,
+    "q22_idle_customers": 0.52,
+    "q3_shipping_priority": 0.52,
+    "events_cohort_retention": 0.53,
+    "q4_late_orders": 0.53,
+    "q15_top_supplier": 0.55,
+    "text_bigram_logprob": 0.55,
+    "window_share_of_segment": 0.55,
+    "similarity_pq_encode": 0.56,
+    "text_gopher_quality": 0.56,
+    "q12_priority_shipping": 0.57,
     "events_anomaly_mad": 0.58,
-    "streaming_pk_dedup": 0.58,
-    "q12_priority_shipping": 0.59,
-    "embedding_random_projection": 0.6,
-    "curation_boilerplate_ngrams": 0.62,
-    "q17_small_quantity_revenue": 0.62,
-    "q10_returned_items": 0.63,
-    "q18_large_volume_customers": 0.64,
-    "text_tfidf_topk": 0.65,
-    "agg_correlation": 0.67,
-    "window_trailing_spend": 0.67,
-    "q9_product_profit": 0.68,
-    "events_top_paths": 0.69,
-    "embedding_outliers": 0.73,
-    "multimodal_phash_dedup": 0.74,
-    "similarity_threshold_join": 0.74,
-    "q11_important_part_value": 0.75,
-    "q20_promotion_candidates": 0.75,
-    "q7_volume_shipping": 0.75,
-    "q21_late_supplier_wait": 0.77,
-    "basket_part_pairs": 0.78,
-    "agg_mode_deterministic": 0.79,
-    "connector_graphql_cursor_read": 0.79,
-    "text_bigram_logprob": 0.79,
-    "ann_bruteforce_topk": 0.8,
-    "similarity_pq_encode": 0.8,
-    "curation_diversity_sample": 0.81,
-    "join_interval_overlap": 0.81,
-    "q15_top_supplier": 0.82,
-    "text_winnow_fingerprint": 0.88,
-    "q5_local_supplier_volume": 0.9,
-    "dedup_ngram_jaccard": 0.91,
-    "dedup_paragraph": 0.92,
-    "events_rfm": 1.04,
-    "connector_http_paginated_read": 1.06,
-    "q19_disjunctive_predicates": 1.06,
-    "q8_market_share": 1.11,
-    "q2_min_cost_supplier": 1.12,
-    "streaming_running_max_cursor": 1.19,
-    "similarity_pq_search": 1.27,
-    "window_spend_quartiles": 1.27,
-    "streaming_session_window": 1.29,
-    "embedding_knn_graph": 1.32,
-    "streaming_anomaly_mad": 1.35,
-    "streaming_chunk_manifest": 1.41,
-    "curation_pipeline_funnel": 1.46,
-    "contamination_embedding": 1.56,
-    "streaming_paragraph_dedup": 1.6,
-    "dedup_incremental_lsh": 1.61,
-    "ann_ivf_topk": 1.63,
-    "q3_shipping_priority": 1.64,
-    "dedup_simhash": 1.66,
-    "streaming_foreach_batch_merge": 1.72,
-    "dedup_containment": 1.73,
-    "dedup_embedding_cosine": 1.73,
-    "streaming_histogram": 1.82,
-    "embedding_kmeans": 3.47,
-    "streaming_static_enrich": 1.89,
-    "text_embed_hash": 2.19,
-    "ann_ivfpq_residual_topk": 2.21,
-    "dedup_soft_weights": 2.39,
-    "dedup_minhash_lsh": 2.43,
-    "streaming_stream_join": 2.76,
-    "ann_ivfpq_topk": 3.09,
-    "streaming_hourly_counts": 3.42,
-    "connector_datasource_distributed_read": 3.9,
-    "embedding_communities": 8.32,
-    "text_winnow_overlap": 1.2,
-    "curation_token_budget_select": 3.7,
-    "curation_ngram_novelty": 2.27,
-    "dedup_srp_buckets": 3.62,
-    "text_gopher_quality": 0.35,
+    "text_bpe_vocab": 0.58,
+    "q16_supplier_part_count": 0.59,
+    "q9_product_profit": 0.59,
+    "dedup_exact_substring": 0.6,
+    "q10_returned_items": 0.6,
+    "q11_important_part_value": 0.6,
+    "q18_large_volume_customers": 0.61,
+    "text_tfidf_topk": 0.62,
+    "q20_promotion_candidates": 0.64,
+    "basket_part_pairs": 0.66,
+    "streaming_pk_dedup": 0.66,
+    "join_interval_overlap": 0.69,
+    "embedding_outliers": 0.7,
+    "dedup_ngram_jaccard": 0.73,
+    "q5_local_supplier_volume": 0.74,
+    "connector_graphql_cursor_read": 0.77,
+    "curation_diversity_sample": 0.79,
+    "similarity_threshold_join": 0.82,
+    "curation_pipeline_funnel": 0.89,
+    "text_collocations": 0.92,
+    "ann_bruteforce_topk": 0.97,
+    "dedup_embedding_cosine": 0.97,
+    "connector_http_paginated_read": 0.98,
+    "q8_market_share": 1.01,
+    "q2_min_cost_supplier": 1.04,
+    "streaming_hourly_counts": 1.06,
+    "dedup_minhash_lsh": 1.09,
+    "window_spend_quartiles": 1.09,
+    "dedup_incremental_lsh": 1.1,
+    "streaming_session_window": 1.13,
+    "dedup_simhash": 1.15,
+    "q21_late_supplier_wait": 1.17,
+    "text_winnow_fingerprint": 1.17,
+    "streaming_running_max_cursor": 1.2,
+    "contamination_embedding": 1.21,
+    "ann_ivf_topk": 1.28,
+    "embedding_knn_graph": 1.3,
+    "similarity_pq_search": 1.3,
+    "curation_ngram_novelty": 1.44,
+    "streaming_chunk_manifest": 1.51,
+    "streaming_anomaly_mad": 1.54,
+    "streaming_foreach_batch_merge": 1.57,
+    "streaming_paragraph_dedup": 1.69,
+    "text_winnow_overlap": 1.69,
+    "dedup_clusters": 1.7,
+    "q7_volume_shipping": 1.73,
+    "dedup_srp_buckets": 1.75,
+    "ann_ivfpq_topk": 1.79,
+    "embedding_kmeans": 1.81,
+    "curation_token_budget_select": 2.06,
+    "streaming_histogram": 2.13,
+    "multimodal_phash_dedup": 2.32,
+    "streaming_stream_join": 2.35,
+    "ann_ivfpq_residual_topk": 2.78,
+    "connector_datasource_distributed_read": 3.65,
+    "streaming_static_enrich": 4.68,
+    "embedding_communities": 9.68,
 }
 
 

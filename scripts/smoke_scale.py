@@ -155,6 +155,11 @@ def main() -> None:
         # and the corpus-once + bounded-collect BPE trainer.
         "embedding_knn_graph",
         "text_bpe_vocab",
+        # round-6: the iterative CC on the 20k mutual-kNN graph —
+        # the query whose per-round driver cost used to explode
+        # (originStats squaring, see _checkpoint_fresh_stats); at
+        # this scale the fixed loop runs ~40 s, previously unbounded.
+        "embedding_communities",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()
