@@ -384,3 +384,54 @@ def test_srp_identical_vectors_always_pair(spark, tmp_path):
         for r in dedup_srp_buckets(spark, path).collect()
     ]
     assert got == [(0, 1, 1.0)]
+
+
+def test_checkpoint_fresh_stats_bounds_plan_statistics(spark):
+    """Catalyst's size-only estimate multiplies child sizes through a
+    join, and localCheckpoint preserves originStats — so an iterative
+    self-join loop SQUARES the estimate per round (round 6 measured
+    8,000+ decimal digits by round 11 and seconds of driver CPU in
+    BigInteger multiply). _checkpoint_fresh_stats must keep the
+    estimate bounded across rounds; a plain localCheckpoint loop is
+    asserted to blow up so a future Spark that fixes this upstream
+    surfaces here and the workaround can be retired."""
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.operators.dedup import _checkpoint_fresh_stats
+
+    def one_round(cur, ckpt):
+        parents = cur.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        return ckpt(
+            cur.join(parents, cur["label"] == parents["pnode"], "left").select(
+                "node",
+                F.least("label", F.coalesce("plabel", "label")).alias("label"),
+            )
+        )
+
+    def size_bits(df):
+        # py4j auto-converts the scala BigInt; a ValueError means the
+        # number exceeds Python's 4300-digit int-parse limit — i.e.
+        # the estimate already blew up astronomically.
+        try:
+            n = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except ValueError:
+            return 1 << 20
+        return n.bit_length()
+
+    base = spark.range(50).select(
+        F.col("id").alias("node"), F.col("id").alias("label")
+    )
+    fixed = base
+    for _ in range(6):
+        fixed = one_round(fixed, _checkpoint_fresh_stats)
+    assert size_bits(fixed) < 128, "stats reset failed — loop will blow up"
+
+    plain = base.localCheckpoint()
+    for _ in range(6):
+        plain = one_round(plain, lambda df: df.localCheckpoint())
+    assert size_bits(plain) > 512, (
+        "plain localCheckpoint no longer squares stats — Spark fixed "
+        "originStats carry-through; _checkpoint_fresh_stats can go"
+    )
