@@ -180,6 +180,8 @@ _MEASURED_COST = {
     "connector_datasource_distributed_read": 3.65,
     "streaming_static_enrich": 4.68,
     "embedding_communities": 9.68,
+    "dedup_paraphrase_pairs": 5.76,
+    "similarity_mmr_rerank": 1.64,
 }
 
 

@@ -1545,3 +1545,47 @@ WHERE list_cosine_similarity(va.e, vb.e) >= {SRP_COS_THRESHOLD}
 from go_integ_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["dedup_srp_buckets"].oracle = _srp_oracle()
+
+
+@register(
+    "dedup_paraphrase_pairs",
+    tags=("dedup", "vector", "join"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), sem AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+)
+SELECT s.vec_a, s.vec_b, s.cos_sim
+FROM sem s
+ANTI JOIN ({{jaccard}}) l
+    ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b
+""".format(jaccard=_JACCARD_ORACLE),
+)
+def dedup_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paraphrase mining: document pairs that are SEMANTIC near-dups
+    (embedding cosine >= 0.45) but NOT lexical near-dups (word-shingle
+    Jaccard >= {JACCARD_THRESHOLD}) — the duplication class lexical
+    dedup structurally misses (translations, rewordings, templated
+    restatements), and the pair set a curation pass down-weights
+    separately from verbatim copies. Uses the repo's vec_id == doc_id
+    embedding convention (same as curation_diversity_sample).
+
+    Scale shape: pure composition of two already-bounded pipelines —
+    IVF-cell embedding pairs minus LSH lexical pairs — joined with a
+    LEFT ANTI on the 16-byte pair key. Both sides are near-dup-density
+    sized (not corpus-pair sized), the anti join shuffles only pair
+    ids, and both inputs reuse their session caches (shingle sets,
+    verification machinery), so the marginal cost of paraphrase
+    mining on top of the two dedups is one tiny join.
+    """
+    sem = dedup_embedding_cosine(spark, sf_dir)
+    lex = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    return sem.join(lex, ["vec_a", "vec_b"], "left_anti").select(
+        "vec_a", "vec_b", "cos_sim"
+    )

@@ -1960,3 +1960,186 @@ def embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_ids.join(sizes, "community_id").select(
         "vec_id", "community_id", "community_size"
     )
+
+
+# --------------------------------------------------------------------------
+# MMR (maximal marginal relevance) re-ranking
+# --------------------------------------------------------------------------
+MMR_CANDIDATES = 20  # relevance top-N fed to the re-ranker
+MMR_K = 10  # re-ranked results emitted per query
+# lambda = 0.7 in tenths: 10*score = MMR_LAM10*rel - (10-MMR_LAM10)*maxdiv,
+# kept integral so the greedy argmax is exact integer arithmetic.
+MMR_LAM10 = 7
+MMR_SCALE = 1_000_000  # micro-unit quantization of the exact cosines
+
+
+def _mmr_oracle() -> str:
+    """Statically-unrolled DuckDB twin of the greedy MMR loop: pick
+    rank 0 by pure relevance, then MMR_K-1 rounds of
+    argmax(7*rel_u - 3*max_div_u) over the remaining candidates —
+    the same iterate-count-unroll trick as the kmeans/BPE oracles,
+    valid because every quantity is exact int64 micro-units."""
+    lam, lam_c = MMR_LAM10, 10 - MMR_LAM10
+    ctes = [
+        f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.e, c.e) AS s
+    FROM v q JOIN v c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+), cand AS MATERIALIZED (
+    SELECT query_id, neighbor_id,
+           CAST(floor(s * {MMR_SCALE} + 0.5) AS BIGINT) AS rel_u
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {MMR_CANDIDATES}
+), pair AS MATERIALIZED (
+    SELECT a.query_id, a.neighbor_id AS da, b.neighbor_id AS db,
+           CAST(floor(list_cosine_similarity(va.e, vb.e) * {MMR_SCALE}
+                      + 0.5) AS BIGINT) AS sim_u
+    FROM cand a
+    JOIN cand b ON b.query_id = a.query_id
+                AND b.neighbor_id <> a.neighbor_id
+    JOIN v va ON va.vec_id = a.neighbor_id
+    JOIN v vb ON vb.vec_id = b.neighbor_id
+), a0 AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel_u, CAST(0 AS INT) AS mmr_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rel_u DESC, neighbor_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+)"""
+    ]
+    for r in range(1, MMR_K):
+        ctes.append(
+            f""", s{r} AS MATERIALIZED (
+    SELECT query_id, neighbor_id, rel_u, CAST({r} AS INT) AS mmr_rank
+    FROM (
+        SELECT c.query_id, c.neighbor_id, c.rel_u,
+               row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {lam} * c.rel_u - {lam_c} * (
+                       SELECT max(p.sim_u) FROM pair p
+                       JOIN a{r - 1} sel
+                         ON sel.query_id = p.query_id
+                        AND sel.neighbor_id = p.db
+                       WHERE p.query_id = c.query_id
+                         AND p.da = c.neighbor_id
+                   ) DESC, c.neighbor_id) AS rn
+        FROM cand c
+        ANTI JOIN a{r - 1} sel
+            ON sel.query_id = c.query_id
+           AND sel.neighbor_id = c.neighbor_id
+    ) WHERE rn = 1
+), a{r} AS MATERIALIZED (
+    SELECT * FROM a{r - 1} UNION ALL SELECT * FROM s{r}
+)"""
+        )
+    ctes.append(
+        f"""
+SELECT query_id, neighbor_id, mmr_rank, rel_u FROM a{MMR_K - 1}"""
+    )
+    return "".join(ctes)
+
+
+@register(
+    "similarity_mmr_rerank",
+    tags=("similarity", "topk", "vector", "iterative"),
+    oracle=_mmr_oracle(),
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of each query's
+    relevance top-{MMR_CANDIDATES}: greedily emit {MMR_K} results
+    maximizing ``lambda*rel - (1-lambda)*max_sim_to_already_picked``
+    (lambda=0.7) — the standard diversity re-rank RAG/search serving
+    applies after ANN retrieval, so near-duplicate hits don't crowd
+    the result list.
+
+    Cross-engine exactness: relevance and pairwise-diversity cosines
+    come from the shared fold contract, quantized once to int64
+    micro-units; with lambda in tenths the greedy objective is
+    ``7*rel_u - 3*maxdiv_u`` — pure integers — so the fixed
+    iteration count unrolls into a full DuckDB value oracle
+    (the kmeans/BPE trick applied to greedy selection).
+
+    Scale shape: candidate generation is the broadcast-query
+    scan-bound scoring + bounded salted top-k (same plan as
+    ann_bruteforce_topk; IVF is the registered scale path for
+    retrieval); the re-rank itself touches {MMR_CANDIDATES} rows per
+    query in ONE cogrouped Arrow batch — work is
+    O(queries * candidates^2 * dim), independent of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from go_integ_spark.functions.vector import fold_cosine_block, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    corpus = v.select(F.col("vec_id").alias("neighbor_id"), "e", "e_norm")
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("e_norm").alias("qe_norm"),
+    )
+    sim = cosine_sim_pd("qe", "qe_norm", "e", "e_norm")
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("s", sim)
+        .select("query_id", "neighbor_id", "s")
+    )
+    cand = salted_topk(
+        scored, "query_id", [F.col("s").desc(), F.col("neighbor_id")], MMR_CANDIDATES
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("s") * MMR_SCALE + 0.5).cast("bigint").alias("rel_u"),
+    )
+    # candidate vectors ride back in via an id join (bounded:
+    # queries * MMR_CANDIDATES rows)
+    with_vecs = cand.join(
+        v.select(F.col("vec_id").alias("neighbor_id"), "e", "e_norm"),
+        "neighbor_id",
+    )
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        n = len(pdf)
+        k = min(MMR_K, n)
+        div_u = np.floor(
+            fold_cosine_block(pdf["e"], pdf["e_norm"], pdf["e"], pdf["e_norm"])
+            * MMR_SCALE
+            + 0.5
+        ).astype(np.int64)
+        rel = pdf["rel_u"].to_numpy(dtype=np.int64)
+        picked: list[int] = []
+        avail = np.ones(n, dtype=bool)
+        for r in range(k):
+            if r == 0:
+                score = rel.copy()
+            else:
+                maxdiv = div_u[:, picked].max(axis=1)
+                score = MMR_LAM10 * rel - (10 - MMR_LAM10) * maxdiv
+            score_masked = np.where(avail, score, np.iinfo(np.int64).min)
+            # rows are id-ascending, argmax takes the first maximum ->
+            # ties break to the lowest neighbor_id, same as the oracle
+            i = int(np.argmax(score_masked))
+            picked.append(i)
+            avail[i] = False
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[picked].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].iloc[picked].to_numpy(),
+                "mmr_rank": np.arange(k, dtype=np.int32),
+                "rel_u": rel[picked],
+            }
+        )
+
+    return with_vecs.groupBy("query_id").applyInPandas(
+        _greedy, "query_id bigint, neighbor_id bigint, mmr_rank int, rel_u bigint"
+    )

@@ -435,3 +435,30 @@ def test_checkpoint_fresh_stats_bounds_plan_statistics(spark):
         "plain localCheckpoint no longer squares stats — Spark fixed "
         "originStats carry-through; _checkpoint_fresh_stats can go"
     )
+
+
+def test_paraphrase_pairs_exclude_verbatim_duplicates(spark, tmp_path):
+    """A verbatim copy (semantic AND lexical dup) must be excluded;
+    a same-meaning different-words doc (semantic-only dup) must
+    surface. Built corpus: docs 0 and 1 share text and embedding,
+    doc 2 shares only the embedding."""
+    import numpy as np
+
+    from go_integ_spark.operators.dedup import dedup_paraphrase_pairs
+
+    text_a = " ".join(f"w{i}" for i in range(30))
+    text_b = " ".join(f"z{i}" for i in range(30))
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, text_a, "en"), (1, text_a, "en"), (2, text_b, "en")],
+        "doc_id bigint, text string, lang string",
+    ).write.parquet(path + "/documents.parquet")
+    v = [float(x) for x in np.random.default_rng(9).standard_normal(64)]
+    spark.createDataFrame(
+        [(0, v, 0), (1, v, 0), (2, v, 0)],
+        "vec_id bigint, embedding array<float>, label bigint",
+    ).write.parquet(path + "/embeddings.parquet")
+    got = sorted(
+        (r["vec_a"], r["vec_b"]) for r in dedup_paraphrase_pairs(spark, path).collect()
+    )
+    assert got == [(0, 2), (1, 2)], got

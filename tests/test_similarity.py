@@ -709,3 +709,47 @@ def test_fold_cosine_block_matches_jvm_expression(spark):
     assert got
     for r in got:
         assert block[idx[r["va"]], idx[r["vb"]]] == r["s"], (r["va"], r["vb"])
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    """Greedy MMR must break up a redundant cluster: with three
+    near-identical top-relevance hits and one slightly-less-relevant
+    but orthogonal hit, rank 0 is the relevance argmax and rank 1
+    must be the ORTHOGONAL doc (its diversity penalty is near zero
+    while the clones pay ~full similarity to the rank-0 pick)."""
+    import numpy as np
+
+    from go_integ_spark.operators.similarity import similarity_mmr_rerank
+
+    rng = np.random.default_rng(21)
+    q = rng.standard_normal(64); q /= np.linalg.norm(q)
+    b = rng.standard_normal(64); b -= (b @ q) * q; b /= np.linalg.norm(b)
+    c = rng.standard_normal(64)
+    c -= (c @ q) * q; c -= (c @ b) * b; c /= np.linalg.norm(c)
+    rows = [(0, [float(x) for x in q], 0)]  # the query itself
+    # three mutual near-clones at relevance ~0.8: same off-query
+    # component c, so clone-clone sim ~ 1 while rel to q is 0.8 —
+    # their round-1 MMR score is 7*0.8 - 3*1.0 = 2.6
+    for vid in (10, 11, 12):
+        vv = 0.8 * q + 0.6 * c + 0.01 * rng.standard_normal(64)
+        rows.append((vid, [float(x) for x in vv], 0))
+    # diverse doc at relevance 0.7 with its own direction: sim to a
+    # clone ~ 0.56, so its score 7*0.7 - 3*0.56 = 3.22 beats the
+    # remaining clones despite lower relevance
+    mix = 0.7 * q + 0.714 * b
+    rows.append((20, [float(x) for x in mix], 0))
+    # pad the corpus so N_QUERIES ids exist but are far away
+    for vid in (1, 2, 3, 4):
+        rows.append((vid, [float(x) for x in -q + 0.01 * rng.standard_normal(64)], 1))
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label bigint"
+    ).write.parquet(path + "/embeddings.parquet")
+    got = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in similarity_mmr_rerank(spark, path).collect()
+    }
+    rank0 = got[(0, 0)]
+    rank1 = got[(0, 1)]
+    assert rank0 in (10, 11, 12), rank0  # relevance argmax is a clone
+    assert rank1 == 20, rank1  # diversity pick beats the other clones
