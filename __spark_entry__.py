@@ -182,6 +182,7 @@ _MEASURED_COST = {
     "embedding_communities": 9.68,
     "dedup_paraphrase_pairs": 5.76,
     "similarity_mmr_rerank": 1.64,
+    "streaming_srp_registry": 6.73,
 }
 
 

@@ -1399,6 +1399,43 @@ SRP_ROWS = 5
 SRP_COS_THRESHOLD = 0.45
 
 
+def srp_bucket_udf():
+    """Arrow-batched kernel computing each vector's SRP_BANDS band
+    bucket keys from its embedding — row-local, training-free, so it
+    applies identically to a batch scan or a streaming micro-batch
+    (streaming_srp_registry reuses it verbatim). Fixed-point
+    micro-unit quantization then exact int64 projection — the RP
+    bit-identity contract across Spark/numpy/DuckDB."""
+    import numpy as np
+    import pandas as pd
+
+    from go_integ_spark.operators.similarity import RP_IN_DIM, RP_SCALE, _rp_sign
+
+    nproj = SRP_BANDS * SRP_ROWS
+    sign = np.array(
+        [[_rp_sign(j, d) for d in range(RP_IN_DIM)] for j in range(nproj)],
+        dtype=np.int64,
+    )
+
+    def _buckets(col):  # pd.Series[list[float]] -> pd.Series[np.ndarray]
+        n = len(col)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        e = np.stack([np.asarray(x, dtype=np.float64) for x in col])
+        q = np.floor(e * RP_SCALE + 0.5).astype(np.int64)
+        proj = q @ sign.T  # (n, nproj) exact int64
+        bits = (proj >= 0).astype(np.int64)
+        out = np.empty((n, SRP_BANDS), dtype=np.int64)
+        for b in range(SRP_BANDS):
+            band = bits[:, b * SRP_ROWS : (b + 1) * SRP_ROWS]
+            out[:, b] = b * (1 << SRP_ROWS) + (
+                band << np.arange(SRP_ROWS, dtype=np.int64)
+            ).sum(axis=1)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(_buckets, "array<bigint>")
+
+
 @register(
     "dedup_srp_buckets",
     tags=("dedup", "lsh", "vector"),
@@ -1432,31 +1469,8 @@ def dedup_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from go_integ_spark.functions.vector import fold_cosine_block, with_norm
-    from go_integ_spark.operators.similarity import RP_IN_DIM, RP_SCALE, _rp_sign
 
-    nproj = SRP_BANDS * SRP_ROWS
-    sign = np.array(
-        [[_rp_sign(j, d) for d in range(RP_IN_DIM)] for j in range(nproj)],
-        dtype=np.int64,
-    )
-
-    def _buckets(col):  # pd.Series[list[float]] -> pd.Series[np.ndarray]
-        n = len(col)
-        if n == 0:
-            return pd.Series([], dtype=object)
-        e = np.stack([np.asarray(x, dtype=np.float64) for x in col])
-        q = np.floor(e * RP_SCALE + 0.5).astype(np.int64)
-        proj = q @ sign.T  # (n, nproj) exact int64
-        bits = (proj >= 0).astype(np.int64)
-        out = np.empty((n, SRP_BANDS), dtype=np.int64)
-        for b in range(SRP_BANDS):
-            band = bits[:, b * SRP_ROWS : (b + 1) * SRP_ROWS]
-            out[:, b] = b * (1 << SRP_ROWS) + (
-                band << np.arange(SRP_ROWS, dtype=np.int64)
-            ).sum(axis=1)
-        return pd.Series(list(out))
-
-    buckets_udf = F.pandas_udf(_buckets, "array<bigint>")
+    buckets_udf = srp_bucket_udf()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
     bucketed = v.select(

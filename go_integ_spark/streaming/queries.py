@@ -613,3 +613,87 @@ def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count").cast("bigint").alias("n"),
     )
 
+
+
+def _emb_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    """Embeddings materialized as a listable multi-file stream source,
+    memoized per sf_dir like the docs/events sources."""
+    key = f"emb:{sf_dir}"
+    cached = _STREAM_SRC.get(key)
+    if cached is not None:
+        return cached
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="sg_stream_gate_") + "/embeddings"
+    emb.repartition(8).write.mode("overwrite").parquet(path)
+    _STREAM_SRC[key] = (path, emb.schema)
+    return _STREAM_SRC[key]
+
+
+def _srp_registry_oracle() -> str:
+    from go_integ_spark.operators.dedup import SRP_BANDS, SRP_ROWS
+    from go_integ_spark.operators.similarity import (
+        _RP_SIGN_SQL,
+        RP_IN_DIM,
+        RP_SCALE,
+    )
+
+    nproj = SRP_BANDS * SRP_ROWS
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+    SELECT vec_id,
+           list_transform(e, x -> CAST(floor(x * {RP_SCALE} + 0.5) AS BIGINT))
+               AS qs
+    FROM v
+), proj AS MATERIALIZED (
+    SELECT vec_id,
+           list_transform(range({nproj}), j ->
+               CAST(list_sum(list_transform(range({RP_IN_DIM}), d ->
+                   {_RP_SIGN_SQL} * qs[d + 1])) AS BIGINT)) AS p
+    FROM q
+), bk AS (
+    SELECT vec_id,
+           unnest(list_transform(range({SRP_BANDS}), b ->
+               b * {1 << SRP_ROWS} +
+               list_sum(list_transform(range({SRP_ROWS}), i ->
+                   CASE WHEN p[b * {SRP_ROWS} + i + 1] >= 0
+                        THEN (1 << i) ELSE 0 END)))) AS bucket
+    FROM proj
+)
+SELECT bucket, min(vec_id) AS first_vec_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM bk GROUP BY bucket
+"""
+
+
+@register(
+    "streaming_srp_registry",
+    tags=("streaming", "dedup", "vector"),
+    oracle=_srp_registry_oracle(),
+)
+def streaming_srp_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SRP bucket registry — the proof of
+    ``dedup_srp_buckets``'s training-free claim: vectors arrive as
+    files and each micro-batch computes its hyperplane band buckets
+    ROW-LOCALLY with the IDENTICAL kernel the batch query uses (no
+    centroid fit, no model broadcast — nothing to retrain as the
+    stream drifts), then the state store maintains per-bucket
+    (first_vec_id, member count) — the incremental near-dup index a
+    crawler-fed embedding pipeline queries before admitting new
+    vectors. Driven to completion with availableNow the registry
+    equals the batch GROUP BY exactly (min/count are arrival-order
+    free), so it carries a full value oracle.
+    """
+    from go_integ_spark.operators.dedup import srp_bucket_udf
+
+    path, schema = _emb_stream_source(spark, sf_dir)
+    stream = read_stream(spark, path, schema, max_files_per_trigger=2)
+    bucketed = stream.select(
+        "vec_id", F.explode(srp_bucket_udf()(F.col("embedding"))).alias("bucket")
+    )
+    reg = bucketed.groupBy("bucket").agg(
+        F.min("vec_id").alias("first_vec_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return _run_to_memory(reg, "complete", "srp")
