@@ -357,3 +357,40 @@ def test_interval_overlap_is_hash_join(registry, spark):
     plan = executed_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_token_budget_select_avoids_global_sort(registry, spark):
+    """The greedy token-budget selection must NOT plan a per-language
+    global sort (single-reducer skew at scale): the group/boundary
+    tables join back as broadcasts and the only window runs over the
+    single boundary token-count group."""
+    df = _df(registry, spark, "curation_token_budget_select")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert count_op(df, "SortMergeJoin") == 0
+    # windows appear once (boundary group ranking), never over the
+    # full corpus ordering by tokens
+    assert plan.count("Window") <= 1
+
+
+def test_srp_buckets_no_join_before_cogroup(registry, spark):
+    """SRP candidate generation is bucket-and-enumerate: the only
+    join in the plan is the pair-verification cogroup machinery —
+    never a corpus-vs-corpus join. The bucket keys come from ONE
+    Arrow-batched projection over the scan."""
+    df = _df(registry, spark, "dedup_srp_buckets")
+    plan = executed_plan(df)
+    assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_candidate_generation_is_broadcast_scored(registry, spark):
+    """MMR's retrieval stage must broadcast the bounded query set and
+    stream the corpus (scan-bound scoring, like ann_bruteforce); the
+    re-rank itself is one grouped Arrow batch per query."""
+    df = _df(registry, spark, "similarity_mmr_rerank")
+    plan = executed_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
