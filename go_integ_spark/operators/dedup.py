@@ -352,30 +352,11 @@ def _pairs_from_buckets(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    bands: int = LSH_BANDS,
-    rows: int = LSH_ROWS,
-    max_bucket: int | None = None,
-) -> DataFrame:
-    """Banded LSH over :func:`minhash_signatures` output: hash each
-    band of the signature to a bucket, pair up docs sharing a bucket
-    (bucket-and-enumerate, one shuffle). ``max_bucket`` drops
-    degenerate boilerplate buckets (precision/recall trade at extreme
-    scale). The hot path (:func:`dedup_minhash_lsh`) uses
-    :func:`lsh_band_buckets` instead, which emits identical bucket
-    values without materializing the h{i} columns.
-    """
-    band_hashes = F.array(
-        *[
-            # fold band id into the bucket hash; (band, bucket) key
-            # collapses to one 64-bit column
-            F.xxhash64(F.lit(b), *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
-        ]
-    )
-    buckets = signatures.select("doc_id", F.explode(band_hashes).alias("bucket"))
-    return _pairs_from_buckets(buckets, max_bucket)
+# (The former lsh_candidate_pairs — banding as 32 JVM band-hash
+# expressions over the h{i} signature columns — was removed in round
+# 6 once both LSH queries moved to lsh_band_buckets; the JVM
+# expression form survives only as the bit-identity pin in
+# tests/test_dedup.py::test_band_bucket_kernel_matches_jvm_expression.)
 
 
 # --------------------------------------------------------------------------
@@ -706,19 +687,69 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recall 1.0 at threshold 0.45 on both test corpora (sf0.001: 7/7
 # pairs, sf0.01: 14/14; 4 probes missed one sf0.01 pair).
 DEDUP_EMB_PROBES = 6
+# Semantic near-dup cosine threshold, shared by the IVF-cell dedup,
+# the SRP-bucket dedup, and the paraphrase-pair oracle — ONE value so
+# retuning cannot desynchronize a kernel from an oracle.
+EMB_COS_THRESHOLD = 0.45
+
+
+def cosine_pairs_in_groups(
+    grouped: DataFrame, key_col: str, threshold: float
+) -> DataFrame:
+    """(vec_a, vec_b, cos_sim) pairs with fold cosine >= threshold,
+    scored WITHIN each ``key_col`` group as one cogrouped block (the
+    blocked-matmul pattern: each group's vectors cross the Arrow
+    boundary once, pairs above threshold come back). Shared by the
+    IVF-cell and SRP-bucket dedup paths; a pair appearing in several
+    groups scores with the identical bit pattern each time, so the
+    trailing ``.distinct()`` collapses it."""
+    import numpy as np
+    import pandas as pd
+
+    from go_integ_spark.functions.vector import fold_cosine_block
+
+    def _pairs_above(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sim = fold_cosine_block(pdf["e"], pdf["e_norm"], pdf["e"], pdf["e_norm"])
+        ii, jj = np.where(np.triu(sim >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "vec_a": np.where(swap, b, a),
+                "vec_b": np.where(swap, a, b),
+                "s": sim[ii, jj],
+            }
+        )
+
+    scored = grouped.groupBy(key_col).applyInPandas(
+        _pairs_above, "vec_a bigint, vec_b bigint, s double"
+    )
+    return scored.distinct().select(
+        "vec_a", "vec_b", F.round(F.col("s"), 4).alias("cos_sim")
+    )
 
 
 @register(
     "dedup_embedding_cosine",
     tags=("dedup", "vector"),
-    oracle="""
+    oracle=f"""
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+WHERE list_cosine_similarity(a.e, b.e) >= {EMB_COS_THRESHOLD}
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,10 +774,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     which forces a high probe count here; production near-dup
     thresholds (>= 0.8) concentrate neighbors into far fewer cells.
     """
-    import numpy as np
-    import pandas as pd
-
-    from go_integ_spark.functions.vector import fold_cosine_block, with_norm
+    from go_integ_spark.functions.vector import with_norm
     from go_integ_spark.operators.similarity import IVF_K, ivf_centroids, nearest_cells_pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -759,36 +787,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_norm",
         F.explode(nearest_cells_pd(crow, DEDUP_EMB_PROBES)).alias("cell_id"),
     )
-
-    def _pairs_above(pdf):
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series([], dtype="int64"),
-                    "vec_b": pd.Series([], dtype="int64"),
-                    "s": pd.Series([], dtype="float64"),
-                }
-            )
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        sim = fold_cosine_block(
-            pdf["e"], pdf["e_norm"], pdf["e"], pdf["e_norm"]
-        )
-        ii, jj = np.where(np.triu(sim >= 0.45, k=1))
-        a, b = ids[ii], ids[jj]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
-        return pd.DataFrame({"vec_a": a2, "vec_b": b2, "s": sim[ii, jj]})
-
-    scored = probed.groupBy("cell_id").applyInPandas(
-        _pairs_above, "vec_a bigint, vec_b bigint, s double"
-    )
-    # A pair sharing several probed cells is scored once per cell with
-    # the identical bit pattern — dedupe on all three columns.
-    return scored.distinct().select(
-        "vec_a", "vec_b", F.round(F.col("s"), 4).alias("cos_sim")
-    )
+    return cosine_pairs_in_groups(probed, "cell_id", EMB_COS_THRESHOLD)
 
 
 # Label-propagation round cap. Dense near-dup cliques converge in a
@@ -1396,7 +1395,7 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # high recall with far fewer bands.
 SRP_BANDS = 8
 SRP_ROWS = 5
-SRP_COS_THRESHOLD = 0.45
+SRP_COS_THRESHOLD = EMB_COS_THRESHOLD
 
 
 def srp_bucket_udf():
@@ -1465,55 +1464,26 @@ def dedup_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     training, zero corpus-pair joins, payload vectors cross the
     Arrow boundary once per band.
     """
-    import numpy as np
-    import pandas as pd
+    from go_integ_spark.functions.vector import with_norm
 
-    from go_integ_spark.functions.vector import fold_cosine_block, with_norm
-
-    buckets_udf = srp_bucket_udf()
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
     bucketed = v.select(
         "vec_id",
         "e",
         "e_norm",
-        F.explode(buckets_udf(F.col("embedding"))).alias("bucket"),
+        F.explode(srp_bucket_udf()(F.col("embedding"))).alias("bucket"),
     )
-
-    def _pairs_above(pdf):
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {
-                    "vec_a": pd.Series([], dtype="int64"),
-                    "vec_b": pd.Series([], dtype="int64"),
-                    "s": pd.Series([], dtype="float64"),
-                }
-            )
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        sim = fold_cosine_block(pdf["e"], pdf["e_norm"], pdf["e"], pdf["e_norm"])
-        ii, jj = np.where(np.triu(sim >= SRP_COS_THRESHOLD, k=1))
-        a, b = ids[ii], ids[jj]
-        swap = a > b
-        return pd.DataFrame(
-            {
-                "vec_a": np.where(swap, b, a),
-                "vec_b": np.where(swap, a, b),
-                "s": sim[ii, jj],
-            }
-        )
-
-    scored = bucketed.groupBy("bucket").applyInPandas(
-        _pairs_above, "vec_a bigint, vec_b bigint, s double"
-    )
-    # a pair colliding in several bands scores with the identical bit
-    # pattern each time (shared fold) — dedupe on all three columns
-    return scored.distinct().select(
-        "vec_a", "vec_b", F.round(F.col("s"), 4).alias("cos_sim")
-    )
+    return cosine_pairs_in_groups(bucketed, "bucket", SRP_COS_THRESHOLD)
 
 
-def _srp_oracle() -> str:
+def srp_bucket_cte() -> str:
+    """The DuckDB WITH-prefix computing every vector's SRP band
+    buckets (CTEs ``v`` — double embeddings — and ``bk`` — one row
+    per (vec_id, bucket)): the SQL twin of :func:`srp_bucket_udf`,
+    shared by the batch pair oracle below and the streaming registry
+    oracle (streaming/queries.py) so the bucket encoding lives in
+    exactly one place per engine."""
     from go_integ_spark.operators.similarity import (
         _RP_SIGN_SQL,
         RP_IN_DIM,
@@ -1543,7 +1513,11 @@ WITH v AS (
                    CASE WHEN p[b * {SRP_ROWS} + i + 1] >= 0
                         THEN (1 << i) ELSE 0 END)))) AS bucket
     FROM proj
-), pairs AS (
+)"""
+
+
+def _srp_oracle() -> str:
+    return srp_bucket_cte() + f""", pairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
@@ -1571,7 +1545,7 @@ WITH v AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+    WHERE list_cosine_similarity(a.e, b.e) >= {EMB_COS_THRESHOLD}
 )
 SELECT s.vec_a, s.vec_b, s.cos_sim
 FROM sem s

@@ -194,6 +194,26 @@ def salted_topk(
     )
 
 
+def bruteforce_scored(v: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, s): every corpus vector scored against
+    every query vector (vec_id < N_QUERIES) — broadcast the bounded
+    query set, stream the corpus, fold-exact cosine. The shared
+    retrieval stage of ann_bruteforce_topk and similarity_mmr_rerank;
+    scan-bound at any corpus size."""
+    corpus = v.select(F.col("vec_id").alias("neighbor_id"), "e", "e_norm")
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("e_norm").alias("qe_norm"),
+    )
+    sim = cosine_sim_pd("qe", "qe_norm", "e", "e_norm")
+    return (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("s", sim)
+        .select("query_id", "neighbor_id", "s")
+    )
+
+
 @register(
     "ann_bruteforce_topk",
     bench=True,
@@ -225,20 +245,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded top-k reduction. This plan is scan-bound at 100 TB.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = with_norm(emb).select(
-        F.col("vec_id").alias("neighbor_id"), "e", "e_norm"
-    )
-    queries = with_norm(emb.filter(F.col("vec_id") < N_QUERIES)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("e_norm").alias("qe_norm"),
-    )
-    sim = cosine_sim_pd("qe", "qe_norm", "e", "e_norm")
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("s", sim)
-        .select("query_id", "neighbor_id", "s")
-    )
+    scored = bruteforce_scored(with_norm(emb))
     out = salted_topk(
         scored, "query_id", [F.col("s").desc(), F.col("neighbor_id")], TOP_K
     )
@@ -2081,18 +2088,7 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = with_norm(emb)
-    corpus = v.select(F.col("vec_id").alias("neighbor_id"), "e", "e_norm")
-    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("e_norm").alias("qe_norm"),
-    )
-    sim = cosine_sim_pd("qe", "qe_norm", "e", "e_norm")
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("s", sim)
-        .select("query_id", "neighbor_id", "s")
-    )
+    scored = bruteforce_scored(v)
     cand = salted_topk(
         scored, "query_id", [F.col("s").desc(), F.col("neighbor_id")], MMR_CANDIDATES
     ).select(

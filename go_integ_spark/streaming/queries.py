@@ -630,37 +630,9 @@ def _emb_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
 
 
 def _srp_registry_oracle() -> str:
-    from go_integ_spark.operators.dedup import SRP_BANDS, SRP_ROWS
-    from go_integ_spark.operators.similarity import (
-        _RP_SIGN_SQL,
-        RP_IN_DIM,
-        RP_SCALE,
-    )
+    from go_integ_spark.operators.dedup import srp_bucket_cte
 
-    nproj = SRP_BANDS * SRP_ROWS
-    return f"""
-WITH v AS (
-    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-), q AS (
-    SELECT vec_id,
-           list_transform(e, x -> CAST(floor(x * {RP_SCALE} + 0.5) AS BIGINT))
-               AS qs
-    FROM v
-), proj AS MATERIALIZED (
-    SELECT vec_id,
-           list_transform(range({nproj}), j ->
-               CAST(list_sum(list_transform(range({RP_IN_DIM}), d ->
-                   {_RP_SIGN_SQL} * qs[d + 1])) AS BIGINT)) AS p
-    FROM q
-), bk AS (
-    SELECT vec_id,
-           unnest(list_transform(range({SRP_BANDS}), b ->
-               b * {1 << SRP_ROWS} +
-               list_sum(list_transform(range({SRP_ROWS}), i ->
-                   CASE WHEN p[b * {SRP_ROWS} + i + 1] >= 0
-                        THEN (1 << i) ELSE 0 END)))) AS bucket
-    FROM proj
-)
+    return srp_bucket_cte() + """
 SELECT bucket, min(vec_id) AS first_vec_id,
        CAST(count(*) AS BIGINT) AS n_members
 FROM bk GROUP BY bucket
