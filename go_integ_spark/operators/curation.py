@@ -905,6 +905,37 @@ def curation_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_PER_LANG = 2_000
 
 
+def greedy_budget_plan(
+    groups: list[tuple[str, int, int, int]], budget: int
+) -> tuple[list[tuple[str, int]], dict[str, tuple[int, int]]]:
+    """Pure driver-side half of the token-budget selection: walk each
+    language's (tok, n_docs, sum_tok) groups in tok-DESC order and
+    return (fully-kept (lang, tok) groups, per-language boundary
+    (tok*, m)). Because the running sum is monotone along the
+    (tok DESC, doc_id) selection order, this reconstructs EXACTLY the
+    greedy prefix a direct window running sum keeps within budget —
+    fuzz-pinned against that reference in tests/test_properties.py.
+    Input rows: (lang, tok, n_docs, sum_tok)."""
+    by_lang: dict[str, list[tuple[int, int, int]]] = {}
+    for lang, tok, n_docs, sum_tok in groups:
+        by_lang.setdefault(lang, []).append((tok, n_docs, sum_tok))
+    full_keep: list[tuple[str, int]] = []
+    boundary: dict[str, tuple[int, int]] = {}
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: -r[0])
+        remaining = budget
+        for tok, _n, sum_tok in rows:
+            if sum_tok <= remaining:
+                full_keep.append((lang, tok))
+                remaining -= sum_tok
+            else:
+                m = remaining // tok if tok > 0 else 0
+                if m > 0:
+                    boundary[lang] = (tok, int(m))
+                break  # running sum is monotone: nothing later fits
+    return full_keep, boundary
+
+
 @register(
     "curation_token_budget_select",
     tags=("curation", "sampling", "two_pass"),
@@ -964,23 +995,10 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tok"))
         .collect()
     )
-    by_lang: dict[str, list] = {}
-    for r in groups:
-        by_lang.setdefault(r["lang"], []).append(r)
-    full_keep: list[tuple[str, int]] = []  # (lang, tok) fully kept
-    boundary: dict[str, tuple[int, int]] = {}  # lang -> (tok*, m)
-    for lang, rows in by_lang.items():
-        rows.sort(key=lambda r: -r["tok"])
-        remaining = TOKEN_BUDGET_PER_LANG
-        for r in rows:
-            if r["sum_tok"] <= remaining:
-                full_keep.append((lang, r["tok"]))
-                remaining -= r["sum_tok"]
-            else:
-                m = remaining // r["tok"] if r["tok"] > 0 else 0
-                if m > 0:
-                    boundary[lang] = (r["tok"], int(m))
-                break  # running sum is monotone: nothing later fits
+    full_keep, boundary = greedy_budget_plan(
+        [(r["lang"], r["tok"], r["n_docs"], r["sum_tok"]) for r in groups],
+        TOKEN_BUDGET_PER_LANG,
+    )
     spark_s = docs.sparkSession
     full_df = spark_s.createDataFrame(
         full_keep or [("", -1)], "lang string, tok bigint"

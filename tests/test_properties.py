@@ -322,3 +322,88 @@ def test_integer_centroid_rounding_is_exact_half_up(values):
     got = int(math.floor((2 * s + n) / (2.0 * n)))
     want = int(math.floor(Fraction(s, n) + Fraction(1, 2)))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.text(alphabet="abc", min_size=1, max_size=2),
+    st.text(alphabet="abc", min_size=1, max_size=2),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_string_encoding_matches_greedy_merge(syms, left, right):
+    """The BPE oracle's double-separator string encoding must apply a
+    merge EXACTLY like the greedy leftmost-first scan
+    (_bpe_apply_merge): one non-overlapping replace of
+    sep+left+sep+sep+right+sep. Fuzzes adjacent merges ('aaa' ->
+    [aa, a]), prefix/suffix near-matches ('a' next to 'ab'), and
+    multi-char symbols — the hazards the encoding was designed
+    around."""
+    from go_integ_spark.operators.text import _BPE_SEP, _bpe_apply_merge
+
+    s2 = _BPE_SEP * 2
+    encoded = s2 + s2.join(syms) + s2
+    replaced = encoded.replace(
+        f"{_BPE_SEP}{left}{s2}{right}{_BPE_SEP}",
+        f"{_BPE_SEP}{left}{right}{_BPE_SEP}",
+    )
+    got = [x for x in replaced.split(s2) if x != ""]
+    want = _bpe_apply_merge(list(syms), left, right)
+    assert got == want, (syms, left, right)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.integers(min_value=0, max_value=30),  # tok (incl. 0 edge)
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=200),
+)
+@settings(max_examples=300, deadline=None)
+def test_greedy_budget_plan_equals_prefix_reference(docs, budget):
+    """greedy_budget_plan's bucket walk must select EXACTLY the docs a
+    direct per-language running sum over (tok DESC, doc_id) keeps
+    within budget — including tok=0 groups, empty boundary (m=0), and
+    budget=0."""
+    from collections import Counter
+
+    from go_integ_spark.operators.curation import greedy_budget_plan
+
+    rows = [(lang, tok, i) for i, (lang, tok) in enumerate(docs)]
+    # reference: strict running-sum prefix per language
+    want = set()
+    for lang in {r[0] for r in rows}:
+        cum = 0
+        for _, tok, did in sorted(
+            (r for r in rows if r[0] == lang), key=lambda r: (-r[1], r[2])
+        ):
+            cum += tok
+            if cum > budget:
+                break
+            want.add(did)
+    # plan: group table -> bucket walk -> doc selection
+    groups = Counter()
+    for lang, tok, _ in rows:
+        groups[(lang, tok)] += 1
+    gtable = [
+        (lang, tok, n, tok * n) for (lang, tok), n in groups.items()
+    ]
+    full_keep, boundary = greedy_budget_plan(gtable, budget)
+    got = set()
+    fk = set(full_keep)
+    for lang, tok, did in rows:
+        if (lang, tok) in fk:
+            got.add(did)
+    for lang, (tok_b, m) in boundary.items():
+        members = sorted(
+            did for lg, tok, did in rows if lg == lang and tok == tok_b
+        )
+        got.update(members[:m])
+    assert got == want, (docs, budget, got, want)
