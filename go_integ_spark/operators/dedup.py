@@ -694,7 +694,10 @@ EMB_COS_THRESHOLD = 0.45
 
 
 def cosine_pairs_in_groups(
-    grouped: DataFrame, key_col: str, threshold: float
+    grouped: DataFrame,
+    key_col: str,
+    threshold: float,
+    max_group: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim) pairs with fold cosine >= threshold,
     scored WITHIN each ``key_col`` group as one cogrouped block (the
@@ -702,7 +705,11 @@ def cosine_pairs_in_groups(
     boundary once, pairs above threshold come back). Shared by the
     IVF-cell and SRP-bucket dedup paths; a pair appearing in several
     groups scores with the identical bit pattern each time, so the
-    trailing ``.distinct()`` collapses it."""
+    trailing ``.distinct()`` collapses it. ``max_group`` drops
+    degenerate mega-groups before their quadratic block scoring (the
+    same documented precision-1.0 / recall-epsilon trade as
+    ``LSH_MAX_BUCKET`` — an O(1) length check inside the kernel, no
+    extra shuffle)."""
     import numpy as np
     import pandas as pd
 
@@ -710,7 +717,7 @@ def cosine_pairs_in_groups(
 
     def _pairs_above(pdf):
         n = len(pdf)
-        if n < 2:
+        if n < 2 or (max_group is not None and n > max_group):
             return pd.DataFrame(
                 {
                     "vec_a": pd.Series([], dtype="int64"),
@@ -1396,6 +1403,16 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 SRP_BANDS = 8
 SRP_ROWS = 5
 SRP_COS_THRESHOLD = EMB_COS_THRESHOLD
+# Mega-bucket guard: with SRP_ROWS sign bits the bucket space is
+# FIXED (SRP_BANDS * 2^SRP_ROWS = 256 keys), so bucket populations
+# grow linearly with the corpus and within-bucket scoring is
+# quadratic in them. The primary scale control is SRP_ROWS itself
+# (size it ~log2(N / target_bucket) so buckets stay block-sized); the
+# cap is the backstop that drops any degenerate bucket (e.g. a
+# zero-vector pile-up sharing one sign pattern) instead of letting it
+# quadratically dominate — mirrored in the oracle, inert at gate
+# scale (500 vectors cannot exceed it).
+SRP_MAX_BUCKET = 4096
 
 
 def srp_bucket_udf():
@@ -1474,7 +1491,9 @@ def dedup_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e_norm",
         F.explode(srp_bucket_udf()(F.col("embedding"))).alias("bucket"),
     )
-    return cosine_pairs_in_groups(bucketed, "bucket", SRP_COS_THRESHOLD)
+    return cosine_pairs_in_groups(
+        bucketed, "bucket", SRP_COS_THRESHOLD, max_group=SRP_MAX_BUCKET
+    )
 
 
 def srp_bucket_cte() -> str:
@@ -1517,9 +1536,14 @@ WITH v AS (
 
 
 def _srp_oracle() -> str:
-    return srp_bucket_cte() + f""", pairs AS (
+    return srp_bucket_cte() + f""", bksz AS (
+    SELECT bucket FROM bk GROUP BY bucket
+    HAVING count(*) <= {SRP_MAX_BUCKET}
+), pairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM bk a
+    JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN bksz k ON k.bucket = a.bucket
 )
 SELECT p.vec_a, p.vec_b,
        round(list_cosine_similarity(va.e, vb.e), 4) AS cos_sim

@@ -462,3 +462,31 @@ def test_paraphrase_pairs_exclude_verbatim_duplicates(spark, tmp_path):
         (r["vec_a"], r["vec_b"]) for r in dedup_paraphrase_pairs(spark, path).collect()
     )
     assert got == [(0, 2), (1, 2)], got
+
+
+def test_cosine_pairs_max_group_drops_mega_groups(spark):
+    """The mega-group guard must drop oversized groups whole (no
+    partial scoring) while normal groups still pair — the documented
+    precision-1.0 / recall-epsilon trade backing SRP_MAX_BUCKET."""
+    import numpy as np
+
+    from go_integ_spark.functions.vector import with_norm
+    from go_integ_spark.operators.dedup import cosine_pairs_in_groups
+
+    v = [float(x) for x in np.random.default_rng(3).standard_normal(8)]
+    rows = (
+        # group 1: four identical vectors (over the cap of 3)
+        [(i, v, 1) for i in range(4)]
+        # group 2: two identical vectors (within the cap)
+        + [(10, v, 2), (11, v, 2)]
+    )
+    df = with_norm(
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, grp bigint"
+        )
+    ).select("vec_id", "e", "e_norm", "grp")
+    got = sorted(
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_pairs_in_groups(df, "grp", 0.9, max_group=3).collect()
+    )
+    assert got == [(10, 11)], got
