@@ -973,7 +973,13 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
        rows total (token counts are small integers), collected;
        the driver walks each language's groups in tok-DESC order to
        find the boundary token count and the per-language remaining
-       budget — O(distinct token values) driver work;
+       budget — O(distinct token values) driver work. On a corpus
+       whose token counts span millions of distinct values, first
+       quantize tok to a log-spaced grid for this pass (grid cells
+       are fully ordered, so only the single boundary CELL needs the
+       exact per-value walk — the same one-level refinement the
+       boundary group already gets), keeping the collect bounded by
+       the grid, not the token range;
     2. full groups become a row-local broadcast-filter on
        (lang, tok); the boundary group — one token value per
        language — gets a doc_id row_number window over only its own
