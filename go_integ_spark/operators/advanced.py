@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from go_integ_spark.functions.hashing import h60, h60_sql
 from go_integ_spark.registry import register
 from go_integ_spark.tables import load_table
 
@@ -1329,4 +1330,126 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+    )
+
+
+# --- Count-min sketch -------------------------------------------------
+
+# Sketch geometry: 4 independent hash rows x 256 counters = 1 KiB of
+# int64 state. Error bound: overcount <= 2 * N / W with probability
+# 1 - (1/2)^D (Cormode & Muthukrishnan 2005); the gate query emits the
+# actual overcount per heavy hitter so the bound is visible data, not
+# a claim.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOP_K = 20
+
+
+@register(
+    "agg_countmin_sketch",
+    tags=("agg", "sketch", "heavy_hitters"),
+    oracle=f"""
+WITH words AS (
+    SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS word
+    FROM documents
+), exact AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS exact_n
+    FROM words GROUP BY 1
+), top AS (
+    SELECT word, exact_n, rn FROM (
+        SELECT word, exact_n,
+               row_number() OVER (ORDER BY exact_n DESC, word) AS rn
+        FROM exact
+    ) WHERE rn <= {CMS_TOP_K}
+), depths AS (
+    SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS d
+), cms AS (
+    SELECT dp.d,
+           {h60_sql("CAST(dp.d AS VARCHAR) || ':' || w.word")}
+               % {CMS_WIDTH} AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM words w, depths dp
+    GROUP BY 1, 2
+), est AS (
+    SELECT t.word, min(c.c) AS cms_n
+    FROM top t, depths dp
+    JOIN cms c
+      ON c.d = dp.d
+     AND c.bucket = {h60_sql("CAST(dp.d AS VARCHAR) || ':' || t.word")}
+               % {CMS_WIDTH}
+    GROUP BY t.word
+)
+SELECT t.word, t.exact_n, e.cms_n, e.cms_n - t.exact_n AS overcount,
+       CAST(t.rn AS INT) AS rank
+FROM top t JOIN est e ON e.word = t.word
+""",
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus vocabulary: a {CMS_DEPTH}x{CMS_WIDTH}
+    counter grid (1 KiB of mergeable int64 state) estimates every
+    word's frequency; the query reports the estimate next to the
+    exact count for the global top-{CMS_TOP_K} heavy hitters, plus the
+    realized overcount — so the gate verifies the sketch's one-sided
+    error guarantee (cms_n >= exact_n always; expected overcount
+    <= 2N/{CMS_WIDTH} per row) on real data, the same way
+    agg_sketch_accuracy gates HLL/quantile sketches.
+
+    The hash family is the engine-portable ``h60(depth ':' word)``
+    (md5-derived), so sketch contents are bit-identical in Spark,
+    DuckDB, and any future backend — a CMS built by one engine can be
+    merged with or probed by another.
+
+    Scale shape: the sketch build is ONE aggregation whose shuffle
+    carries at most {CMS_DEPTH}*{CMS_WIDTH} = {CMS_DEPTH * CMS_WIDTH} counter rows per map
+    partition (map-side partial combine collapses the token stream
+    into the fixed grid before anything moves) — THE structure for
+    frequency estimation when the vocabulary itself is too large to
+    shuffle. The exact side exists only to measure the sketch; the
+    probe joins the top-k words against the {CMS_DEPTH * CMS_WIDTH}-row grid
+    (broadcast). At 100 TB you'd keep the build and drop the exact
+    twin; per-partition grids merge by cellwise addition.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word")
+    )
+    depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    keyed = words.select(
+        "word", F.explode(depths).alias("d")
+    ).withColumn(
+        "bucket",
+        h60(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("word")))
+        % CMS_WIDTH,
+    )
+    cms = keyed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = (
+        exact.orderBy(F.col("exact_n").desc(), F.col("word"))
+        .limit(CMS_TOP_K)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("exact_n").desc(), F.col("word")))
+            .cast("int"),
+        )
+    )
+    probe = top.select(
+        "word", "exact_n", "rank", F.explode(depths).alias("d")
+    ).withColumn(
+        "bucket",
+        h60(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("word")))
+        % CMS_WIDTH,
+    )
+    est = (
+        probe.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("word", "exact_n", "rank")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        "word",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        "rank",
     )
