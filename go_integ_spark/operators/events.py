@@ -574,3 +574,73 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_paths"))
         .filter(F.col("n_paths") >= PATH_MIN_COUNT)
     )
+
+
+# --- Skewed-key join with explicit salting ---------------------------
+
+SKEW_SALTS = 8
+
+
+@register(
+    "join_salted_skew",
+    tags=("join", "skew", "scale"),
+    oracle="""
+WITH f AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+), dim AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_type,
+           CAST(sum(cents) AS BIGINT) AS type_cents
+    FROM f GROUP BY 1
+)
+SELECT f.event_type,
+       (f.cents * d.n_type > d.type_cents) AS above_avg,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(f.cents) AS BIGINT) AS sum_cents
+FROM f JOIN dim d ON d.event_type = f.event_type
+GROUP BY 1, 2
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key equi-join routed through explicit salting, gate-
+    proven equal to the plain join: events has only FIVE distinct
+    ``event_type`` values (~N/5 rows each — the pathological case
+    where every shuffle partition but five is empty and five tasks
+    carry the whole fact table), and this query joins the fact stream
+    to a per-type dim through ``salted_join`` (functions/skew.py),
+    which widens the shuffle key to (event_type, salt) — 5 hot
+    partitions become 5 * SKEW_SALTS even ones — and replicates the
+    5-row dim once per salt. The oracle is the UNSALTED join, so the
+    gate asserts the transformation is invisible to results.
+
+    Each event is flagged above/below its type's mean value in exact
+    integer arithmetic (cents * n > sum_cents — no division), then
+    rolled up per (type, flag). At THIS dim size Catalyst would
+    broadcast and no salting would be needed; the pattern gates here
+    so it is proven for the real case — a dim above the broadcast
+    threshold joined on a hot key, where AQE's skew split cannot help
+    because the downstream aggregation re-partitions on the same key
+    (see functions/skew.py for when AQE suffices instead).
+    """
+    from go_integ_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = fact.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_type"),
+        F.sum("cents").cast("bigint").alias("type_cents"),
+    )
+    joined = salted_join(fact, dim, on=["event_type"], num_salts=SKEW_SALTS)
+    return (
+        joined.withColumn(
+            "above_avg", F.col("cents") * F.col("n_type") > F.col("type_cents")
+        )
+        .groupBy("event_type", "above_avg")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
