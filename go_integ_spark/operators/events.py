@@ -644,3 +644,75 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+# --- Rolling-window distinct users (DAU / WAU) -----------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+@register(
+    "window_rolling_distinct_users",
+    tags=("window", "events", "distinct"),
+    oracle=f"""
+WITH du AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+    FROM events
+), days AS (
+    SELECT DISTINCT day FROM du
+), contrib AS (
+    SELECT du.user_id, du.day + CAST(t.i AS INTEGER) AS day
+    FROM du, unnest(generate_series(0, {WAU_WINDOW_DAYS - 1})) AS t(i)
+), wau AS (
+    SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c SEMI JOIN days d ON d.day = c.day
+    GROUP BY 1
+), dau AS (
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM du GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau
+FROM dau d JOIN wau w ON w.day = d.day
+""",
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window distinct counting — DAU and trailing-7-day WAU
+    per day, the engagement denominator every product-metrics stack
+    computes. Distinct-over-a-sliding-window does NOT decompose like
+    a sum (a user active on 3 of the 7 days must count once), so no
+    window-frame aggregate applies.
+
+    Scale shape: the CONTRIBUTION-EXPLODE formulation — each distinct
+    (day, user) row is exploded to the {WAU_WINDOW_DAYS} window-end days it
+    contributes to, then one count-distinct per day — instead of a
+    day-to-range join: the range join's build side is all of du for
+    every day (quadratic in the window when expressed as a
+    BroadcastNestedLoopJoin), while the explode is row-local with a
+    fixed x{WAU_WINDOW_DAYS} fanout and shuffles only (day, user_id) pairs.
+    The trailing semi-join against observed days (broadcast — one row
+    per calendar day) trims phantom window-ends past the data's edge.
+    At 100 TB the count-distincts become per-day HLL sketches (see
+    agg_sketch_accuracy) and the explode shape is unchanged — sketch
+    state merges across the same shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, date_add(day, {WAU_WINDOW_DAYS - 1}))"
+            )
+        ).alias("day"),
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")
