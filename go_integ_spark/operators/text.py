@@ -13,7 +13,7 @@ implementation, not the linguistics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_integ_spark.registry import register
@@ -689,10 +689,10 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_manifest(docs)
 
 
-@register(
-    "text_bigram_logprob",
-    tags=("text", "lm", "llm_pipeline"),
-    oracle="""
+# Per-doc bigram-LM scores as a reusable oracle fragment: yields
+# (doc_id, n_bigrams, avg_logp). Shared by text_bigram_logprob and
+# the CCNet-style perplexity bucketing built on top of it.
+BIGRAM_SCORES_SQL = """
 WITH w AS (
     SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), inst AS (
@@ -714,36 +714,13 @@ SELECT d.doc_id,
        round(sum(d.k * p.logp) / sum(d.k), 4) AS avg_logp
 FROM d JOIN probs p ON p.w1 = d.w1 AND p.w2 = d.w2
 GROUP BY d.doc_id
-""",
-)
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-fit bigram language-model scoring — the KenLM-style
-    quality signal LLM curation pipelines use (CCNet/Gopher score
-    documents by LM perplexity; the distributed restatement fits the
-    LM on the corpus itself): P(w2|w1) = c(w1,w2) / c(w1 as prefix),
-    and each doc's score is the occurrence-weighted mean log
-    probability of its bigrams. Low avg_logp = improbable token
-    sequences (noise, boilerplate mash, wrong-language) — the ranking
-    a perplexity filter thresholds on. Docs with fewer than two
-    tokens carry no bigrams and are absent by definition.
+"""
 
-    Scale shape: bigram extraction is row-local (one explode); the
-    MODEL is two hash aggregations whose map-side partial pass
-    collapses the hot stopword-bigram keys before they shuffle, so
-    the model table is bounded by distinct bigrams (vocabulary-, not
-    corpus-sized). Scoring is ONE join of the instance stream
-    against the model on the bigram key (model side broadcastable
-    under AQE at gate scale) and ONE shuffle — the per-doc rollup.
-    An earlier shape pre-grouped instances by (doc, bigram) "to
-    compress before the join", but on natural text per-doc bigram
-    repetition is low, so that grouping was a second full-size
-    shuffle that compressed nothing (measured 16.8 s -> 8.9 s at the
-    50k-doc scale smoke when removed); the per-doc rollup already
-    combines map-side. At 100 TB the model would be fit once,
-    written bucketed by (w1, w2), and reused across scoring runs —
-    the join-back is then co-located.
-    """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+def bigram_doc_scores(docs: DataFrame) -> DataFrame:
+    """The shared scoring pipeline of :func:`text_bigram_logprob`:
+    fit the corpus bigram LM and return (doc_id, n_bigrams,
+    avg_logp) — see that query's docstring for the scale shape."""
     inst = (
         docs.withColumn("ws", F.split("text", " "))
         .filter(F.size("ws") >= 2)
@@ -773,6 +750,135 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.sum("logp") / F.count(F.lit(1)), 4).alias("avg_logp"),
         )
+    )
+
+
+@register(
+    "text_bigram_logprob",
+    tags=("text", "lm", "llm_pipeline"),
+    oracle=BIGRAM_SCORES_SQL,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit bigram language-model scoring — the KenLM-style
+    quality signal LLM curation pipelines use (CCNet/Gopher score
+    documents by LM perplexity; the distributed restatement fits the
+    LM on the corpus itself): P(w2|w1) = c(w1,w2) / c(w1 as prefix),
+    and each doc's score is the occurrence-weighted mean log
+    probability of its bigrams. Low avg_logp = improbable token
+    sequences (noise, boilerplate mash, wrong-language) — the ranking
+    a perplexity filter thresholds on. Docs with fewer than two
+    tokens carry no bigrams and are absent by definition.
+
+    Scale shape: bigram extraction is row-local (one explode); the
+    MODEL is two hash aggregations whose map-side partial pass
+    collapses the hot stopword-bigram keys before they shuffle, so
+    the model table is bounded by distinct bigrams (vocabulary-, not
+    corpus-sized). Scoring is ONE join of the instance stream
+    against the model on the bigram key (model side broadcastable
+    under AQE at gate scale) and ONE shuffle — the per-doc rollup.
+    An earlier shape pre-grouped instances by (doc, bigram) "to
+    compress before the join", but on natural text per-doc bigram
+    repetition is low, so that grouping was a second full-size
+    shuffle that compressed nothing (measured 16.8 s -> 8.9 s at the
+    50k-doc scale smoke when removed); the per-doc rollup already
+    combines map-side. At 100 TB the model would be fit once,
+    written bucketed by (w1, w2), and reused across scoring runs —
+    the join-back is then co-located.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_doc_scores(docs)
+
+
+@register(
+    "text_perplexity_buckets",
+    tags=("text", "lm", "curation", "llm_pipeline"),
+    oracle=f"""
+WITH scores AS (
+    {BIGRAM_SCORES_SQL}
+), su AS (
+    SELECT s.doc_id, doc.lang, s.avg_logp,
+           CAST(round(s.avg_logp * 10000) AS BIGINT) AS score_u
+    FROM scores s JOIN documents doc ON doc.doc_id = s.doc_id
+), gs AS (
+    SELECT lang, score_u, CAST(count(*) AS BIGINT) AS c
+    FROM su GROUP BY 1, 2
+), cum AS (
+    SELECT lang, score_u,
+           sum(c) OVER (PARTITION BY lang ORDER BY score_u DESC) AS cum,
+           sum(c) OVER (PARTITION BY lang) AS n_lang
+    FROM gs
+), cuts AS (
+    SELECT lang,
+           max(CASE WHEN 3 * cum >= n_lang THEN score_u END) AS t_head,
+           max(CASE WHEN 3 * cum >= 2 * n_lang THEN score_u END) AS t_mid
+    FROM cum GROUP BY lang
+)
+SELECT su.doc_id, su.lang, su.avg_logp,
+       CASE WHEN su.score_u >= c.t_head THEN 'head'
+            WHEN su.score_u >= c.t_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM su JOIN cuts c ON c.lang = su.lang
+""",
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every
+    document is assigned to the head / middle / tail THIRD of its
+    language's LM-score distribution — the split CCNet uses to keep
+    head+middle and drop (or down-weight) tail. The LM signal is the
+    corpus-fit bigram avg_logp of :func:`text_bigram_logprob` (higher
+    = more probable = lower perplexity = "head").
+
+    The cutoffs are VALUE thresholds, not rank positions: per
+    language, t_head is the largest 4-digit-fixed score at which the
+    cumulative (descending) doc count reaches ceil(n/3), and ties on
+    the threshold all go to the better bucket — so membership depends
+    only on a document's own score and two per-language constants,
+    never on a global ordering of documents.
+
+    Scale shape: this is why the value-threshold formulation wins at
+    100 TB — a rank-based ntile needs a per-language TOTAL SORT of
+    every document, while the thresholds here come from a cumulative
+    window over the (lang, score_u) HISTOGRAM: at most 20001 distinct
+    4-digit scores per language regardless of corpus size (the same
+    aggregate-then-window-on-small move as curation_token_budget's
+    grid walk). Scoring shuffles once to fit the LM (see
+    text_bigram_logprob), the histogram shuffle carries counters, and
+    the final bucket assignment is a broadcast join of per-language
+    (t_head, t_mid) against the score stream — row-local. Documents
+    with fewer than two tokens carry no LM score and are absent, as
+    in the underlying query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_doc_scores(docs.select("doc_id", "text"))
+    su = scores.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "score_u", F.round(F.col("avg_logp") * 10000).cast("bigint")
+    )
+    gs = su.groupBy("lang", "score_u").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score_u").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = gs.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n_lang", F.sum("c").over(w_all)
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.max(
+            F.when(3 * F.col("cum") >= F.col("n_lang"), F.col("score_u"))
+        ).alias("t_head"),
+        F.max(
+            F.when(3 * F.col("cum") >= 2 * F.col("n_lang"), F.col("score_u"))
+        ).alias("t_mid"),
+    )
+    return su.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_logp",
+        F.when(F.col("score_u") >= F.col("t_head"), F.lit("head"))
+        .when(F.col("score_u") >= F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
     )
 
 
