@@ -2139,3 +2139,162 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_vecs.groupBy("query_id").applyInPandas(
         _greedy, "query_id bigint, neighbor_id bigint, mmr_rank int, rel_u bigint"
     )
+
+
+# --- Margin-based bitext mining --------------------------------------
+
+BITEXT_TOP_K = 4  # neighborhood size for the margin denominator
+BITEXT_COS_FLOOR_U = 500  # drop pairs under cos 0.05 before ranking
+BITEXT_MARGIN_MIN_U = 10000  # ratio-margin >= 1.0 (fixed-point 1e4)
+
+
+@register(
+    "similarity_bitext_pairs",
+    tags=("similarity", "vector", "crosslingual", "llm_pipeline"),
+    oracle=f"""
+WITH v AS (
+    SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS emb
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+), src AS (
+    SELECT vec_id, emb FROM v WHERE lang = 'en'
+), tgt AS (
+    SELECT vec_id, lang, emb FROM v WHERE lang <> 'en'
+), p AS (
+    SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, t.lang AS tgt_lang,
+           CAST(round(list_cosine_similarity(s.emb, t.emb) * 10000)
+               AS BIGINT) AS cos_u
+    FROM src s CROSS JOIN tgt t
+), pf AS (
+    SELECT * FROM p WHERE cos_u >= {BITEXT_COS_FLOOR_U}
+), fwd AS (
+    SELECT src_id, tgt_lang, cos_u,
+           row_number() OVER (
+               PARTITION BY src_id, tgt_lang ORDER BY cos_u DESC, tgt_id
+           ) AS rn
+    FROM pf
+), fsum AS (
+    SELECT src_id, tgt_lang, CAST(sum(cos_u) AS BIGINT) AS sum_f,
+           CAST(count(*) AS BIGINT) AS k_f
+    FROM fwd WHERE rn <= {BITEXT_TOP_K} GROUP BY 1, 2
+), bwd AS (
+    SELECT tgt_id, cos_u,
+           row_number() OVER (
+               PARTITION BY tgt_id ORDER BY cos_u DESC, src_id
+           ) AS rn
+    FROM pf
+), bsum AS (
+    SELECT tgt_id, CAST(sum(cos_u) AS BIGINT) AS sum_b,
+           CAST(count(*) AS BIGINT) AS k_b
+    FROM bwd WHERE rn <= {BITEXT_TOP_K} GROUP BY 1
+), m AS (
+    SELECT p.src_id, p.tgt_lang, p.tgt_id, p.cos_u,
+           (p.cos_u * 2 * f.k_f * b.k_b * 10000)
+               // (f.sum_f * b.k_b + b.sum_b * f.k_f) AS margin_u
+    FROM pf p
+    JOIN fsum f ON f.src_id = p.src_id AND f.tgt_lang = p.tgt_lang
+    JOIN bsum b ON b.tgt_id = p.tgt_id
+)
+SELECT src_id, tgt_lang, tgt_id, cos_u, margin_u
+FROM (
+    SELECT m.*, row_number() OVER (
+        PARTITION BY src_id, tgt_lang
+        ORDER BY margin_u DESC, cos_u DESC, tgt_id
+    ) AS rn
+    FROM m
+)
+WHERE rn = 1 AND margin_u >= {BITEXT_MARGIN_MIN_U}
+""",
+)
+def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus recipe): for every English
+    document, the best candidate translation in each other language,
+    scored by the RATIO margin — cosine divided by the average of the
+    two directions' top-k neighborhood cosines — which suppresses
+    hub vectors that are merely globally central rather than
+    specifically parallel (raw cosine thresholds can't). Pairs whose
+    margin clears 1.0 are emitted; everything is fixed-point int64
+    (cos in 1e-4 units; the margin a single integer floor-division
+    with the k_f/k_b counts cross-multiplied in) so both engines
+    agree bit-for-bit.
+
+    Scale shape: mining is blocked BY LANGUAGE PAIR — the en shard
+    here is the broadcast query set streamed against each target
+    language's partition (the bruteforce_scored pattern), and at
+    100 TB each language pair swaps the exhaustive block for that
+    language's IVF index (ann_ivf_topk), which already returns
+    exactly the top-k lists the margin denominators need — the margin
+    computation consumes ANN output unchanged. Both windows rank
+    bounded candidate lists (per source per language, and per
+    target); the final per-(src, lang) argmax is one more window over
+    rows that ANN has already capped at k per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    v = with_norm(emb.select("vec_id", "embedding")).join(langs, "vec_id")
+    src = v.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("src_id"),
+        F.col("e").alias("se"),
+        F.col("e_norm").alias("se_norm"),
+    )
+    tgt = v.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("lang").alias("tgt_lang"),
+        F.col("e").alias("te"),
+        F.col("e_norm").alias("te_norm"),
+    )
+    cos_u = F.round(
+        cosine_sim_pd("se", "se_norm", "te", "te_norm") * 10000
+    ).cast("bigint")
+    pf = (
+        tgt.crossJoin(F.broadcast(src))
+        .select("src_id", "tgt_id", "tgt_lang", cos_u.alias("cos_u"))
+        .filter(F.col("cos_u") >= BITEXT_COS_FLOOR_U)
+    )
+    w_fwd = Window.partitionBy("src_id", "tgt_lang").orderBy(
+        F.col("cos_u").desc(), F.col("tgt_id")
+    )
+    fsum = (
+        pf.withColumn("rn", F.row_number().over(w_fwd))
+        .filter(F.col("rn") <= BITEXT_TOP_K)
+        .groupBy("src_id", "tgt_lang")
+        .agg(
+            F.sum("cos_u").cast("bigint").alias("sum_f"),
+            F.count(F.lit(1)).alias("k_f"),
+        )
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_u").desc(), F.col("src_id")
+    )
+    bsum = (
+        pf.withColumn("rn", F.row_number().over(w_bwd))
+        .filter(F.col("rn") <= BITEXT_TOP_K)
+        .groupBy("tgt_id")
+        .agg(
+            F.sum("cos_u").cast("bigint").alias("sum_b"),
+            F.count(F.lit(1)).alias("k_b"),
+        )
+    )
+    m = (
+        pf.join(fsum, ["src_id", "tgt_lang"])
+        .join(bsum, ["tgt_id"])
+        .withColumn(
+            "margin_u",
+            F.expr(
+                "(cos_u * 2 * k_f * k_b * 10000)"
+                " div (sum_f * k_b + sum_b * k_f)"
+            ),
+        )
+    )
+    w_best = Window.partitionBy("src_id", "tgt_lang").orderBy(
+        F.col("margin_u").desc(), F.col("cos_u").desc(), F.col("tgt_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w_best))
+        .filter(
+            (F.col("rn") == 1) & (F.col("margin_u") >= BITEXT_MARGIN_MIN_U)
+        )
+        .select("src_id", "tgt_lang", "tgt_id", "cos_u", "margin_u")
+    )
