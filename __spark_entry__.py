@@ -181,6 +181,11 @@ _MEASURED_COST = {
     "streaming_static_enrich": 4.68,
     "embedding_communities": 9.68,
     "dedup_paraphrase_pairs": 5.76,
+    "agg_countmin_sketch": 1.95,
+    "join_salted_skew": 1.05,
+    "window_rolling_distinct_users": 0.91,
+    "text_perplexity_buckets": 1.55,
+    "similarity_bitext_pairs": 3.96,
     "similarity_mmr_rerank": 1.64,
     "streaming_srp_registry": 6.73,
 }
