@@ -2253,33 +2253,28 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "tgt_id", "tgt_lang", cos_u.alias("cos_u"))
         .filter(F.col("cos_u") >= BITEXT_COS_FLOOR_U)
     )
-    w_fwd = Window.partitionBy("src_id", "tgt_lang").orderBy(
-        F.col("cos_u").desc(), F.col("tgt_id")
-    )
-    fsum = (
-        pf.withColumn("rn", F.row_number().over(w_fwd))
-        .filter(F.col("rn") <= BITEXT_TOP_K)
-        .groupBy("src_id", "tgt_lang")
-        .agg(
-            F.sum("cos_u").cast("bigint").alias("sum_f"),
-            F.count(F.lit(1)).alias("k_f"),
-        )
-    )
+    # Both neighborhood sums are WINDOW aggregates over the one scored
+    # pair frame — no self-joins, so the Arrow scoring pass runs once
+    # and the whole query is two exchanges: by tgt_id (backward
+    # direction), then by (src_id, tgt_lang), which the forward sums,
+    # the margin, and the final argmax all share.
     w_bwd = Window.partitionBy("tgt_id").orderBy(
         F.col("cos_u").desc(), F.col("src_id")
     )
-    bsum = (
-        pf.withColumn("rn", F.row_number().over(w_bwd))
-        .filter(F.col("rn") <= BITEXT_TOP_K)
-        .groupBy("tgt_id")
-        .agg(
-            F.sum("cos_u").cast("bigint").alias("sum_b"),
-            F.count(F.lit(1)).alias("k_b"),
-        )
+    p_bwd = Window.partitionBy("tgt_id")
+    in_b = F.col("rn_b") <= BITEXT_TOP_K
+    w_fwd = Window.partitionBy("src_id", "tgt_lang").orderBy(
+        F.col("cos_u").desc(), F.col("tgt_id")
     )
+    p_fwd = Window.partitionBy("src_id", "tgt_lang")
+    in_f = F.col("rn_f") <= BITEXT_TOP_K
     m = (
-        pf.join(fsum, ["src_id", "tgt_lang"])
-        .join(bsum, ["tgt_id"])
+        pf.withColumn("rn_b", F.row_number().over(w_bwd))
+        .withColumn("sum_b", F.sum(F.when(in_b, F.col("cos_u"))).over(p_bwd))
+        .withColumn("k_b", F.count(F.when(in_b, F.lit(1))).over(p_bwd))
+        .withColumn("rn_f", F.row_number().over(w_fwd))
+        .withColumn("sum_f", F.sum(F.when(in_f, F.col("cos_u"))).over(p_fwd))
+        .withColumn("k_f", F.count(F.when(in_f, F.lit(1))).over(p_fwd))
         .withColumn(
             "margin_u",
             F.expr(
