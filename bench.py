@@ -69,12 +69,43 @@ def _cpu_calibration() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def _cpu_calibration_parallel() -> float:
+    """Wall seconds for every core running the single-thread workload
+    at once (numpy dot releases the GIL, so threads suffice). On a
+    healthy exclusive host this ~equals the single-thread figure; a
+    larger ratio means parallel throughput is degraded (hypervisor
+    steal, frequency capping under all-core load, a noisy neighbor) —
+    the failure mode round 6's intra-day 24 s -> 47 s swings on
+    identical code traced to, which the single-thread fingerprint
+    cannot see because it only holds one core."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    n = os.cpu_count() or 1
+
+    def one(_: int) -> float:
+        a = np.arange(1_000_000, dtype=np.float64) % 97
+        b = (a * 31.0 + 7.0) % 89
+        acc = 0.0
+        for _ in range(60):
+            acc += float(a @ b)
+            a = (a + b) % 97
+        return acc
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(one, range(n)))
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     from go_integ_spark.registry import load_all
     from go_integ_spark.session import get_spark
 
     ncpus = os.cpu_count() or 1
     cpu_calib = _cpu_calibration()
+    cpu_calib_par = _cpu_calibration_parallel()
     jvms_start = _foreign_jvms()
     load1_start = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,6 +189,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cpu_calib_sec": cpu_calib,
+                "cpu_calib_par_sec": cpu_calib_par,
                 "contended": contended,
                 "contention": {
                     "foreign_jvms_start": len(jvms_start),
