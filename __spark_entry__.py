@@ -186,6 +186,7 @@ _MEASURED_COST = {
     "window_rolling_distinct_users": 0.91,
     "text_perplexity_buckets": 1.55,
     "similarity_bitext_pairs": 3.96,
+    "text_classifier_score": 1.08,
     "similarity_mmr_rerank": 1.64,
     "streaming_srp_registry": 6.73,
 }

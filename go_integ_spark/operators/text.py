@@ -1252,3 +1252,86 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (n_stops >= GOPHER_MIN_STOP_HITS)
         ).alias("gopher_ok"),
     )
+
+
+# --- Hashed linear quality classifier --------------------------------
+
+# fastText-style hashed bag-of-words geometry: feature dim and the
+# per-bucket weight range (integer milli-units, expectation centred
+# so random text scores ~0).
+CLF_BUCKETS = 1024
+CLF_WEIGHT_MOD = 2001  # weights in [0, 2000], mean 1000
+CLF_WEIGHT_CENTER = 1000
+
+
+@register(
+    "text_classifier_score",
+    tags=("text", "quality", "classifier", "llm_pipeline"),
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+    FROM documents
+), s AS (
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(ws, x ->
+               (('0x' || substr(md5('w:' || CAST(
+                   (('0x' || substr(md5(x), 1, 15))::BIGINT) % {CLF_BUCKETS}
+               AS VARCHAR)), 1, 15))::BIGINT) % {CLF_WEIGHT_MOD}
+           )), 0) AS BIGINT) AS sum_u
+    FROM w
+)
+SELECT doc_id, n_words,
+       (sum_u // greatest(n_words, 1)) - {CLF_WEIGHT_CENTER} AS score_u,
+       ((sum_u // greatest(n_words, 1)) - {CLF_WEIGHT_CENTER} >= 0) AS keep
+FROM s
+""",
+)
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality-filter slot — the fastText-classifier pass
+    modern curation stacks (CCNet's LM-vs-wiki filter, DCLM's
+    fastText keep/drop, FineWeb-Edu's educational scorer) run after
+    the rule-based gates: a hashed bag-of-words linear model scores
+    every document and the score (plus a keep verdict at the 0
+    threshold) drives filtering or mix re-weighting.
+
+    The weights here are DETERMINISTIC HASH-DERIVED stand-ins (bucket
+    = h60(word) % {CLF_BUCKETS}, weight = h60('w:' bucket) %
+    {CLF_WEIGHT_MOD}, centred at {CLF_WEIGHT_CENTER}) so the full scoring
+    path — tokenize, hash to buckets, per-instance weight lookup,
+    mean-pool, threshold — is gate-checkable bit-for-bit; a trained
+    model drops into the same plumbing by replacing the weight
+    expression with a broadcast bucket->weight map lookup
+    (element_at on a {CLF_BUCKETS}-entry literal map, still row-local).
+    All arithmetic is int64 (instance-weight sum, one floor division
+    by the word count — operands kept non-negative so Spark's
+    truncating div and DuckDB's flooring // agree).
+
+    Scale shape: a single scan-bound projection — the tokenize/hash/
+    sum runs inside one JVM ``aggregate`` HOF per row, zero
+    shuffles, zero UDFs, zero driver state. This is the 100 TB
+    filter shape: classifier inference as a map over the corpus,
+    embarrassingly parallel across executors.
+    """
+    from go_integ_spark.functions.hashing import h60_expr
+
+    bucket = f"pmod({h60_expr('x')}, {CLF_BUCKETS})"
+    keyed = f"concat('w:', cast({bucket} as string))"
+    weight = f"pmod({h60_expr(keyed)}, {CLF_WEIGHT_MOD})"
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws"),
+    ).select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.expr(
+            f"aggregate(ws, 0L, (acc, x) -> acc + {weight})"
+        ).alias("sum_u"),
+    )
+    score_u = F.expr("sum_u div greatest(n_words, 1L)") - CLF_WEIGHT_CENTER
+    return s.select(
+        "doc_id",
+        "n_words",
+        score_u.alias("score_u"),
+        (score_u >= 0).alias("keep"),
+    )
