@@ -394,3 +394,52 @@ def test_mmr_candidate_generation_is_broadcast_scored(registry, spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_classifier_score_shuffle_free_and_pruned(registry, spark):
+    # Model-based filtering must stay a pure scan-bound map: one JVM
+    # aggregate HOF per row, nothing moves.
+    df = _df(registry, spark, "text_classifier_score")
+    assert shuffle_count(df) == 0
+    (schema,) = read_schemas(df)
+    assert "text" in schema and "lang" not in schema and "source" not in schema
+
+
+def test_countmin_build_partial_and_probe_broadcast(registry, spark):
+    # The CMS grid build partial-aggregates map-side (the token stream
+    # collapses into the fixed grid before the shuffle), and the
+    # top-k probe joins the 1 KiB grid by broadcast, never shuffling
+    # the heavy-hitter side against it.
+    df = _df(registry, spark, "agg_countmin_sketch")
+    plan = executed_plan(df)
+    assert "partial_count" in plan
+    assert count_op(df, "BroadcastHashJoin") >= 1
+
+
+def test_rolling_distinct_users_avoids_range_join(registry, spark):
+    # Contribution-explode + broadcast semi-join on observed days —
+    # a day-to-range formulation would plan a BroadcastNestedLoopJoin
+    # whose build side is the whole (day, user) set.
+    df = _df(registry, spark, "window_rolling_distinct_users")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_perplexity_buckets_no_global_sort_and_broadcast_cuts(registry, spark):
+    # The tertile cutoffs come from a cumulative window over the
+    # (lang, score) HISTOGRAM — never a per-language total sort of
+    # documents (no range partitioning anywhere) — and the per-doc
+    # bucket assignment picks the two cut constants up by broadcast.
+    df = _df(registry, spark, "text_perplexity_buckets")
+    assert count_op(df, "Exchange rangepartitioning") == 0
+    assert count_op(df, "BroadcastHashJoin") >= 1
+
+
+def test_bitext_margins_single_scored_pass(registry, spark):
+    # Both margin denominators are window aggregates over ONE scored
+    # pair frame: exactly two hash exchanges (by tgt_id, then by
+    # (src_id, tgt_lang)) — the self-join formulation would re-run
+    # the Arrow scoring pass per direction and shuffle three times.
+    df = _df(registry, spark, "similarity_bitext_pairs")
+    assert shuffle_count(df) == 2
