@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from go_integ_spark.operators.dedup import SHINGLE_K, _cached_doc_sets
+from go_integ_spark.operators.dedup import (
+    SHINGLE_K,
+    _cached_doc_sets,
+    emb_probe_count,
+)
 from go_integ_spark.registry import register
 from go_integ_spark.tables import load_table
 
@@ -690,10 +694,11 @@ def curation_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Embedding-level decontamination settings: eval split = every 10th
-# vector; similarity bar matches dedup_embedding_cosine's verified
-# recall-1.0 operating point (6 probed cells at 0.45 on this corpus).
+# vector; similarity bar and probe rule match dedup_embedding_cosine's
+# verified recall-1.0 operating point (probes scale with the cell
+# count — see emb_probe_count's comment for the fixed-count recall
+# regression the sf0.1 sweep caught).
 CONTAM_EMB_THRESHOLD = 0.45
-CONTAM_EMB_PROBES = 6
 
 
 @register(
@@ -733,9 +738,10 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     per eval vector with the verdict and its closest training match.
 
     Scale shape mirrors dedup_embedding_cosine (shared IVF cells, no
-    cross join): both splits probe their {CONTAM_EMB_PROBES} nearest
-    cells, candidates come from one cell equi-join, exact cosine
-    verifies, and the per-eval best is a bounded window. The
+    cross join): both splits probe their ``emb_probe_count(k)``
+    nearest cells (coverage-preserving, scales with the cell count),
+    candidates come from one cell equi-join, exact cosine verifies,
+    and the per-eval best is a bounded window. The
     brute-force oracle re-asserts candidate recall 1.0 at this
     operating point every gate run. At 100 TB the train side is
     written partitioned by cell_id, so each eval batch reads only its
@@ -765,7 +771,9 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "e",
         "e_norm",
-        F.explode(nearest_cells_pd(crow, CONTAM_EMB_PROBES)).alias("cell_id"),
+        F.explode(nearest_cells_pd(crow, emb_probe_count(k_cells))).alias(
+            "cell_id"
+        ),
     )
     ev_side = probed.filter(F.col("vec_id") % 10 == 0)
     tr_side = probed.filter(F.col("vec_id") % 10 != 0)

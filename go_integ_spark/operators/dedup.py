@@ -682,11 +682,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Nearest cells probed per vector for embedding-dedup candidate
-# generation. 6 of the 16 fixed hash-selected cells gives measured
-# recall 1.0 at threshold 0.45 on both test corpora (sf0.001: 7/7
-# pairs, sf0.01: 14/14; 4 probes missed one sf0.01 pair).
-DEDUP_EMB_PROBES = 6
+# Nearest-cell probing for embedding-dedup candidate generation.
+# The probe count must scale WITH the sqrt(N) cell count: a fixed
+# count silently loses probe COVERAGE as the corpus grows — 6 probes
+# = 6/22 cells at the 500-vector gate corpora (recall 1.0 measured)
+# but only 6/44 at the 2000-vector sf0.1 corpus, where a strict
+# sf0.1 oracle sweep caught 4/144 true pairs straddling un-probed
+# cells. ceil(k/4) keeps coverage >= 25% (8/44 already measured
+# recall 1.0 at sf0.1; 11 adds margin), and the floor preserves the
+# verified small-corpus operating point.
+DEDUP_EMB_PROBES_MIN = 6
+
+
+def emb_probe_count(k_cells: int) -> int:
+    return max(DEDUP_EMB_PROBES_MIN, -(-k_cells // 4))
 # Semantic near-dup cosine threshold, shared by the IVF-cell dedup,
 # the SRP-bucket dedup, and the paraphrase-pair oracle — ONE value so
 # retuning cannot desynchronize a kernel from an oracle.
@@ -767,15 +776,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: sqrt(N) hash-selected cells (the faiss nlist rule — a
     FIXED cell count turns per-cell pair enumeration quadratic as the
     corpus grows; the count is parquet-metadata-only); every vector
-    computes its DEDUP_EMB_PROBES nearest cells ROW-LOCALLY via the
-    ``nearest_cells_pd`` kernel and ships its vector to those cells
-    ONCE. Each cell is then scored as ONE cogrouped block — a
-    fold-exact blocked matmul emitting only the pairs above
-    threshold — instead of a row-per-pair join that would push
-    ~1 KB of vectors per candidate pair through the Arrow boundary.
-    Precision is always 1.0 (exact cosine); candidate recall is 1.0
-    on both gate corpora at threshold 0.45 with these settings
-    (measured; the brute-force oracle re-asserts it every gate run).
+    computes its ``emb_probe_count(k)`` nearest cells ROW-LOCALLY via
+    the ``nearest_cells_pd`` kernel and ships its vector to those
+    cells ONCE — the probe count scales with the cell count so probe
+    COVERAGE survives corpus growth (see the constant's comment for
+    the sf0.1 recall regression a fixed count caused). Each cell is
+    then scored as ONE cogrouped block — a fold-exact blocked matmul
+    emitting only the pairs above threshold — instead of a
+    row-per-pair join that would push ~1 KB of vectors per candidate
+    pair through the Arrow boundary. Precision is always 1.0 (exact
+    cosine); candidate recall is 1.0 at threshold 0.45 on all three
+    test corpora under this rule (measured; the brute-force oracle
+    re-asserts it every gate run).
 
     0.45 is near the random-pair noise floor for 64-dim vectors,
     which forces a high probe count here; production near-dup
@@ -792,7 +804,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "e",
         "e_norm",
-        F.explode(nearest_cells_pd(crow, DEDUP_EMB_PROBES)).alias("cell_id"),
+        F.explode(nearest_cells_pd(crow, emb_probe_count(k_cells))).alias(
+            "cell_id"
+        ),
     )
     return cosine_pairs_in_groups(probed, "cell_id", EMB_COS_THRESHOLD)
 
