@@ -490,3 +490,26 @@ def test_cosine_pairs_max_group_drops_mega_groups(spark):
         for r in cosine_pairs_in_groups(df, "grp", 0.9, max_group=3).collect()
     )
     assert got == [(10, 11)], got
+
+
+def test_emb_probe_count_preserves_coverage():
+    # The sf0.1 strict sweep caught a recall regression when the probe
+    # count stayed fixed while the sqrt(N) cell count grew (6/44 cells
+    # missed 4/144 true pairs at 2000 vectors). Pin the rule: floor at
+    # the verified small-corpus operating point, coverage >= 25% of
+    # cells beyond it, and monotone in the cell count.
+    from go_integ_spark.operators.dedup import (
+        DEDUP_EMB_PROBES_MIN,
+        emb_probe_count,
+    )
+
+    assert emb_probe_count(16) == DEDUP_EMB_PROBES_MIN
+    assert emb_probe_count(22) == DEDUP_EMB_PROBES_MIN  # 500-vector corpora
+    assert emb_probe_count(44) == 11  # 2000-vector corpus: > the measured-min 8
+    prev = 0
+    for k in range(1, 400):
+        p = emb_probe_count(k)
+        assert p >= prev
+        assert p >= min(k, DEDUP_EMB_PROBES_MIN)
+        assert 4 * p >= k  # coverage floor
+        prev = p
