@@ -1089,3 +1089,133 @@ def curation_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling", NeurIPS) constants: hashed word-bigram
+# features, Laplace-smoothed bucket distributions, log importance
+# weight per document. 256 buckets keeps the model table broadcast-
+# trivially-small while still separating the synthetic vocabulary.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+# log-ratio fixed-point scale: micro-nats. floor() (not round) so a
+# shared-double input can never straddle a half-way tie rule.
+DSIR_SCALE = 1_000_000
+
+
+def _dsir_oracle() -> str:
+    from go_integ_spark.functions.hashing import h60_sql
+
+    bucket = h60_sql("w1 || ' ' || w2") + f" % {DSIR_BUCKETS}"
+    return f"""
+WITH docs AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS ws
+    FROM documents WHERE length(text) > 0
+), grams AS (
+    SELECT doc_id, lang, ws[t.i] AS w1, ws[t.i + 1] AS w2
+    FROM docs, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+), feat AS (
+    SELECT doc_id, lang, {bucket} AS bucket FROM grams
+), model AS (
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS c_r,
+           CAST(count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS BIGINT) AS c_t
+    FROM feat GROUP BY bucket
+), tot AS (
+    SELECT CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t
+    FROM model
+), lr AS (
+    SELECT m.bucket,
+           CAST(floor(ln(
+               (CAST(m.c_t + 1 AS DOUBLE) * CAST(t.n_r + {DSIR_BUCKETS} AS DOUBLE))
+               / (CAST(m.c_r + 1 AS DOUBLE) * CAST(t.n_t + {DSIR_BUCKETS} AS DOUBLE))
+           ) * {DSIR_SCALE}.0) AS BIGINT) AS lr_u
+    FROM model m CROSS JOIN tot t
+)
+SELECT f.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(l.lr_u) AS BIGINT) AS logw_u
+FROM feat f JOIN lr l USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+@register(
+    "curation_dsir_weights",
+    tags=("curation", "dsir", "llm_pipeline"),
+    oracle=_dsir_oracle(),
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: score every raw document by how much
+    it resembles a target distribution (here: the '{TARGET}' slice),
+    using hashed word-bigram features — the published recipe for
+    selecting pretraining data that matches a trusted corpus.
+    ``logw = sum over gram instances of ln(p_target[b] / p_raw[b])``
+    with Laplace smoothing, emitted in integer micro-nats
+    (``floor(ln(..) * 1e6)`` per BUCKET, summed as int64) so the
+    per-document sum is order-free and engine-exact. Resampling then
+    keeps documents with Gumbel-perturbed top weights; the weight
+    table is the expensive, corpus-scaled part implemented here.
+
+    Scale shape: featurize is a row-local explode to 8-byte
+    (doc_id, bucket) pairs; the bucket model is ONE map-side-combined
+    aggregation to {B} rows (both counts in one pass via a
+    conditional count); the per-document sum joins the {B}-row
+    log-ratio table via broadcast and aggregates back to one row per
+    document — two corpus-scaled exchanges total (model build + final
+    doc group-by), both carrying integers only, text never shuffles.
+    """
+    from go_integ_spark.functions.hashing import h60
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "lang", F.split("text", " ").alias("ws"))
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), i ->"
+                " concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    feat = grams.select(
+        "doc_id",
+        "lang",
+        F.pmod(h60("g"), F.lit(DSIR_BUCKETS)).alias("bucket"),
+    )
+    model = feat.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("c_t"),
+    )
+    tot = model.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.log(
+                ((F.col("c_t") + 1).cast("double")
+                 * (F.col("n_r") + DSIR_BUCKETS).cast("double"))
+                / ((F.col("c_r") + 1).cast("double")
+                   * (F.col("n_t") + DSIR_BUCKETS).cast("double"))
+            )
+            * F.lit(float(DSIR_SCALE))
+        ).cast("bigint").alias("lr_u"),
+    )
+    return (
+        feat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_u").alias("logw_u"),
+        )
+    )
+
+
+curation_dsir_weights.__doc__ = curation_dsir_weights.__doc__.replace(
+    "{TARGET}", DSIR_TARGET_LANG
+).replace("{B}", str(DSIR_BUCKETS))

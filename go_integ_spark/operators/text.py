@@ -1335,3 +1335,155 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_u.alias("score_u"),
         (score_u >= 0).alias("keep"),
     )
+
+
+# BM25 retrieval constants (Robertson/Sparck-Jones; Lucene's
+# always-positive idf variant). Query terms are fixed corpus words so
+# the gate query is deterministic; a real retrieval service binds
+# them per request.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_N = 10
+BM25_TERMS = ["spark", "join", "vector", "window", "data"]
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH docs AS (
+    SELECT doc_id, ' ' || text || ' ' AS p,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM documents WHERE length(text) > 0
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS sdl
+    FROM docs
+), terms AS (
+    SELECT unnest([{terms}]) AS term
+), tf AS (
+    SELECT t.term, d.doc_id, d.dl,
+           CAST((length(d.p) - length(replace(d.p, ' ' || t.term || ' ', '')))
+                / (length(t.term) + 2) AS BIGINT) AS tf
+    FROM docs d CROSS JOIN terms t
+), hit AS (
+    SELECT * FROM tf WHERE tf > 0
+), df AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM hit GROUP BY term
+), scored AS (
+    SELECT h.term, h.doc_id,
+           round(
+               ln(1.0 + (CAST(t.nd - f.df AS DOUBLE) + 0.5)
+                        / (CAST(f.df AS DOUBLE) + 0.5))
+               * (CAST(h.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+               / (CAST(h.tf AS DOUBLE)
+                  + {BM25_K1} * (1.0 - {BM25_B}
+                                 + {BM25_B} * (CAST(h.dl * t.nd AS DOUBLE)
+                                               / CAST(t.sdl AS DOUBLE)))),
+               4) + 0.0 AS bm25
+    FROM hit h JOIN df f USING (term) CROSS JOIN tot t
+)
+SELECT term, doc_id, bm25, CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY bm25 DESC, doc_id
+    ) AS rn FROM scored
+)
+WHERE rn <= {BM25_TOP_N}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    tags=("text", "retrieval", "llm_pipeline"),
+    oracle=_bm25_oracle(),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed query-term set — the lexical
+    half of a retrieval-augmented pipeline (the dense half is the ANN
+    family). ``idf`` is Lucene's always-positive
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``; the tf saturation uses
+    k1={BM25_K1}, b={BM25_B} with document-length normalization
+    against the corpus mean.
+
+    Scale shape: term frequency is a LENGTH-DELTA projection on the
+    padded text (one replace per query term, JVM codegen) — the
+    corpus is never exploded to tokens, so the per-term row stream is
+    only the matching documents. Document frequency aggregates those
+    hits (map-side combined, |terms| x |docs| worst case but
+    hit-filtered first); the two corpus scalars (N, sum dl) ride a
+    one-row broadcast. Ranking runs on the ROUNDED score with a
+    doc_id tie-break so cross-engine float noise below 1e-4 cannot
+    reorder the cut, and the final top-k is a per-term window over
+    hit rows only.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("p"),
+            F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+        )
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    hit = (
+        docs.select(
+            "doc_id",
+            "p",
+            "dl",
+            F.explode(terms).alias("term"),
+        )
+        .withColumn(
+            "tf",
+            (
+                (
+                    F.length("p")
+                    - F.length(
+                        F.replace(
+                            F.col("p"),
+                            F.concat(F.lit(" "), F.col("term"), F.lit(" ")),
+                        )
+                    )
+                )
+                / (F.length("term") + F.lit(2))
+            ).cast("bigint"),
+        )
+        .filter(F.col("tf") > 0)
+        .select("term", "doc_id", "dl", "tf")
+    )
+    df_ = hit.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("nd") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0)
+        - F.lit(BM25_B)
+        + F.lit(BM25_B)
+        * ((F.col("dl") * F.col("nd")).cast("double") / F.col("sdl").cast("double"))
+    )
+    scored = (
+        hit.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "doc_id",
+            (
+                F.round(
+                    idf * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / denom,
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_TOP_N)
+        .select("term", "doc_id", "bm25", F.col("rn").cast("int").alias("rank"))
+    )
