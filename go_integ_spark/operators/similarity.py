@@ -2293,3 +2293,228 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src_id", "tgt_lang", "tgt_id", "cos_u", "margin_u")
     )
+
+
+# Scalar quantization (the SQ8 codec of FAISS/Milvus-style stores):
+# one byte per dimension, per-dimension [min, max] trained on the
+# corpus. 256 levels; reconstruction at bin centers.
+SQ_LEVELS = 256
+# squared-error fixed-point scale (nano-units): floor() so a shared
+# double can never straddle a rounding tie.
+SQ_ERR_SCALE = 1_000_000_000
+
+
+def _sq_oracle() -> str:
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), comp AS (
+    SELECT vec_id, t.i - 1 AS dim, e[t.i] AS x
+    FROM v, unnest(generate_series(1, len(e))) AS t(i)
+), stats AS (
+    SELECT dim, min(x) AS mn, max(x) AS mx FROM comp GROUP BY dim
+), coded AS (
+    SELECT c.vec_id, c.dim, c.x, s.mn, s.mx,
+           CAST(least(floor((c.x - s.mn) * {SQ_LEVELS}.0 / (s.mx - s.mn)),
+                      {SQ_LEVELS - 1}.0) AS BIGINT) AS code
+    FROM comp c JOIN stats s USING (dim)
+), err AS (
+    SELECT vec_id, dim, code,
+           CAST(floor(
+               ((x_hat - x) * (x_hat - x)) * {SQ_ERR_SCALE}.0
+           ) AS BIGINT) AS e_u
+    FROM (
+        SELECT *, mn + (CAST(code AS DOUBLE) + 0.5) * (mx - mn) / {SQ_LEVELS}.0
+                      AS x_hat
+        FROM coded
+    )
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS code_csv,
+       CAST(sum(e_u) AS BIGINT) AS sq_err_u
+FROM err
+GROUP BY vec_id
+"""
+
+
+@register(
+    "similarity_sq_encode",
+    tags=("similarity", "quantization", "vector", "llm_pipeline"),
+    oracle=_sq_oracle(),
+)
+def similarity_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (SQ8): compress every embedding to one
+    byte per dimension using per-dimension corpus [min, max] — the
+    4x memory cut vector stores apply before PQ is worth its
+    training cost. Emits the code vector (CSV, dim order) and the
+    reconstruction SSE in integer nano-units; the typed array form
+    for downstream use is ``sq_code_vectors``.
+
+    Scale shape: the trained state is 2 doubles per dimension — ONE
+    map-side-combined aggregation to |dim| rows, broadcast back; the
+    encode itself is then a row-local projection (no second corpus
+    exchange: codes and error are computed per row against the
+    broadcast stats and never shuffled — the final per-vector shape
+    is produced by a dim-ordered in-row transform, not a group-by).
+    floor() quantization with a top-bin clamp makes every code an
+    exact integer decision on both engines, and the SSE is summed in
+    int64 nano-units in FIXED dim order, so the output is
+    bit-identical everywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    stats = comp.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    # Row-local encode: join the |dim|-row stats broadcast, compute
+    # code + error per component, then reassemble per vector. The
+    # group-by carries only (dim, code, e_u) ints.
+    code = F.least(
+        F.floor(
+            (F.col("x") - F.col("mn")) * F.lit(float(SQ_LEVELS))
+            / (F.col("mx") - F.col("mn"))
+        ),
+        F.lit(float(SQ_LEVELS - 1)),
+    ).cast("bigint")
+    coded = comp.join(F.broadcast(stats), "dim").withColumn("code", code)
+    x_hat = (
+        F.col("mn")
+        + (F.col("code").cast("double") + F.lit(0.5))
+        * (F.col("mx") - F.col("mn"))
+        / F.lit(float(SQ_LEVELS))
+    )
+    err = coded.withColumn(
+        "e_u",
+        F.floor(
+            ((x_hat - F.col("x")) * (x_hat - F.col("x")))
+            * F.lit(float(SQ_ERR_SCALE))
+        ).cast("bigint"),
+    )
+    return (
+        err.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "code"))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+            ).alias("code_csv"),
+            F.sum("e_u").alias("sq_err_u"),
+        )
+    )
+
+
+def sq_code_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-array form of ``similarity_sq_encode`` (vec_id,
+    codes array<int>) for downstream distance kernels; the gate
+    query serializes to CSV because the driver canonicalizer cannot
+    sort array cells."""
+    out = similarity_sq_encode(spark, sf_dir)
+    return out.select(
+        "vec_id",
+        F.transform(F.split("code_csv", ","), lambda s: s.cast("int")).alias(
+            "codes"
+        ),
+    )
+
+
+def _recall_oracle() -> str:
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), assigned AS (
+    SELECT vec_id, e, cent_id AS cell_id FROM (
+        SELECT v.vec_id, v.e, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS arn
+        FROM v CROSS JOIN cent c
+    ) WHERE arn = 1
+), probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT a.vec_id AS query_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.cent_id
+               ) AS prn
+        FROM assigned a CROSS JOIN cent c
+        WHERE a.vec_id < {N_QUERIES}
+    ) WHERE prn <= {IVF_NPROBE}
+), q AS (
+    SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+), ivf_k AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(q.qe, a.e) DESC, a.vec_id
+               ) AS rn
+        FROM probes p
+        JOIN assigned a ON a.cell_id = p.cell_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    ) WHERE rn <= {TOP_K}
+), bf_k AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY qq.vec_id
+                   ORDER BY list_cosine_similarity(qq.e, c.e) DESC, c.vec_id
+               ) AS rn
+        FROM v qq JOIN v c ON qq.vec_id < {N_QUERIES} AND c.vec_id <> qq.vec_id
+    ) WHERE rn <= {TOP_K}
+)
+SELECT i.query_id,
+       CAST(count(b.neighbor_id) AS BIGINT) AS hits,
+       CAST((count(b.neighbor_id) * 10000) // {TOP_K} AS BIGINT) AS recall_bp
+FROM ivf_k i
+LEFT JOIN bf_k b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY i.query_id
+"""
+
+
+@register(
+    "similarity_recall_eval",
+    tags=("similarity", "evaluation", "vector", "llm_pipeline"),
+    oracle=_recall_oracle(),
+)
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k self-evaluation: score the IVF index against the
+    exact brute-force ground truth on the same query set — the
+    accuracy dial every ANN deployment reports before trading probe
+    count against latency. recall_bp is hits per query in integer
+    basis points of TOP_K (exact int division, engine-identical).
+
+    Scale shape: both arms are the registered pipelines reused
+    verbatim (brute force stays scan-bound; IVF touches only probed
+    cells), and the comparison itself joins two k-row-per-query id
+    sets — |queries| x k rows, negligible against either arm. At
+    100 TB you run this on a sampled query set to calibrate nprobe,
+    never on the full corpus.
+    """
+    truth = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hit = approx.join(
+        truth.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits"),
+        F.expr(
+            f"cast(sum(coalesce(hit, 0)) * 10000 div {TOP_K} as bigint)"
+        ).alias("recall_bp"),
+    )

@@ -1106,6 +1106,19 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     that was ~46 s of pure job overhead for a table of a few thousand
     rows — the count is the only part of this problem that is big.
     """
+    return spark.createDataFrame(
+        _bpe_learn_merges(spark, sf_dir),
+        "merge_rank int, left string, right string, pair_count bigint",
+    )
+
+
+def _bpe_learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """Run the bounded driver-side merge loop (see ``text_bpe_vocab``
+    scale contract) and return the learned merge table — shared by
+    the vocab query and the tokenizer-application query so both use
+    the identical tokenizer."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") > 0
@@ -1141,9 +1154,7 @@ def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = tuple(_bpe_apply_merge(list(syms), left, right))
             merged[key] = merged.get(key, 0) + cnt
         vocab = merged
-    return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, pair_count bigint"
-    )
+    return merges
 
 
 # Gopher quality-rule bounds (Rae et al. 2021, table A1 — the public
@@ -1486,4 +1497,113 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= BM25_TOP_N)
         .select("term", "doc_id", "bm25", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    """Extend the unrolled vocab-learning CTE chain with a tokenizer
+    APPLICATION chain: every distinct word type is encoded with the
+    same double-separator scheme and pushed through the 12 learned
+    merges as chained non-overlapping replaces (d0..d{n}); per-doc
+    token counts then join word-type token counts back to the
+    (doc_id, word, count) table — the oracle never tokenizes a word
+    type twice."""
+    s, s2 = _BPE_SEP, _BPE_SEP * 2
+    parts = [_bpe_oracle().rsplit("\nSELECT CAST(0", 1)[0]]
+    parts.append(
+        f""", wdoc AS (
+    SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE length(w) > 0
+    GROUP BY doc_id, w
+), types AS (
+    SELECT DISTINCT w FROM wdoc
+), d0 AS (
+    SELECT w, '{s2}' || array_to_string(string_split(w, ''), '{s2}')
+               || '{s2}' AS st
+    FROM types
+)"""
+    )
+    for r in range(BPE_MERGES):
+        parts.append(
+            f""", d{r + 1} AS (
+    SELECT d.w, replace(d.st, '{s}' || b.l || '{s2}' || b.r2 || '{s}',
+                        '{s}' || b.l || b.r2 || '{s}') AS st
+    FROM d{r} d CROSS JOIN b{r} b
+)"""
+        )
+    parts.append(
+        f""", ntok AS (
+    SELECT w, CAST(len(list_filter(string_split(st, '{s2}'), x -> x <> ''))
+                   AS BIGINT) AS n_sym
+    FROM d{BPE_MERGES}
+)
+SELECT wd.doc_id,
+       CAST(sum(wd.cnt) AS BIGINT) AS n_words,
+       CAST(sum(wd.cnt * t.n_sym) AS BIGINT) AS n_tokens,
+       CAST((sum(wd.cnt * t.n_sym) * 10000) // sum(wd.cnt) AS BIGINT)
+           AS fert_bp
+FROM wdoc wd JOIN ntok t USING (w)
+GROUP BY wd.doc_id"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_apply",
+    tags=("text", "tokenizer", "llm_pipeline"),
+    oracle=_bpe_apply_oracle(),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE tokenizer to the corpus and report
+    per-document token counts and fertility (tokens per word, basis
+    points) — the pass that prices a corpus in training tokens and
+    flags languages the tokenizer fragments. Uses the identical merge
+    table ``text_bpe_vocab`` emits (shared learner).
+
+    Scale shape: the corpus aggregates once to (doc_id, word, count)
+    with map-side combine — tokenization then runs per WORD TYPE, not
+    per instance. The merge chain itself is {n} chained JVM
+    ``replace`` calls over the double-separator symbol encoding (the
+    same encoding trick the oracle unrolls), i.e. whole-stage-codegen
+    string ops with the 12 learned (left, right) pairs inlined as
+    literals from the bounded driver loop — no UDF, no Python in the
+    hot path, and the only corpus-scaled exchange is the final
+    group-back to documents carrying integers.
+    """
+    s, s2 = _BPE_SEP, _BPE_SEP * 2
+    merges = _bpe_learn_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wdoc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    types = wdoc.select("w").distinct()
+    st = F.concat(
+        F.lit(s2), F.regexp_replace(F.col("w"), "(.)", f"$1{s2}")
+    )
+    for _, left, right, _ in merges:
+        st = F.replace(
+            st,
+            F.lit(f"{s}{left}{s2}{right}{s}"),
+            F.lit(f"{s}{left}{right}{s}"),
+        )
+    ntok = types.select(
+        "w",
+        F.size(
+            F.filter(F.split(st, s2), lambda x: x != F.lit(""))
+        ).cast("bigint").alias("n_sym"),
+    )
+    return (
+        wdoc.join(ntok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).alias("n_tokens"),
+            F.expr("cast(sum(cnt * n_sym) * 10000 div sum(cnt) as bigint)")
+                .alias("fert_bp"),
+        )
     )

@@ -66,3 +66,93 @@ def test_dsir_model_is_bounded(spark):
     bad = out.join(docs, "doc_id").filter(F.col("n_grams") != F.col("want"))
     assert bad.count() == 0
     assert DSIR_BUCKETS <= 4096
+
+
+def test_sq_encode_codes_and_error_bounds(spark):
+    from go_integ_spark.operators.similarity import SQ_LEVELS, sq_code_vectors
+
+    rows = REG["similarity_sq_encode"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        codes = [int(c) for c in r["code_csv"].split(",")]
+        assert len(codes) == 64
+        assert all(0 <= c < SQ_LEVELS for c in codes)
+        assert r["sq_err_u"] >= 0
+    # typed-array form agrees with the serialized gate form
+    typed = {r["vec_id"]: r["codes"] for r in sq_code_vectors(spark, SF_DIR).collect()}
+    for r in rows[:20]:
+        assert typed[r["vec_id"]] == [int(c) for c in r["code_csv"].split(",")]
+
+
+def test_sq_encode_reconstruction_beats_midpoint_bound(spark):
+    """SSE per component is bounded by (bin width / 2)^2: codes
+    reconstruct at bin centers, so error can never exceed half a bin
+    plus the clamp edge case."""
+    from go_integ_spark.operators.similarity import SQ_ERR_SCALE, SQ_LEVELS
+
+    out = REG["similarity_sq_encode"].fn(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    stats = (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg((F.max("x") - F.min("x")).alias("w"))
+        .collect()
+    )
+    # loosest per-dim bound: half the widest bin, squared, x 64 dims
+    worst = max(r["w"] for r in stats) / SQ_LEVELS / 2
+    bound_u = 64 * (worst * worst * 1.01 + 1e-9) * SQ_ERR_SCALE
+    assert out.filter(F.col("sq_err_u") > bound_u).count() == 0
+
+
+def test_recall_eval_matches_direct_set_compare(spark):
+    from go_integ_spark.operators.similarity import (
+        TOP_K,
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    rows = {r["query_id"]: r for r in REG["similarity_recall_eval"].fn(spark, SF_DIR).collect()}
+    truth: dict[int, set] = {}
+    for r in ann_bruteforce_topk(spark, SF_DIR).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx: dict[int, set] = {}
+    for r in ann_ivf_topk(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(rows) == set(truth)
+    for qid, row in rows.items():
+        hits = len(truth[qid] & approx[qid])
+        assert row["hits"] == hits, qid
+        assert row["recall_bp"] == hits * 10000 // TOP_K
+        assert 0 <= row["recall_bp"] <= 10000
+    # the pinned IVF recall floor (test_similarity.py) holds here too
+    mean_bp = sum(r["recall_bp"] for r in rows.values()) / len(rows)
+    assert mean_bp >= 3000
+
+
+def test_bpe_apply_counts_match_python_reference(spark):
+    """Tokenizing with the learned merges must equal the pure-Python
+    greedy leftmost BPE on raw text, doc by doc."""
+    from go_integ_spark.operators.text import (
+        _bpe_apply_merge,
+        _bpe_learn_merges,
+    )
+
+    merges = _bpe_learn_merges(spark, SF_DIR)
+    assert len(merges) == 12
+    out = {r["doc_id"]: r for r in REG["text_bpe_apply"].fn(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert set(out) == {d["doc_id"] for d in docs if any(w for w in d["text"].split(" "))}
+    for d in docs[:40]:
+        words = [w for w in d["text"].split(" ") if w]
+        n_tokens = 0
+        for w in words:
+            syms = list(w)
+            for _, left, right, _ in merges:
+                syms = _bpe_apply_merge(syms, left, right)
+            n_tokens += len(syms)
+        r = out[d["doc_id"]]
+        assert r["n_words"] == len(words)
+        assert r["n_tokens"] == n_tokens, d["doc_id"]
+        assert r["fert_bp"] == n_tokens * 10000 // len(words)
+        # every word is at least one token; merges only shrink
+        assert r["n_words"] <= r["n_tokens"] <= sum(len(w) for w in words)
