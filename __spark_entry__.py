@@ -189,6 +189,11 @@ _MEASURED_COST = {
     "text_classifier_score": 1.08,
     "similarity_mmr_rerank": 1.64,
     "streaming_srp_registry": 6.73,
+    "text_bm25_topk": 2.05,
+    "curation_dsir_weights": 2.47,
+    "similarity_sq_encode": 1.5,
+    "similarity_recall_eval": 4.58,
+    "text_bpe_apply": 1.17,
 }
 
 

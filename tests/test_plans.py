@@ -443,3 +443,49 @@ def test_bitext_margins_single_scored_pass(registry, spark):
     # the Arrow scoring pass per direction and shuffle three times.
     df = _df(registry, spark, "similarity_bitext_pairs")
     assert shuffle_count(df) == 2
+
+
+def test_bm25_no_token_explode_and_broadcast_df(registry, spark):
+    # Term frequency is a length-delta projection: the plan must not
+    # contain a token-level Generate/explode of the text column (the
+    # only explode is the bounded |terms| array), and both the df
+    # table and the corpus scalars join by broadcast.
+    df = _df(registry, spark, "text_bm25_topk")
+    plan = executed_plan(df)
+    assert plan.count("Generate explode") <= 2  # terms fan-out only
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert count_op(df, "SortMergeJoin") == 0
+
+
+def test_dsir_model_broadcast_and_integer_payload(registry, spark):
+    # The 256-row bucket model must broadcast back; the per-document
+    # sum shuffles integers only (no text column past the featurize).
+    df = _df(registry, spark, "curation_dsir_weights")
+    plan = executed_plan(df)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert count_op(df, "SortMergeJoin") == 0
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_sq_encode_single_stats_pass_broadcast_back(registry, spark):
+    # One aggregation to |dim| rows, broadcast back; no second
+    # corpus-scaled join strategy and no Python in the hot path.
+    df = _df(registry, spark, "similarity_sq_encode")
+    plan = executed_plan(df)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert count_op(df, "SortMergeJoin") == 0
+    assert "EvalPython" not in plan
+
+
+def test_bpe_apply_tokenizes_word_types_not_instances(registry, spark):
+    # The merge chain must run on the DISTINCT word-type table — a
+    # HashAggregate pair below the replace projection in addition to
+    # the (doc, word) count and final per-doc aggregations — with the
+    # learned merges inlined as literals (no UDF anywhere).
+    df = _df(registry, spark, "text_bpe_apply")
+    plan = executed_plan(df)
+    assert "EvalPython" not in plan
+    assert count_op(df, "SortMergeJoin") == 0
+    # word explode is the only Generate; tokenization never fans out
+    assert plan.count("Generate explode") <= 1
+    assert count_op(df, "HashAggregate") >= 5
