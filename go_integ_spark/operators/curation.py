@@ -1171,6 +1171,11 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", "lang", F.split("text", " ").alias("ws"))
+        # single-word docs have no bigram: sequence(1, 0) would
+        # otherwise build a DESCENDING [1, 0] and the transform's
+        # element_at(ws, 0) throws under ANSI mode (the oracle's
+        # generate_series(1, 0) is simply empty)
+        .filter(F.size("ws") >= 2)
     )
     grams = docs.select(
         "doc_id",
@@ -1216,6 +1221,7 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-curation_dsir_weights.__doc__ = curation_dsir_weights.__doc__.replace(
-    "{TARGET}", DSIR_TARGET_LANG
-).replace("{B}", str(DSIR_BUCKETS))
+if curation_dsir_weights.__doc__:  # absent under PYTHONOPTIMIZE=2
+    curation_dsir_weights.__doc__ = curation_dsir_weights.__doc__.replace(
+        "{TARGET}", DSIR_TARGET_LANG
+    ).replace("{B}", str(DSIR_BUCKETS))

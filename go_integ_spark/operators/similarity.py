@@ -2315,8 +2315,11 @@ WITH v AS (
     SELECT dim, min(x) AS mn, max(x) AS mx FROM comp GROUP BY dim
 ), coded AS (
     SELECT c.vec_id, c.dim, c.x, s.mn, s.mx,
-           CAST(least(floor((c.x - s.mn) * {SQ_LEVELS}.0 / (s.mx - s.mn)),
-                      {SQ_LEVELS - 1}.0) AS BIGINT) AS code
+           CAST(CASE WHEN s.mx = s.mn THEN 0.0
+                ELSE least(floor((c.x - s.mn) * {SQ_LEVELS}.0
+                                 / (s.mx - s.mn)),
+                           {SQ_LEVELS - 1}.0)
+                END AS BIGINT) AS code
     FROM comp c JOIN stats s USING (dim)
 ), err AS (
     SELECT vec_id, dim, code,
@@ -2371,13 +2374,22 @@ def similarity_sq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Row-local encode: join the |dim|-row stats broadcast, compute
     # code + error per component, then reassemble per vector. The
     # group-by carries only (dim, code, e_u) ints.
-    code = F.least(
-        F.floor(
-            (F.col("x") - F.col("mn")) * F.lit(float(SQ_LEVELS))
-            / (F.col("mx") - F.col("mn"))
-        ),
-        F.lit(float(SQ_LEVELS - 1)),
-    ).cast("bigint")
+    # a corpus-constant dimension (mx == mn) would divide 0/0 -> NaN
+    # and lean on NaN-is-greatest ordering in least(); pin code 0
+    # (zero width -> zero reconstruction error) explicitly instead
+    code = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn")) * F.lit(float(SQ_LEVELS))
+                    / (F.col("mx") - F.col("mn"))
+                ),
+                F.lit(float(SQ_LEVELS - 1)),
+            )
+        )
+        .cast("bigint")
+    )
     coded = comp.join(F.broadcast(stats), "dim").withColumn("code", code)
     x_hat = (
         F.col("mn")
@@ -2544,19 +2556,23 @@ def sq_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     row); accuracy vs the float index is pinned in
     tests/test_round6b_ops.py.
 
-    Scale shape: codes + the broadcast (mn, width) model stream
-    through ONE Arrow-batched kernel that dequantizes and scores all
-    queries per batch (numpy matmul over the batch x dim code
-    matrix); the bounded ``salted_topk`` reduction follows. The
-    corpus rides as one-byte-per-dim codes — the scan is 4x cheaper
-    than the float path, which is the codec's point.
+    Scale shape: the (mn, width) model is aggregated ONCE (the only
+    corpus group-by) and broadcast into a single Arrow-batched kernel
+    that quantizes, dequantizes, and scores all queries per batch
+    (numpy matmul over the batch x dim matrix); the bounded
+    ``salted_topk`` reduction follows. In a deployed store the codes
+    are read back from the index files instead of being regenerated —
+    the scan then rides one byte per dimension, which is the codec's
+    point; this library form regenerates them in the same kernel so
+    the demo stays single-pass over the test parquet.
     """
     import numpy as np
     import pandas as pd
 
-    stats = np.array(sq_stats(spark, sf_dir))  # (dim, 2)
+    stats = np.array(sq_stats(spark, sf_dir))  # (dim, 2) — one agg job
     mn = stats[:, 0]
-    width = (stats[:, 1] - stats[:, 0]) / SQ_LEVELS
+    rng = stats[:, 1] - stats[:, 0]
+    width = rng / SQ_LEVELS
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q_rows = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -2565,11 +2581,15 @@ def sq_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
     )
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
-    codes = sq_code_vectors(spark, sf_dir)
 
     def score(it):
         for pdf in it:
-            c = np.array(pdf["codes"].tolist(), dtype=np.float64)
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.floor((x - mn) * SQ_LEVELS / rng)
+            # same decisions as similarity_sq_encode: top-bin clamp,
+            # code 0 on a corpus-constant dimension
+            c = np.where(rng == 0.0, 0.0, np.minimum(c, SQ_LEVELS - 1))
             xhat = mn + (c + 0.5) * width  # (batch, dim) dequant
             # ||q - x||^2 = ||q||^2 - 2 q.x + ||x||^2
             d2 = (
@@ -2589,7 +2609,7 @@ def sq_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
             )
             yield out[out["query_id"] != out["neighbor_id"]]
 
-    scored = codes.mapInPandas(
+    scored = emb.mapInPandas(
         score, "query_id long, neighbor_id long, d2 double"
     )
     out = salted_topk(

@@ -1021,7 +1021,20 @@ _BPE_SEP = "\x1f"
 
 
 def _bpe_oracle() -> str:
-    """Statically-unrolled DuckDB twin of the BPE merge loop.
+    """Full vocab-learning oracle: the shared CTE chain plus the
+    merge-table SELECT."""
+    rounds = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, l AS \"left\","
+        f" r2 AS \"right\", pc AS pair_count FROM b{r}"
+        for r in range(BPE_MERGES)
+    )
+    return _bpe_ctes() + "\n" + rounds
+
+
+def _bpe_ctes() -> str:
+    """Statically-unrolled DuckDB twin of the BPE merge loop (CTE
+    chain only — ``_bpe_oracle`` appends the merge-table SELECT and
+    ``_bpe_apply_oracle`` appends the tokenizer-application chain).
 
     The loop state (word -> symbol list) is encoded as a string with
     every symbol WRAPPED in double separators: ['x','a'] ->
@@ -1073,12 +1086,6 @@ WITH words AS (
     FROM v{r} v CROSS JOIN b{r} b
 )"""
         )
-    rounds = "\nUNION ALL\n".join(
-        f"SELECT CAST({r} AS INT) AS merge_rank, l AS \"left\","
-        f" r2 AS \"right\", pc AS pair_count FROM b{r}"
-        for r in range(BPE_MERGES)
-    )
-    ctes.append("\n" + rounds)
     return "".join(ctes)
 
 
@@ -1360,9 +1367,12 @@ BM25_TERMS = ["spark", "join", "vector", "window", "data"]
 
 def _bm25_oracle() -> str:
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # Spaces are DOUBLED before padding so adjacent occurrences of a
+    # term never share a delimiter space — the non-overlapping
+    # length-delta count is then exact for runs like 'data data data'.
     return f"""
 WITH docs AS (
-    SELECT doc_id, ' ' || text || ' ' AS p,
+    SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
     FROM documents WHERE length(text) > 0
 ), tot AS (
@@ -1412,11 +1422,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of a retrieval-augmented pipeline (the dense half is the ANN
     family). ``idf`` is Lucene's always-positive
     ``ln(1 + (N - df + 0.5)/(df + 0.5))``; the tf saturation uses
-    k1={BM25_K1}, b={BM25_B} with document-length normalization
-    against the corpus mean.
+    k1=1.2, b=0.75 with document-length normalization against the
+    corpus mean.
 
     Scale shape: term frequency is a LENGTH-DELTA projection on the
-    padded text (one replace per query term, JVM codegen) — the
+    space-doubled padded text (doubling makes adjacent occurrences
+    non-overlapping, so the count is exact; one replace per query
+    term, JVM codegen) — the
     corpus is never exploded to tokens, so the per-term row stream is
     only the matching documents. Document frequency aggregates those
     hits (map-side combined, |terms| x |docs| worst case but
@@ -1431,7 +1443,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") > 0)
         .select(
             "doc_id",
-            F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("p"),
+            F.concat(
+                F.lit(" "),
+                F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+                F.lit(" "),
+            ).alias("p"),
             F.size(F.split("text", " ")).cast("bigint").alias("dl"),
         )
     )
@@ -1509,7 +1525,7 @@ def _bpe_apply_oracle() -> str:
     (doc_id, word, count) table — the oracle never tokenizes a word
     type twice."""
     s, s2 = _BPE_SEP, _BPE_SEP * 2
-    parts = [_bpe_oracle().rsplit("\nSELECT CAST(0", 1)[0]]
+    parts = [_bpe_ctes()]
     parts.append(
         f""", wdoc AS (
     SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
@@ -1564,7 +1580,7 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus aggregates once to (doc_id, word, count)
     with map-side combine — tokenization then runs per WORD TYPE, not
-    per instance. The merge chain itself is {n} chained JVM
+    per instance. The merge chain itself is 12 chained JVM
     ``replace`` calls over the double-separator symbol encoding (the
     same encoding trick the oracle unrolls), i.e. whole-stage-codegen
     string ops with the 12 learned (left, right) pairs inlined as

@@ -27,8 +27,12 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.001"
     if "--sf" in args:
         i = args.index("--sf")
+        if i + 1 >= len(args):
+            sys.exit("usage: verify_queries.py name [name ...] [--sf DIR]")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    if not args:
+        sys.exit("usage: verify_queries.py name [name ...] [--sf DIR]")
     spark = get_spark(app_name="verify_queries", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -37,8 +41,8 @@ def main() -> None:
     reg = load_all()
     bad = 0
     for name in args:
-        spec = reg[name]
         try:
+            spec = reg[name]
             df = spec.fn(spark, sf_dir)
             s_rows = [tuple(r) for r in df.collect()]
             cur = con.execute(spec.oracle)

@@ -185,3 +185,75 @@ def test_sq_topk_tracks_float_ground_truth(spark):
         got_ids = {r["neighbor_id"] for r in rs}
         overlaps.append(len(truth_ids & got_ids) / TOP_K)
     assert sum(overlaps) / len(overlaps) >= 0.9, overlaps
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Oracle-independent pin: the SQL oracle shares the counting
+    expression with the Spark side, so a counting bug would be
+    gate-invisible (the adjacent-duplicate undercount fixed in round
+    6 was exactly that class). This recomputes BM25 from raw text in
+    plain Python — including exact tf for runs like 'batch batch
+    batch' — and requires identical top-k rows."""
+    import math
+
+    from go_integ_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP_N,
+    )
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        if len(r["text"]) > 0
+    ]
+    dl = {d: len(t.split(" ")) for d, t in docs}
+    nd, sdl = len(docs), sum(dl.values())
+    want = {}
+    for term in BM25_TERMS:
+        tf = {d: t.split(" ").count(term) for d, t in docs}
+        hits = {d: f for d, f in tf.items() if f > 0}
+        df_ = len(hits)
+        idf = math.log(1.0 + (nd - df_ + 0.5) / (df_ + 0.5))
+        scored = sorted(
+            (
+                (
+                    round(
+                        idf
+                        * (f * (BM25_K1 + 1.0))
+                        / (f + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[d] * nd / sdl))),
+                        4,
+                    ),
+                    d,
+                )
+                for d, f in hits.items()
+            ),
+            key=lambda s: (-s[0], s[1]),
+        )[:BM25_TOP_N]
+        for rank, (score, d) in enumerate(scored, 1):
+            want[(term, d)] = (score + 0.0, rank)
+    got = {
+        (r["term"], r["doc_id"]): (r["bm25"], r["rank"])
+        for r in REG["text_bm25_topk"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_dsir_survives_single_word_documents(spark, tmp_path):
+    """A one-word document has no bigram; it must be silently absent
+    from the weight table, not crash the ANSI-mode transform (the
+    sequence(1, 0) descending-array trap fixed in round 6)."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "solo", "en", "srcA", 4),
+            (2, "two words here now ok", "en", "srcA", 21),
+            (3, "mehr als ein wort hier", "de", "srcB", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = REG["curation_dsir_weights"].fn(spark, sf).collect()
+    assert {r["doc_id"] for r in rows} == {2, 3}
+    for r in rows:
+        assert r["n_grams"] == 4
