@@ -1225,3 +1225,184 @@ if curation_dsir_weights.__doc__:  # absent under PYTHONOPTIMIZE=2
     curation_dsir_weights.__doc__ = curation_dsir_weights.__doc__.replace(
         "{TARGET}", DSIR_TARGET_LANG
     ).replace("{B}", str(DSIR_BUCKETS))
+
+
+# --- Temperature (alpha) sampling over languages ----------------------
+
+# UNIMAX/mT5-style temperature sampling with alpha = 0.5: sampling
+# probability p_l proportional to tokens_l^alpha. alpha is pinned at
+# 1/2 because IEEE sqrt is CORRECTLY ROUNDED (unlike pow, whose libm
+# results may differ across engines), so floor(sqrt(n)*1e6 + 0.5)
+# is the one quantizing step both engines perform bit-identically;
+# every ratio after it is exact int64 arithmetic.
+TEMP_SCALE = 1_000_000
+TEMP_TOKEN_BUDGET = 100_000  # training-token budget the epoch count
+# is quoted against
+
+
+@register(
+    "curation_temperature_sampling",
+    tags=("curation", "mixing", "llm_pipeline"),
+    oracle=f"""
+WITH per_lang AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), s AS (
+    SELECT *,
+           CAST(floor(sqrt(n_tokens::DOUBLE) * {TEMP_SCALE}.0 + 0.5)
+                AS BIGINT) AS s_u
+    FROM per_lang
+), tot AS (
+    SELECT *, sum(s_u) OVER () AS s_tot,
+           sum(n_tokens) OVER () AS t_tot
+    FROM s
+)
+SELECT lang, n_docs, n_tokens,
+       round((n_tokens * {TEMP_SCALE})::DOUBLE / (t_tot * {TEMP_SCALE}), 6)
+           AS token_share,
+       round(s_u::DOUBLE / s_tot, 6) AS sample_p,
+       round((s_u * t_tot)::DOUBLE / (s_tot * n_tokens), 6) AS up_weight,
+       round(({TEMP_TOKEN_BUDGET} * s_u)::DOUBLE / (s_tot * n_tokens), 4)
+           AS epochs
+FROM tot
+""",
+)
+def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling weights (the mT5/UNIMAX
+    recipe): p_l proportional to tokens_l^0.5, plus the up-weight vs
+    the natural token share and the number of epochs each language
+    runs through under ``TEMP_TOKEN_BUDGET`` training tokens — the
+    over-sampling / repetition schedule low-resource languages get.
+
+    Engine-exactness: tokens_l^alpha is irrational, so the kernel
+    quantizes ONCE — s_u = floor(sqrt(n)*1e6 + 0.5), bit-identical
+    across engines because IEEE sqrt is correctly rounded — and every
+    downstream ratio is a division of exact int64 PRODUCTS (order-free
+    integer sums, no float accumulation to diverge). At 100 TB scale
+    the products need int128/decimal headroom (s_u*t_tot overflows
+    int64 past ~1e14 tokens); the gate-scale int64 form keeps the
+    oracle portable.
+
+    Scale shape: one corpus aggregation shuffle to per-language token
+    counts; the temperature math is a window over the tiny per-language
+    frame (cardinality = languages, never corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    s_u = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * TEMP_SCALE + F.lit(0.5)
+    ).cast("bigint")
+    w = Window.partitionBy()
+    stot = F.sum(s_u).over(w)
+    ttot = F.sum("n_tokens").over(w)
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            (F.col("n_tokens") * TEMP_SCALE).cast("double")
+            / (ttot * TEMP_SCALE),
+            6,
+        ).alias("token_share"),
+        F.round(s_u.cast("double") / stot, 6).alias("sample_p"),
+        F.round(
+            (s_u * ttot).cast("double") / (stot * F.col("n_tokens")), 6
+        ).alias("up_weight"),
+        F.round(
+            (F.lit(TEMP_TOKEN_BUDGET) * s_u).cast("double")
+            / (stot * F.col("n_tokens")),
+            4,
+        ).alias("epochs"),
+    )
+
+
+# --- Inter-labeler agreement (Cohen's kappa) --------------------------
+
+# Two deterministic document labelers whose agreement the pipeline
+# audits: A = length gate (word count), B = vocabulary gate (distinct
+# word count). Thresholds sit near the corpus medians so all four
+# contingency cells are populated at gate scale.
+KAPPA_MIN_WORDS = 50
+KAPPA_MIN_DISTINCT = 25
+
+
+@register(
+    "curation_annotation_agreement",
+    tags=("curation", "eval", "llm_pipeline"),
+    oracle=f"""
+WITH m AS (
+    SELECT (len(string_split(text, ' ')) >= {KAPPA_MIN_WORDS}) AS a,
+           (len(list_distinct(string_split(text, ' ')))
+                >= {KAPPA_MIN_DISTINCT}) AS b
+    FROM documents
+), t AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((a AND b)::INT) AS BIGINT) AS n11,
+           CAST(sum((a AND NOT b)::INT) AS BIGINT) AS n10,
+           CAST(sum((NOT a AND b)::INT) AS BIGINT) AS n01,
+           CAST(sum((NOT a AND NOT b)::INT) AS BIGINT) AS n00
+    FROM m
+)
+SELECT n, n11, n10, n01, n00,
+       round((n11 + n00)::DOUBLE / n, 6) AS po,
+       round(((n11 + n10) * (n11 + n01)
+              + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n), 6) AS pe,
+       round((n * (n11 + n00)
+              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE
+             / (n * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))),
+             6) AS kappa
+FROM t
+""",
+)
+def curation_annotation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic labelers — the
+    label-QA measurement a pipeline runs before trusting any
+    annotator (human or model): chance-corrected agreement over the
+    2x2 contingency table. Labeler A gates on word count, labeler B
+    on distinct-word count.
+
+    Engine-exactness: the table cells are exact integer counts and
+    kappa = (n*agree - sum_marginal_products) / (n^2 -
+    sum_marginal_products) is a single division of exact int64
+    operands — no float accumulates, so the 6dp rounding is
+    bit-identical across engines.
+
+    Scale shape: labels are row-local projections, so the whole query
+    is ONE map-side-combined aggregation to a single row — no
+    shuffle carries more than partial counters. Swapping a real
+    annotation table for the synthetic labelers keeps the same plan:
+    join annotations on doc_id, aggregate the four conditional
+    counters.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = F.split("text", " ")
+    a = F.size(words) >= KAPPA_MIN_WORDS
+    b = F.size(F.array_distinct(words)) >= KAPPA_MIN_DISTINCT
+    cell = lambda p: F.sum(p.cast("int")).cast("bigint")  # noqa: E731
+    t = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        cell(a & b).alias("n11"),
+        cell(a & ~b).alias("n10"),
+        cell(~a & b).alias("n01"),
+        cell(~a & ~b).alias("n00"),
+    )
+    n, n11, n10, n01, n00 = [F.col(c) for c in ("n", "n11", "n10", "n01", "n00")]
+    smp = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    return t.select(
+        n.alias("n"),
+        n11.alias("n11"),
+        n10.alias("n10"),
+        n01.alias("n01"),
+        n00.alias("n00"),
+        F.round((n11 + n00).cast("double") / n, 6).alias("po"),
+        F.round(smp.cast("double") / (n * n), 6).alias("pe"),
+        F.round(
+            (n * (n11 + n00) - smp).cast("double") / (n * n - smp), 6
+        ).alias("kappa"),
+    )

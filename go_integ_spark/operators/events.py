@@ -716,3 +716,57 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@register(
+    "events_unpivot_metrics",
+    tags=("unpivot", "agg"),
+    oracle="""
+WITH wide AS (
+    SELECT user_id,
+           CAST(count(*) AS DOUBLE)                  AS n_events,
+           round(sum(value), 2)                      AS total_value,
+           CAST(count(DISTINCT event_type) AS DOUBLE) AS n_types
+    FROM events
+    WHERE user_id < 100
+    GROUP BY user_id
+)
+SELECT user_id, metric, metric_value FROM (
+    SELECT user_id, 'n_events'    AS metric, n_events    AS metric_value
+    FROM wide
+    UNION ALL
+    SELECT user_id, 'total_value' AS metric, total_value AS metric_value
+    FROM wide
+    UNION ALL
+    SELECT user_id, 'n_types'     AS metric, n_types     AS metric_value
+    FROM wide
+)
+""",
+)
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt via the native ``DataFrame.unpivot``
+    (= SQL UNPIVOT / pandas melt) — the inverse of
+    ``events_pivot_type_counts``: a per-user wide metrics frame is
+    unpivoted into (user_id, metric, metric_value) long form, the
+    layout metric stores and plotting layers ingest.
+
+    ``unpivot`` is a zero-shuffle Expand projection (each input row
+    fans out to one row per value column map-side) — the plan is one
+    aggregation exchange for the wide frame, then Expand; the oracle
+    spells the same melt as UNION ALL, which is what engines without
+    UNPIVOT run. Value columns are cast to a common double type
+    (melt requires one value type; exact integer counts < 2^53 are
+    lossless in doubles, and total_value is already 2dp-rounded).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_events", "total_value", "n_types"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )

@@ -1623,3 +1623,289 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("fert_bp"),
         )
     )
+
+
+# --- Gopher repetition rules (duplicated n-gram coverage) -------------
+
+# The two representative repetition signals from Rae et al. 2021
+# table A1 that text_repetition_ratio's distinct/total words proxy
+# does NOT capture: how much of the document the single heaviest
+# 2-gram covers, and how much of it sits inside 3-grams that occur
+# more than once. Bounds are the published ones for these two rows.
+DUP_TOP2_MAX_SHARE = 0.20
+DUP_3GRAM_MAX_FRAC = 0.18
+
+
+def _run_cover_exprs(sorted_arr: str) -> tuple[str, str]:
+    """SQL exprs (top_cover, dup_cover) over a SORTED gram array:
+    run-length encode adjacent equal grams, then cover = run_count *
+    gram_char_len. top = max cover over all runs; dup = sum of covers
+    over runs longer than 1. Pure integer HOF arithmetic, zero
+    shuffle. ANSI-safe: the run-boundary filter scans sequence(2, m)
+    so ``i - 1`` never hits index 0, and every sequence() call is
+    guarded against the descending-sequence trap (sequence(2, 1) ==
+    [2, 1]) by the caller's size gate."""
+    s = sorted_arr
+    starts = (
+        f"concat(array(1), filter(sequence(2, size({s})), "
+        f"i -> element_at({s}, i) != element_at({s}, i - 1)))"
+    )
+    covers = (
+        f"zip_with(st, concat(slice(st, 2, size(st) - 1), "
+        f"array(size({s}) + 1)), "
+        f"(a, b) -> struct(b - a AS r, "
+        f"(b - a) * length(element_at({s}, a)) AS cov))"
+    )
+    wrapped = f"transform(array(struct({starts} AS dummy)), x -> x.dummy)"
+    # Bind starts once via a lateral-style nested HOF: outer transform
+    # over a 1-element array carrying the starts array as `st`.
+    top = (
+        f"element_at(transform({wrapped}, st -> "
+        f"array_max(transform({covers}, c -> c.cov))), 1)"
+    )
+    dup = (
+        f"element_at(transform({wrapped}, st -> "
+        f"aggregate({covers}, 0L, (acc, c) -> "
+        f"acc + IF(c.r > 1, c.cov, 0L))), 1)"
+    )
+    return top, dup
+
+
+@register(
+    "text_dup_ngram_fraction",
+    tags=("text", "quality", "llm_pipeline"),
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           string_split(text, ' ') AS ws
+    FROM documents
+), g2 AS (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+    FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+    WHERE len(ws) >= 2
+), c2 AS (
+    SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS top2_cover
+    FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+    GROUP BY doc_id
+), g3 AS (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+    FROM w, unnest(generate_series(1, len(ws) - 2)) t(i)
+    WHERE len(ws) >= 3
+), c3 AS (
+    SELECT doc_id,
+           CAST(coalesce(sum(c * length(g)) FILTER (c > 1), 0) AS BIGINT)
+               AS dup3_cover
+    FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g)
+    GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_chars,
+       coalesce(top2_cover, 0) AS top2_cover,
+       coalesce(dup3_cover, 0) AS dup3_cover,
+       round(coalesce(top2_cover, 0) / w.n_chars::DOUBLE, 4) AS top2_share,
+       round(least(coalesce(dup3_cover, 0) / w.n_chars::DOUBLE, 1.0), 4)
+           AS dup3_frac,
+       (round(coalesce(top2_cover, 0) / w.n_chars::DOUBLE, 4)
+            <= {DUP_TOP2_MAX_SHARE}
+        AND round(least(coalesce(dup3_cover, 0) / w.n_chars::DOUBLE, 1.0), 4)
+            <= {DUP_3GRAM_MAX_FRAC}) AS repetition_ok
+FROM w
+LEFT JOIN c2 ON c2.doc_id = w.doc_id
+LEFT JOIN c3 ON c3.doc_id = w.doc_id
+""",
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021): the character
+    coverage of the heaviest word 2-gram (boilerplate headers/menus
+    repeat one phrase) and of all word 3-grams occurring more than
+    once (spun/templated text repeats many phrases a little), each
+    as a fraction of document characters, plus the composite verdict
+    at the published bounds.
+
+    Scale shape: the whole computation is ROW-LOCAL — grams are
+    sorted per document and run-length encoded with integer HOF
+    arithmetic, so the query is a zero-shuffle scan projection. The
+    oracle computes the identical counts via the conventional
+    explode + GROUP BY (doc_id, gram) route, which is also the Spark
+    fallback when documents are too large to sort in one row buffer;
+    counts agree by construction, and every signal stays in exact
+    int64 until the one final division (rounded 4dp on both sides).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    top2 = _run_cover_exprs("s2")[0]
+    dup3 = _run_cover_exprs("s3")[1]
+    grams2 = (
+        "array_sort(transform(sequence(1, size(ws) - 1), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
+    )
+    grams3 = (
+        "array_sort(transform(sequence(1, size(ws) - 2), "
+        "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), "
+        "' ', element_at(ws, i + 2))))"
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.split("text", " ").alias("ws"),
+    )
+    covered = base.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.size("ws") >= 2, F.expr(grams2))
+        .otherwise(F.expr("array()").cast("array<string>"))
+        .alias("s2"),
+        F.when(F.size("ws") >= 3, F.expr(grams3))
+        .otherwise(F.expr("array()").cast("array<string>"))
+        .alias("s3"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.when(F.size("s2") >= 1, F.expr(top2)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("top2_cover"),
+        F.when(F.size("s3") >= 1, F.expr(dup3)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup3_cover"),
+    )
+    top2_share = F.round(
+        F.col("top2_cover") / F.col("n_chars").cast("double"), 4
+    )
+    dup3_frac = F.round(
+        F.least(F.col("dup3_cover") / F.col("n_chars").cast("double"), F.lit(1.0)),
+        4,
+    )
+    return covered.select(
+        "doc_id",
+        "n_chars",
+        "top2_cover",
+        "dup3_cover",
+        top2_share.alias("top2_share"),
+        dup3_frac.alias("dup3_frac"),
+        (
+            (top2_share <= DUP_TOP2_MAX_SHARE)
+            & (dup3_frac <= DUP_3GRAM_MAX_FRAC)
+        ).alias("repetition_ok"),
+    )
+
+
+# --- Language-ID evaluation (confusion metrics) -----------------------
+
+from go_integ_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+def _lang_confusion_oracle() -> str:
+    """Composes text_lang_id's committed oracle as a CTE so the
+    evaluation's predictions are definitionally the evaluated
+    query's — the two can never drift apart."""
+    pred = _REGISTRY["text_lang_id"].oracle
+    return f"""
+WITH pred AS ({pred}
+), j AS (
+    SELECT d.lang AS gold, p.pred_lang AS pred
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+), cls AS (
+    SELECT DISTINCT gold AS lang FROM j
+)
+SELECT c.lang,
+       CAST(count(*) FILTER (j.gold = c.lang) AS BIGINT) AS n_gold,
+       CAST(count(*) FILTER (j.gold = c.lang AND j.pred = c.lang) AS BIGINT)
+           AS tp,
+       CAST(count(*) FILTER (j.gold != c.lang AND j.pred = c.lang) AS BIGINT)
+           AS fp,
+       CAST(count(*) FILTER (j.gold = c.lang AND j.pred != c.lang) AS BIGINT)
+           AS fn,
+       round(count(*) FILTER (j.gold = c.lang AND j.pred = c.lang)
+             / nullif(count(*) FILTER (j.pred = c.lang), 0)::DOUBLE, 6)
+           AS precision,
+       round(count(*) FILTER (j.gold = c.lang AND j.pred = c.lang)
+             / nullif(count(*) FILTER (j.gold = c.lang), 0)::DOUBLE, 6)
+           AS recall,
+       round(2 * count(*) FILTER (j.gold = c.lang AND j.pred = c.lang)
+             / nullif(2 * count(*) FILTER (j.gold = c.lang AND j.pred = c.lang)
+                      + count(*) FILTER (j.gold != c.lang AND j.pred = c.lang)
+                      + count(*) FILTER (j.gold = c.lang AND j.pred != c.lang),
+                      0)::DOUBLE, 6) AS f1
+FROM cls c CROSS JOIN j
+GROUP BY c.lang
+"""
+
+
+@register(
+    "text_lang_confusion",
+    tags=("text", "langid", "eval", "llm_pipeline"),
+    oracle=_lang_confusion_oracle(),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-QA for the language-ID heuristic: per-class
+    TP/FP/FN, precision, recall and F1 of ``text_lang_id``'s
+    predictions against the corpus's gold ``lang`` column — the
+    measurement that decides whether a cheap scan-bound classifier
+    is good enough to route a 100 TB corpus, per language.
+
+    The predictions come from the registered ``text_lang_id`` query
+    itself (and the oracle composes its committed oracle as a CTE),
+    so evaluation and production classifier cannot diverge. All
+    metrics are single divisions of exact integer counts (6dp both
+    sides, NULL when a class is never predicted).
+
+    Scale shape: predictions are a zero-shuffle projection; the gold
+    join is doc_id-aligned (in production the same scan provides
+    both columns — here a self-join the optimizer collapses), and the
+    per-class conditional counters aggregate map-side to one row per
+    language. The tiny class-list cross join runs over the already-
+    aggregated frame in the oracle and is spelled as conditional
+    aggregation over (gold, pred) cells in Spark.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = text_lang_id(spark, sf_dir)
+    j = docs.join(pred, "doc_id").select(
+        F.col("lang").alias("gold"), F.col("pred_lang").alias("pred")
+    )
+    cells = j.groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("c"))
+    classes = cells.select(F.col("gold").alias("lang")).distinct()
+    m = classes.join(F.broadcast(cells), how="cross")
+    agg = m.groupBy("lang").agg(
+        F.sum(F.when(F.col("gold") == F.col("lang"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_gold"),
+        F.sum(
+            F.when(
+                (F.col("gold") == F.col("lang")) & (F.col("pred") == F.col("lang")),
+                F.col("c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                (F.col("gold") != F.col("lang")) & (F.col("pred") == F.col("lang")),
+                F.col("c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(
+            F.when(
+                (F.col("gold") == F.col("lang")) & (F.col("pred") != F.col("lang")),
+                F.col("c"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "lang",
+        "n_gold",
+        "tp",
+        "fp",
+        "fn",
+        F.round(tp / F.nullif((tp + fp).cast("double"), F.lit(0.0)), 6).alias(
+            "precision"
+        ),
+        F.round(tp / F.nullif((tp + fn).cast("double"), F.lit(0.0)), 6).alias(
+            "recall"
+        ),
+        F.round(
+            2 * tp / F.nullif((2 * tp + fp + fn).cast("double"), F.lit(0.0)), 6
+        ).alias("f1"),
+    )
