@@ -34,166 +34,172 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
-    "sink_airbyte_envelope": 0.14,
-    "text_pii_redact": 0.14,
-    "sort_limit_top_lineitems": 0.17,
-    "multimodal_metadata": 0.18,
-    "text_repetition_ratio": 0.18,
-    "curation_shuffle_shards": 0.19,
-    "q6_forecast_revenue": 0.19,
-    "text_fingerprint": 0.19,
-    "window_order_gaps": 0.19,
-    "sample_stratified": 0.2,
-    "sink_singer_envelope": 0.2,
-    "text_quality_score": 0.2,
-    "asof_join_purchase_click": 0.21,
-    "incremental_cursor_read": 0.21,
-    "agg_correlation": 0.22,
-    "agg_percentiles": 0.22,
-    "curation_weighted_sample": 0.22,
-    "dedup_exact": 0.22,
-    "text_chunk_overlap": 0.22,
+    "text_fingerprint": 0.12,
+    "text_repetition_ratio": 0.15,
+    "cdc_scd2_history": 0.16,
+    "sample_stratified": 0.16,
+    "sink_singer_envelope": 0.16,
+    "text_pii_redact": 0.16,
+    "text_token_count": 0.16,
+    "curation_shuffle_shards": 0.17,
+    "sink_airbyte_envelope": 0.17,
+    "incremental_cursor_read": 0.18,
+    "window_running_customer_spend": 0.18,
+    "window_trailing_spend": 0.18,
+    "curation_weighted_sample": 0.19,
+    "dedup_exact": 0.19,
+    "sort_limit_top_lineitems": 0.19,
+    "agg_regression": 0.2,
+    "multimodal_metadata": 0.2,
+    "window_order_gaps": 0.2,
+    "asof_join_click_attribution": 0.22,
+    "contamination_ngram_overlap": 0.22,
+    "curation_domain_cap": 0.22,
+    "text_unigram_entropy": 0.22,
     "agg_distinct_counts": 0.23,
-    "window_running_customer_spend": 0.23,
+    "agg_sketch_accuracy": 0.23,
+    "events_sessionize": 0.23,
+    "text_quality_score": 0.23,
+    "text_word_stats": 0.23,
+    "asof_join_purchase_click": 0.24,
+    "curation_mix_weights": 0.24,
     "events_pivot_type_counts": 0.24,
-    "asof_join_click_attribution": 0.25,
+    "q6_forecast_revenue": 0.24,
+    "text_chunk_overlap": 0.24,
     "connector_file_incremental_read": 0.25,
-    "contamination_ngram_overlap": 0.25,
-    "events_sessionize": 0.25,
-    "join_anti_customers_without_orders": 0.25,
-    "cdc_scd2_history": 0.26,
-    "curation_domain_cap": 0.26,
+    "corpus_token_stats": 0.25,
     "dedup_keep_latest": 0.26,
-    "text_unigram_entropy": 0.26,
-    "window_trailing_spend": 0.26,
-    "text_token_count": 0.27,
-    "join_semi_customers_with_orders": 0.28,
-    "agg_cube_status_priority": 0.29,
-    "corpus_token_stats": 0.29,
-    "window_top_orders_per_customer": 0.29,
-    "agg_regression": 0.3,
+    "subquery_orders_above_avg": 0.26,
+    "text_gopher_quality": 0.26,
+    "agg_correlation": 0.27,
+    "agg_cube_status_priority": 0.27,
+    "events_hourly_rollup": 0.27,
+    "join_semi_customers_with_orders": 0.27,
+    "events_funnel": 0.28,
+    "agg_grouping_sets": 0.29,
+    "text_dup_ngram_fraction": 0.29,
+    "agg_percentiles": 0.3,
     "q1_pricing_summary": 0.3,
     "set_intersect_rich_building": 0.3,
-    "text_word_stats": 0.3,
-    "agg_sketch_accuracy": 0.31,
-    "agg_grouping_sets": 0.32,
-    "events_hourly_rollup": 0.32,
-    "subquery_orders_above_avg": 0.32,
-    "events_funnel": 0.33,
-    "dedup_paragraph": 0.34,
-    "events_json_extract": 0.34,
-    "set_union_distinct": 0.34,
-    "agg_rollup_nation_segment": 0.35,
-    "multimodal_decode_features": 0.35,
-    "multimodal_resize_thumbs": 0.35,
-    "text_embed_hash": 0.35,
-    "embedding_health": 0.37,
-    "cdc_snapshot_diff": 0.38,
-    "curation_pack_sequences": 0.38,
-    "curation_mix_weights": 0.39,
-    "events_transition_matrix": 0.39,
-    "set_except_rich_not_building": 0.39,
-    "dedup_soft_weights": 0.41,
-    "q14_promo_effect": 0.41,
-    "events_top_paths": 0.42,
-    "agg_mode_deterministic": 0.43,
+    "join_anti_customers_without_orders": 0.31,
+    "set_except_rich_not_building": 0.31,
+    "cdc_snapshot_diff": 0.33,
+    "agg_rollup_nation_segment": 0.34,
+    "curation_annotation_agreement": 0.34,
+    "curation_pack_sequences": 0.34,
+    "embedding_health": 0.34,
+    "q14_promo_effect": 0.34,
+    "agg_mode_deterministic": 0.35,
+    "dedup_paragraph": 0.35,
+    "set_union_distinct": 0.35,
+    "text_classifier_score": 0.35,
+    "events_json_extract": 0.37,
+    "q13_customer_distribution": 0.38,
+    "window_top_orders_per_customer": 0.38,
+    "range_join_error_clicks": 0.39,
+    "text_lang_id": 0.39,
+    "curation_quality_filter": 0.4,
+    "agg_histogram": 0.41,
+    "events_cohort_retention": 0.41,
+    "events_transition_matrix": 0.41,
+    "events_unpivot_metrics": 0.41,
+    "multimodal_resize_thumbs": 0.41,
+    "multimodal_frame_sample": 0.42,
     "embedding_random_projection": 0.43,
-    "multimodal_frame_sample": 0.43,
-    "range_join_error_clicks": 0.43,
-    "q13_customer_distribution": 0.44,
+    "events_top_paths": 0.43,
+    "multimodal_decode_features": 0.43,
+    "q22_idle_customers": 0.44,
     "q17_small_quantity_revenue": 0.45,
-    "text_heavy_hitters": 0.45,
-    "text_lang_id": 0.45,
-    "agg_histogram": 0.46,
-    "curation_quality_filter": 0.46,
-    "events_hourly_gapfill": 0.46,
-    "events_rfm": 0.46,
-    "q19_disjunctive_predicates": 0.47,
+    "curation_boilerplate_ngrams": 0.46,
+    "text_heavy_hitters": 0.46,
+    "q4_late_orders": 0.47,
+    "q12_priority_shipping": 0.48,
     "dedup_canonical_pick": 0.49,
-    "dedup_containment": 0.49,
-    "curation_boilerplate_ngrams": 0.5,
-    "q22_idle_customers": 0.52,
-    "q3_shipping_priority": 0.52,
-    "events_cohort_retention": 0.53,
-    "q4_late_orders": 0.53,
-    "q15_top_supplier": 0.55,
-    "text_bigram_logprob": 0.55,
-    "window_share_of_segment": 0.55,
-    "similarity_pq_encode": 0.56,
-    "text_gopher_quality": 0.56,
-    "q12_priority_shipping": 0.57,
+    "events_rfm": 0.49,
+    "q15_top_supplier": 0.5,
+    "text_bpe_vocab": 0.5,
+    "dedup_soft_weights": 0.51,
+    "dedup_exact_substring": 0.53,
+    "dedup_ngram_jaccard": 0.53,
+    "text_bigram_logprob": 0.53,
+    "window_share_of_segment": 0.54,
+    "similarity_sq_encode": 0.55,
+    "dedup_containment": 0.56,
+    "q16_supplier_part_count": 0.57,
     "events_anomaly_mad": 0.58,
-    "text_bpe_vocab": 0.58,
-    "q16_supplier_part_count": 0.59,
-    "q9_product_profit": 0.59,
-    "dedup_exact_substring": 0.6,
-    "q10_returned_items": 0.6,
-    "q11_important_part_value": 0.6,
-    "q18_large_volume_customers": 0.61,
-    "text_tfidf_topk": 0.62,
-    "q20_promotion_candidates": 0.64,
-    "basket_part_pairs": 0.66,
-    "streaming_pk_dedup": 0.66,
-    "join_interval_overlap": 0.69,
-    "embedding_outliers": 0.7,
-    "dedup_ngram_jaccard": 0.73,
-    "q5_local_supplier_volume": 0.74,
-    "connector_graphql_cursor_read": 0.77,
-    "curation_diversity_sample": 0.79,
-    "similarity_threshold_join": 0.82,
-    "curation_pipeline_funnel": 0.89,
-    "text_collocations": 0.92,
-    "ann_bruteforce_topk": 0.97,
-    "dedup_embedding_cosine": 0.97,
-    "connector_http_paginated_read": 0.98,
-    "q8_market_share": 1.01,
-    "q2_min_cost_supplier": 1.04,
-    "streaming_hourly_counts": 1.06,
-    "dedup_minhash_lsh": 1.09,
-    "window_spend_quartiles": 1.09,
-    "dedup_incremental_lsh": 1.1,
-    "streaming_session_window": 1.13,
-    "dedup_simhash": 1.15,
-    "q21_late_supplier_wait": 1.17,
-    "text_winnow_fingerprint": 1.17,
-    "streaming_running_max_cursor": 1.2,
-    "contamination_embedding": 1.21,
-    "ann_ivf_topk": 1.28,
-    "embedding_knn_graph": 1.3,
-    "similarity_pq_search": 1.3,
-    "curation_ngram_novelty": 1.44,
-    "streaming_chunk_manifest": 1.51,
-    "streaming_anomaly_mad": 1.54,
-    "streaming_foreach_batch_merge": 1.57,
-    "streaming_paragraph_dedup": 1.69,
-    "text_winnow_overlap": 1.69,
-    "dedup_clusters": 1.7,
-    "q7_volume_shipping": 1.73,
+    "q10_returned_items": 0.58,
+    "embedding_outliers": 0.59,
+    "q3_shipping_priority": 0.59,
+    "similarity_pq_encode": 0.59,
+    "join_interval_overlap": 0.61,
+    "curation_temperature_sampling": 0.67,
+    "multimodal_phash_dedup": 0.68,
+    "q11_important_part_value": 0.68,
+    "text_collocations": 0.68,
+    "q9_product_profit": 0.69,
+    "streaming_pk_dedup": 0.69,
+    "text_tfidf_topk": 0.69,
+    "events_hourly_gapfill": 0.7,
+    "dedup_minhash_lsh": 0.71,
+    "curation_diversity_sample": 0.78,
+    "basket_part_pairs": 0.8,
+    "q5_local_supplier_volume": 0.8,
+    "text_bm25_topk": 0.8,
+    "q20_promotion_candidates": 0.81,
+    "join_salted_skew": 0.82,
+    "q18_large_volume_customers": 0.82,
+    "curation_dsir_weights": 0.85,
+    "q19_disjunctive_predicates": 1.02,
+    "dedup_embedding_cosine": 1.03,
+    "q2_min_cost_supplier": 1.03,
+    "streaming_session_window": 1.03,
+    "ann_bruteforce_topk": 1.05,
+    "connector_graphql_cursor_read": 1.05,
+    "curation_pipeline_funnel": 1.1,
+    "q8_market_share": 1.1,
+    "text_lang_confusion": 1.1,
+    "similarity_mmr_rerank": 1.11,
+    "window_spend_quartiles": 1.13,
+    "connector_http_paginated_read": 1.15,
+    "ann_ivf_topk": 1.23,
+    "dedup_incremental_lsh": 1.26,
+    "dedup_semdedup": 1.31,
+    "streaming_running_max_cursor": 1.36,
+    "curation_ngram_novelty": 1.37,
+    "streaming_chunk_manifest": 1.37,
+    "window_rolling_distinct_users": 1.37,
+    "streaming_anomaly_mad": 1.38,
+    "agg_countmin_sketch": 1.44,
+    "embedding_knn_graph": 1.44,
+    "contamination_embedding": 1.51,
+    "streaming_foreach_batch_merge": 1.51,
+    "dedup_simhash": 1.54,
+    "text_winnow_fingerprint": 1.61,
+    "similarity_pq_search": 1.63,
+    "streaming_paragraph_dedup": 1.71,
     "dedup_srp_buckets": 1.75,
-    "ann_ivfpq_topk": 1.79,
-    "embedding_kmeans": 1.81,
-    "curation_token_budget_select": 2.06,
-    "streaming_histogram": 2.13,
-    "multimodal_phash_dedup": 2.32,
-    "streaming_stream_join": 2.35,
-    "ann_ivfpq_residual_topk": 2.78,
-    "connector_datasource_distributed_read": 3.65,
-    "streaming_static_enrich": 4.68,
-    "embedding_communities": 9.68,
-    "dedup_paraphrase_pairs": 5.76,
-    "agg_countmin_sketch": 1.95,
-    "join_salted_skew": 1.05,
-    "window_rolling_distinct_users": 0.91,
-    "text_perplexity_buckets": 1.55,
-    "similarity_bitext_pairs": 3.96,
-    "text_classifier_score": 1.08,
-    "similarity_mmr_rerank": 1.64,
-    "streaming_srp_registry": 6.73,
-    "text_bm25_topk": 2.05,
-    "curation_dsir_weights": 2.47,
-    "similarity_sq_encode": 1.5,
-    "similarity_recall_eval": 4.58,
-    "text_bpe_apply": 1.17,
+    "similarity_threshold_join": 1.83,
+    "q21_late_supplier_wait": 1.84,
+    "q7_volume_shipping": 1.92,
+    "streaming_histogram": 1.94,
+    "similarity_recall_eval": 2.03,
+    "text_embed_hash": 2.06,
+    "text_bpe_apply": 2.11,
+    "curation_token_budget_select": 2.17,
+    "streaming_static_enrich": 2.29,
+    "dedup_paraphrase_pairs": 2.31,
+    "streaming_stream_join": 2.49,
+    "text_perplexity_buckets": 2.87,
+    "text_winnow_overlap": 2.95,
+    "streaming_hourly_counts": 3.1,
+    "streaming_srp_registry": 3.27,
+    "embedding_kmeans": 3.34,
+    "ann_ivfpq_residual_topk": 4.26,
+    "dedup_clusters": 4.26,
+    "ann_ivfpq_topk": 5.52,
+    "similarity_bitext_pairs": 5.77,
+    "connector_datasource_distributed_read": 6.06,
+    "embedding_communities": 8.34,
 }
 
 

@@ -1642,13 +1642,17 @@ def _run_cover_exprs(sorted_arr: str) -> tuple[str, str]:
     gram_char_len. top = max cover over all runs; dup = sum of covers
     over runs longer than 1. Pure integer HOF arithmetic, zero
     shuffle. ANSI-safe: the run-boundary filter scans sequence(2, m)
-    so ``i - 1`` never hits index 0, and every sequence() call is
-    guarded against the descending-sequence trap (sequence(2, 1) ==
-    [2, 1]) by the caller's size gate."""
+    so ``i - 1`` never hits index 0, and the sequence() call is
+    CASE-guarded for single-gram arrays — sequence(2, 1) builds the
+    DESCENDING [2, 1] and its element_at(s, 2) throws under ANSI
+    (the injected-fixture test covers the 2-word-doc case the gate
+    corpus never produces)."""
     s = sorted_arr
     starts = (
-        f"concat(array(1), filter(sequence(2, size({s})), "
-        f"i -> element_at({s}, i) != element_at({s}, i - 1)))"
+        f"concat(array(1), CASE WHEN size({s}) >= 2 THEN "
+        f"filter(sequence(2, size({s})), "
+        f"i -> element_at({s}, i) != element_at({s}, i - 1)) "
+        f"ELSE cast(array() AS array<int>) END)"
     )
     covers = (
         f"zip_with(st, concat(slice(st, 2, size(st) - 1), "
@@ -1701,12 +1705,14 @@ WITH w AS (
 SELECT w.doc_id, w.n_chars,
        coalesce(top2_cover, 0) AS top2_cover,
        coalesce(dup3_cover, 0) AS dup3_cover,
-       round(coalesce(top2_cover, 0) / w.n_chars::DOUBLE, 4) AS top2_share,
-       round(least(coalesce(dup3_cover, 0) / w.n_chars::DOUBLE, 1.0), 4)
+       round(least(coalesce(top2_cover, 0) / greatest(w.n_chars, 1)::DOUBLE,
+                   1.0), 4) AS top2_share,
+       round(least(coalesce(dup3_cover, 0) / greatest(w.n_chars, 1)::DOUBLE, 1.0), 4)
            AS dup3_frac,
-       (round(coalesce(top2_cover, 0) / w.n_chars::DOUBLE, 4)
+       (round(least(coalesce(top2_cover, 0) / greatest(w.n_chars, 1)::DOUBLE,
+                    1.0), 4)
             <= {DUP_TOP2_MAX_SHARE}
-        AND round(least(coalesce(dup3_cover, 0) / w.n_chars::DOUBLE, 1.0), 4)
+        AND round(least(coalesce(dup3_cover, 0) / greatest(w.n_chars, 1)::DOUBLE, 1.0), 4)
             <= {DUP_3GRAM_MAX_FRAC}) AS repetition_ok
 FROM w
 LEFT JOIN c2 ON c2.doc_id = w.doc_id
@@ -1766,12 +1772,10 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dup3_cover"),
     )
-    top2_share = F.round(
-        F.col("top2_cover") / F.col("n_chars").cast("double"), 4
-    )
+    nc = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    top2_share = F.round(F.least(F.col("top2_cover") / nc, F.lit(1.0)), 4)
     dup3_frac = F.round(
-        F.least(F.col("dup3_cover") / F.col("n_chars").cast("double"), F.lit(1.0)),
-        4,
+        F.least(F.col("dup3_cover") / nc, F.lit(1.0)), 4
     )
     return covered.select(
         "doc_id",

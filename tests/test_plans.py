@@ -491,3 +491,68 @@ def test_bpe_apply_tokenizes_word_types_not_instances(registry, spark):
     # no fan-out of its own
     assert plan.count("Generate explode") <= 2
     assert count_op(df, "HashAggregate") >= 5
+
+
+def test_dup_ngram_fraction_is_zero_shuffle_scan(registry, spark):
+    # The whole repetition computation is row-local HOF arithmetic:
+    # no exchange anywhere, scan pruned to (doc_id, text), no Python.
+    df = _df(registry, spark, "text_dup_ngram_fraction")
+    assert shuffle_count(df) == 0
+    (schema,) = read_schemas(df)
+    assert "text" in schema and "lang" not in schema
+    assert "EvalPython" not in executed_plan(df)
+
+
+def test_annotation_agreement_single_pass_counters(registry, spark):
+    # Labels are row-local; the whole query is one map-side-combined
+    # aggregation to a single row (at most the final single-partition
+    # exchange), reading only the text column.
+    df = _df(registry, spark, "curation_annotation_agreement")
+    assert shuffle_count(df) <= 1
+    (schema,) = read_schemas(df)
+    assert schema == "struct<text:string>"
+    assert "partial_" in executed_plan(df)
+
+
+def test_unpivot_is_expand_not_join(registry, spark):
+    # The melt must be the Expand operator (map-side row fan-out),
+    # never a self-join/union of three scans; the only exchanges are
+    # the wide aggregation's (count_distinct adds its two-phase pair).
+    df = _df(registry, spark, "events_unpivot_metrics")
+    plan = executed_plan(df)
+    assert plan.count("Expand") >= 1
+    assert shuffle_count(df) <= 2
+    assert count_op(df, "SortMergeJoin") == 0
+    assert len(read_schemas(df)) == 1  # one scan, not three
+
+
+def test_temperature_sampling_tiny_window_after_agg(registry, spark):
+    # One corpus aggregation shuffle; the unpartitioned window runs
+    # over the per-language frame (cardinality = languages), so at
+    # most one more tiny exchange.
+    df = _df(registry, spark, "curation_temperature_sampling")
+    assert shuffle_count(df) <= 2
+    (schema,) = read_schemas(df)
+    assert "lang" in schema and "doc_id" not in schema
+
+
+def test_lang_confusion_joins_stay_bounded(registry, spark):
+    # The class-list cross join runs over POST-AGGREGATION frames
+    # (languages x confusion cells, both tiny); the corpus-side work
+    # is the doc_id-aligned prediction join and the cell aggregation.
+    df = _df(registry, spark, "text_lang_confusion")
+    plan = executed_plan(df)
+    assert count_op(df, "BroadcastNestedLoopJoin") <= 1
+    assert count_op(df, "SortMergeJoin") == 0
+    assert "EvalPython" not in plan
+
+
+def test_semdedup_no_allpairs_anywhere(registry, spark):
+    # Assign steps are broadcast-codebook row-local kernels and the
+    # prune is cluster-bounded cogrouped scoring: the plan may shuffle
+    # on vec_id/cid but must never contain an all-pairs join.
+    df = _df(registry, spark, "dedup_semdedup")
+    plan = executed_plan(df)
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert "CartesianProduct" not in plan
+    assert count_op(df, "SortMergeJoin") <= 2
