@@ -1260,8 +1260,7 @@ WITH per_lang AS (
     FROM s
 )
 SELECT lang, n_docs, n_tokens,
-       round((n_tokens * {TEMP_SCALE})::DOUBLE / (t_tot * {TEMP_SCALE}), 6)
-           AS token_share,
+       round(n_tokens::DOUBLE / t_tot, 6) AS token_share,
        round(s_u::DOUBLE / s_tot, 6) AS sample_p,
        round((s_u * t_tot)::DOUBLE / (s_tot * n_tokens), 6) AS up_weight,
        round(({TEMP_TOKEN_BUDGET} * s_u)::DOUBLE / (s_tot * n_tokens), 4)
@@ -1280,10 +1279,11 @@ def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
     quantizes ONCE — s_u = floor(sqrt(n)*1e6 + 0.5), bit-identical
     across engines because IEEE sqrt is correctly rounded — and every
     downstream ratio is a division of exact int64 PRODUCTS (order-free
-    integer sums, no float accumulation to diverge). At 100 TB scale
-    the products need int128/decimal headroom (s_u*t_tot overflows
-    int64 past ~1e14 tokens); the gate-scale int64 form keeps the
-    oracle portable.
+    integer sums, no float accumulation to diverge). Validity
+    envelope: s_u carries the 1e6 scale, so s_u * t_tot hits int64
+    max near T^1.5 * 1e6 = 9.2e18, i.e. ~4e8 total tokens — past
+    that, compute the products in decimal(38,0) (or drop TEMP_SCALE
+    to 1e3); the gate-scale int64 form keeps the oracle portable.
 
     Scale shape: one corpus aggregation shuffle to per-language token
     counts; the temperature math is a window over the tiny per-language
@@ -1304,11 +1304,9 @@ def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
         "lang",
         "n_docs",
         "n_tokens",
-        F.round(
-            (F.col("n_tokens") * TEMP_SCALE).cast("double")
-            / (ttot * TEMP_SCALE),
-            6,
-        ).alias("token_share"),
+        F.round(F.col("n_tokens").cast("double") / ttot, 6).alias(
+            "token_share"
+        ),
         F.round(s_u.cast("double") / stot, 6).alias("sample_p"),
         F.round(
             (s_u * ttot).cast("double") / (stot * F.col("n_tokens")), 6

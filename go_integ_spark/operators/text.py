@@ -1658,7 +1658,8 @@ def _run_cover_exprs(sorted_arr: str) -> tuple[str, str]:
         f"zip_with(st, concat(slice(st, 2, size(st) - 1), "
         f"array(size({s}) + 1)), "
         f"(a, b) -> struct(b - a AS r, "
-        f"(b - a) * length(element_at({s}, a)) AS cov))"
+        f"cast(b - a AS bigint)"
+        f" * length(element_at({s}, a)) AS cov))"
     )
     wrapped = f"transform(array(struct({starts} AS dummy)), x -> x.dummy)"
     # Bind starts once via a lateral-style nested HOF: outer transform
@@ -1803,33 +1804,37 @@ def _lang_confusion_oracle() -> str:
     pred = _REGISTRY["text_lang_id"].oracle
     return f"""
 WITH pred AS ({pred}
-), j AS (
-    SELECT d.lang AS gold, p.pred_lang AS pred
+), cells AS (
+    SELECT d.lang AS gold, p.pred_lang AS pred, count(*) AS c
     FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
 ), cls AS (
-    SELECT DISTINCT gold AS lang FROM j
+    SELECT DISTINCT gold AS lang FROM cells
 )
-SELECT c.lang,
-       CAST(count(*) FILTER (j.gold = c.lang) AS BIGINT) AS n_gold,
-       CAST(count(*) FILTER (j.gold = c.lang AND j.pred = c.lang) AS BIGINT)
-           AS tp,
-       CAST(count(*) FILTER (j.gold != c.lang AND j.pred = c.lang) AS BIGINT)
-           AS fp,
-       CAST(count(*) FILTER (j.gold = c.lang AND j.pred != c.lang) AS BIGINT)
-           AS fn,
-       round(count(*) FILTER (j.gold = c.lang AND j.pred = c.lang)
-             / nullif(count(*) FILTER (j.pred = c.lang), 0)::DOUBLE, 6)
-           AS precision,
-       round(count(*) FILTER (j.gold = c.lang AND j.pred = c.lang)
-             / nullif(count(*) FILTER (j.gold = c.lang), 0)::DOUBLE, 6)
-           AS recall,
-       round(2 * count(*) FILTER (j.gold = c.lang AND j.pred = c.lang)
-             / nullif(2 * count(*) FILTER (j.gold = c.lang AND j.pred = c.lang)
-                      + count(*) FILTER (j.gold != c.lang AND j.pred = c.lang)
-                      + count(*) FILTER (j.gold = c.lang AND j.pred != c.lang),
+SELECT k.lang,
+       CAST(coalesce(sum(c) FILTER (gold = k.lang), 0) AS BIGINT) AS n_gold,
+       CAST(coalesce(sum(c) FILTER (gold = k.lang AND pred = k.lang), 0)
+            AS BIGINT) AS tp,
+       CAST(coalesce(sum(c) FILTER (gold != k.lang AND pred = k.lang), 0)
+            AS BIGINT) AS fp,
+       CAST(coalesce(sum(c) FILTER (gold = k.lang AND pred != k.lang), 0)
+            AS BIGINT) AS fn,
+       round(coalesce(sum(c) FILTER (gold = k.lang AND pred = k.lang), 0)
+             / nullif(coalesce(sum(c) FILTER (pred = k.lang), 0),
+                      0)::DOUBLE, 6) AS precision,
+       round(coalesce(sum(c) FILTER (gold = k.lang AND pred = k.lang), 0)
+             / nullif(coalesce(sum(c) FILTER (gold = k.lang), 0),
+                      0)::DOUBLE, 6) AS recall,
+       round(2 * coalesce(sum(c) FILTER (gold = k.lang AND pred = k.lang), 0)
+             / nullif(2 * coalesce(sum(c) FILTER (gold = k.lang
+                                                  AND pred = k.lang), 0)
+                      + coalesce(sum(c) FILTER (gold != k.lang
+                                                AND pred = k.lang), 0)
+                      + coalesce(sum(c) FILTER (gold = k.lang
+                                                AND pred != k.lang), 0),
                       0)::DOUBLE, 6) AS f1
-FROM cls c CROSS JOIN j
-GROUP BY c.lang
+FROM cls k CROSS JOIN cells
+GROUP BY k.lang
 """
 
 
@@ -1856,8 +1861,8 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     both columns — here a self-join the optimizer collapses), and the
     per-class conditional counters aggregate map-side to one row per
     language. The tiny class-list cross join runs over the already-
-    aggregated frame in the oracle and is spelled as conditional
-    aggregation over (gold, pred) cells in Spark.
+    aggregated confusion-cell frame on BOTH sides (languages x
+    cells, never languages x documents).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     pred = text_lang_id(spark, sf_dir)
