@@ -160,6 +160,10 @@ def main() -> None:
         # (originStats squaring, see _checkpoint_fresh_stats); at
         # this scale the fixed loop runs ~40 s, previously unbounded.
         "embedding_communities",
+        # round-6: cluster-then-prune SemDeDup — the injected
+        # near-dup clusters pressure its within-cluster quadratic
+        # (sqrt(20k) = 142 cells, ~140 vectors each).
+        "dedup_semdedup",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()
