@@ -1615,3 +1615,168 @@ def dedup_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sem.join(lex, ["vec_a", "vec_b"], "left_anti").select(
         "vec_a", "vec_b", "cos_sim"
     )
+
+
+# --- SemDeDup (cluster-then-prune semantic dedup) ---------------------
+
+# Within-cluster cosine bar for the SemDeDup prune. Deliberately BELOW
+# the corpus-wide near-dup bar (EMB_COS_THRESHOLD): SemDeDup prunes
+# "semantically redundant" examples, not just near-copies, and this
+# synthetic corpus's within-cluster similarities concentrate well
+# under the 0.45 near-dup bar (web-scale deployments tune this per
+# dataset; the paper sweeps it).
+SEMDEDUP_TAU = 0.40
+
+# Per-cluster pair-scoring cap, same trade as LSH_MAX_BUCKET: a
+# degenerate mega-cluster (a duplication-heavy corpus collapsing into
+# one cell after a single Lloyd round) would otherwise build an n^2
+# float64 block inside ONE Arrow task. Clusters over the cap are
+# skipped by the prune (their members all stay kept) — precision 1.0,
+# bounded recall loss, mirrored exactly in the oracle.
+SEMDEDUP_MAX_CLUSTER = 4096
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin of the fixed-point cluster-then-prune pipeline:
+    sqrt(N) codebook from the first vec_ids, ONE exact-integer Lloyd
+    round (the shared ``lloyd_assign_cte``/``lloyd_update_cte``
+    builders at dynamic k), within-cluster cosine pairs with the
+    mega-cluster cap mirrored, keep-farthest-from-centroid prune."""
+    from go_integ_spark.operators.similarity import (
+        KMEANS_DIM,
+        KMEANS_SCALE,
+        lloyd_assign_cte,
+        lloyd_update_cte,
+    )
+
+    dim, scale = KMEANS_DIM, KMEANS_SCALE
+    prefix = f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), qv AS (
+    SELECT vec_id, e,
+           list_transform(e, x ->
+               CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS q
+    FROM v
+), c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+           q AS c
+    FROM qv
+    WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM v)
+)"""
+    rounds = (
+        lloyd_assign_cte("a0", "qv", "c0", dim)
+        + lloyd_update_cte("c1", "a0", dim)
+        + lloyd_assign_cte("a1", "qv", "c1", dim)
+    )
+    tail = f""", p AS (
+    SELECT x.vec_id AS va, x.d2 AS da, y.vec_id AS vb, y.d2 AS db
+    FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    JOIN v vx ON vx.vec_id = x.vec_id
+    JOIN v vy ON vy.vec_id = y.vec_id
+    WHERE list_cosine_similarity(vx.e, vy.e) >= {SEMDEDUP_TAU}
+      AND x.cid NOT IN (SELECT cid FROM a1 GROUP BY cid
+                        HAVING count(*) > {SEMDEDUP_MAX_CLUSTER})
+), dropped AS (
+    -- pairs carry va < vb by construction; on a distance tie the
+    -- larger id (vb) is dropped
+    SELECT DISTINCT CASE WHEN da < db THEN va ELSE vb END AS vid
+    FROM p
+)
+SELECT a1.vec_id, a1.cid, a1.d2 AS dist2_u,
+       (dr.vid IS NULL) AS keep
+FROM a1 LEFT JOIN dropped dr ON dr.vid = a1.vec_id
+"""
+    return prefix + rounds + tail
+
+
+@register(
+    "dedup_semdedup",
+    tags=("dedup", "vector", "clustering", "llm_pipeline"),
+    oracle=_semdedup_oracle(),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus,
+    then within each cluster drop every member of a high-similarity
+    pair EXCEPT the one farthest from the cluster centroid — the
+    published heuristic keeps the least prototypical example of each
+    semantic-duplicate group, preserving diversity while removing
+    redundancy. Output: per-vector cluster id, exact integer centroid
+    distance, and the keep/drop verdict.
+
+    Clustering is the fixed-point integer Lloyd machinery from
+    ``embedding_kmeans`` at a sqrt(N) codebook (deterministic first-k
+    init, ONE update round) — every distance is exact int64, so the
+    keep-farthest rule has no float ties to diverge on, and the
+    dynamic-k unroll still admits a full DuckDB value oracle. Pair
+    scoring reuses ``cosine_pairs_in_groups`` (the fold-exact
+    cogrouped block scorer the IVF dedup uses), grouped by FINAL
+    cluster id.
+
+    Scale shape: assign steps are broadcast-codebook row-local
+    kernels (sqrt(N) x dim integers broadcast, ~16 MB at 1e9
+    vectors); the quadratic prune is bounded by cluster size
+    (sqrt(N) MEAN — the paper's regime) AND hard-capped at
+    ``SEMDEDUP_MAX_CLUSTER`` members per cluster (a degenerate
+    mega-cluster is skipped by the prune rather than scored n^2 in
+    one Arrow task — the LSH_MAX_BUCKET trade, mirrored in the
+    oracle); the loser join exchanges only (pair, dist) ids, never
+    vectors.
+    """
+    import math
+
+    from go_integ_spark.functions.vector import with_norm
+    from go_integ_spark.operators.similarity import (
+        _kmeans_u_quantize,
+        first_k_centroids_u,
+        kmeans_assign_u,
+        kmeans_update_u,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k = max(1, math.ceil(math.sqrt(emb.count())))
+    qv = _kmeans_u_quantize(emb)
+    cents = kmeans_update_u(kmeans_assign_u(qv, first_k_centroids_u(qv, k)))
+    # assigned feeds the pair grouping, BOTH loser-join sides, and the
+    # final keep join -> persist so the quantize + Arrow assign kernel
+    # runs once, not once per reference (session-lifetime cache, the
+    # same pattern as the shared shingle sets).
+    assigned = (
+        kmeans_assign_u(qv, cents).select("vec_id", "cid", "dist2_u").persist()
+    )
+    grouped = assigned.join(with_norm(emb), "vec_id").select(
+        "cid", "vec_id", "e", "e_norm"
+    )
+    pairs = cosine_pairs_in_groups(
+        grouped, "cid", SEMDEDUP_TAU, max_group=SEMDEDUP_MAX_CLUSTER
+    )
+    d = assigned.select("vec_id", "dist2_u")
+    loser = (
+        pairs.join(
+            d.select(
+                F.col("vec_id").alias("vec_a"), F.col("dist2_u").alias("d_a")
+            ),
+            "vec_a",
+        )
+        .join(
+            d.select(
+                F.col("vec_id").alias("vec_b"), F.col("dist2_u").alias("d_b")
+            ),
+            "vec_b",
+        )
+        # pairs carry vec_a < vec_b (cosine_pairs_in_groups orders
+        # them), so "tie -> drop the larger id" is the otherwise arm
+        .select(
+            F.when(F.col("d_a") < F.col("d_b"), F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return assigned.join(loser, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        "dist2_u",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+    )

@@ -582,6 +582,54 @@ def kmeans_update_u(assigned: DataFrame) -> list[tuple[int, list[int]]]:
     return sorted((r["cid"], [int(x) for x in r["c"]]) for r in rows)
 
 
+def first_k_centroids_u(qv, k: int) -> list[tuple[int, list[int]]]:
+    """Deterministic first-k integer codebook: the k lowest vec_ids'
+    quantized vectors, re-labeled 0..k-1 in vec_id order — exactly
+    the oracles' ``row_number() OVER (ORDER BY vec_id) - 1``. Shared
+    by ``embedding_kmeans`` and ``dedup_semdedup`` so the init
+    contract lives in one place."""
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["q"]])
+        for r in qv.filter(F.col("vec_id") < k).collect()
+    ]
+    return [(i, vec) for i, (_, vec) in enumerate(sorted(cents))]
+
+
+def lloyd_assign_cte(out: str, src: str, cents: str, dim: int) -> str:
+    """One exact-integer Lloyd ASSIGN round as a DuckDB CTE fragment:
+    nearest centroid by int64 distance, ties to the lowest cid — the
+    SQL twin of :func:`kmeans_assign_u`, shared by every
+    unrolled-Lloyd oracle so the bit-exactness contract has one
+    spelling."""
+    return f""", {out} AS (
+    SELECT vec_id, q, cid, d2 FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM (
+            SELECT s.vec_id, s.q, c.cid,
+                   list_sum(list_transform(generate_series(1, {dim}), i ->
+                       (s.q[i] - c.c[i]) * (s.q[i] - c.c[i]))) AS d2
+            FROM {src} s CROSS JOIN {cents} c
+        )
+    ) WHERE rn = 1
+)"""
+
+
+def lloyd_update_cte(out: str, src: str, dim: int) -> str:
+    """One exact-integer Lloyd UPDATE round as a DuckDB CTE fragment:
+    round-half-up integer centroid means — the SQL twin of
+    :func:`kmeans_update_u` (same floor((2s+n)/(2n)) formula)."""
+    return f""", {out} AS (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+        SELECT cid, t.i AS pos,
+               CAST(floor((2 * sum(q[t.i]) + count(*))
+                          / (2.0 * count(*))) AS BIGINT) AS m
+        FROM {src}, unnest(generate_series(1, {dim})) AS t(i)
+        GROUP BY cid, t.i
+    ) GROUP BY cid
+)"""
+
+
 def _kmeans_oracle() -> str:
     """Statically-unrolled DuckDB twin of the fixed-point Lloyd loop:
     KMEANS_ITERS assign+update rounds then a final assign, every step
@@ -603,32 +651,9 @@ WITH v AS (
 )"""
     ]
     for r in range(KMEANS_ITERS + 1):
-        ctes.append(
-            f""", a{r} AS (
-    SELECT vec_id, q, cid, d2 FROM (
-        SELECT *, row_number() OVER (
-            PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        FROM (
-            SELECT v.vec_id, v.q, c.cid,
-                   list_sum(list_transform(generate_series(1, {dim}), i ->
-                       (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS d2
-            FROM v CROSS JOIN c{r} c
-        )
-    ) WHERE rn = 1
-)"""
-        )
+        ctes.append(lloyd_assign_cte(f"a{r}", "v", f"c{r}", dim))
         if r < KMEANS_ITERS:
-            ctes.append(
-                f""", c{r + 1} AS (
-    SELECT cid, list(m ORDER BY pos) AS c FROM (
-        SELECT cid, t.i AS pos,
-               CAST(floor((2 * sum(q[t.i]) + count(*))
-                          / (2.0 * count(*))) AS BIGINT) AS m
-        FROM a{r}, unnest(generate_series(1, {dim})) AS t(i)
-        GROUP BY cid, t.i
-    ) GROUP BY cid
-)"""
-            )
+            ctes.append(lloyd_update_cte(f"c{r + 1}", f"a{r}", dim))
     ctes.append(
         f"""
 SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
@@ -661,11 +686,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = _kmeans_u_quantize(emb)
-    centroids = [
-        (int(r["vec_id"]), [int(x) for x in r["q"]])
-        for r in qv.filter(F.col("vec_id") < KMEANS_K).collect()
-    ]
-    centroids = [(i, vec) for i, (_, vec) in enumerate(sorted(centroids))]
+    centroids = first_k_centroids_u(qv, KMEANS_K)
     for _ in range(KMEANS_ITERS):
         assigned = kmeans_assign_u(qv, centroids)
         centroids = kmeans_update_u(assigned)
