@@ -50,7 +50,7 @@ def incremental_cursor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_extract",
     tags=("json", "agg"),
     oracle="""
-SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
        CAST(count(*) AS BIGINT)   AS n_events,
        round(sum(value), 2)       AS total_value
 FROM events
@@ -360,9 +360,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = spark.createDataFrame(
         [(t,) for t in EVENT_TYPES], schema="event_type string"
     )
-    counts = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("c"))
+    counts = hourly_type_counts(ev).withColumnRenamed("n", "c")
     return (
         spine.crossJoin(types)
         .join(counts, ["hour_start", "event_type"], "left")
@@ -631,7 +629,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = fact.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_type"),
-        F.sum("cents").cast("bigint").alias("type_cents"),
+        F.sum("cents").alias("type_cents"),
     )
     joined = salted_join(fact, dim, on=["event_type"], num_salts=SKEW_SALTS)
     return (
@@ -641,7 +639,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "above_avg")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum("cents").alias("sum_cents"),
         )
     )
 
