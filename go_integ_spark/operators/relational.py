@@ -372,6 +372,20 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _segment_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_mktsegment, c_custkey, spend): per-customer order spend,
+    2dp — the shared base frame of window_spend_quartiles and
+    window_share_of_segment (one spelling so their spend semantics
+    cannot drift)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+
+
 @register(
     "window_spend_quartiles",
     tags=("window",),
@@ -406,20 +420,19 @@ def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     than one slice; the only broadcast is O(slices × segments)
     counters.
     """
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    spend = (
-        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment", "c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
-    )
+    # spend feeds the driver-side cuts collect, the counts/offsets
+    # subtree, AND the probe side of the final join -> persist so the
+    # customer-orders join + aggregation runs once, not three times.
+    spend = _segment_spend(spark, sf_dir).persist()
 
     # Pass 1: per-segment approximate spend quantiles -> fixed cut
     # points collected to the driver (segments × slices values, tiny).
     # Binning against *literal* cut points is a pure function of the
     # row, so the counts job and the final job can never disagree on a
     # row's slice (a sampled repartitionByRange could, across jobs).
-    n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Floor of 2 slices: at shuffle_partitions=1 the probs list would
+    # be empty and percentile_approx returns NULL cuts.
+    n_slices = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     probs = [i / n_slices for i in range(1, n_slices)]
     cut_rows = (
         spend.groupBy("c_mktsegment")
@@ -550,7 +563,7 @@ GROUP BY l_returnflag
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-distinct aggregation. Spark plans this as Expand +
     two-phase aggregate; exact distinct is required for oracle parity
-    (the approx_count_distinct scale path lives in the same module for
+    (the approx_count_distinct scale path lives in operators/advanced.py for
     callers that can trade accuracy).
     """
     li = load_table(spark, sf_dir, "lineitem")
@@ -714,9 +727,11 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 )
 def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag + a 30-day RANGE frame per customer: inter-order gap and a
-    trailing 30-day average order value. One shuffle on o_custkey
-    shared by both window specs (same partitioning + ordering);
-    range frames need the same sort the lag already paid for.
+    trailing 30-day average order value. One shuffle AND one sort on
+    (o_custkey, o_orderdate, o_orderkey) serve both window specs —
+    the RANGE frame orders by the o_orderdate prefix with interval
+    bounds (the window_trailing_spend technique), so the lag's finer
+    sort satisfies it and no second Sort appears in the plan.
     NB: DuckDB RANGE frames reject a tie-broken ORDER BY, so the
     frame's window orders by o_orderdate alone — o_orderdate is
     unique per customer in this data, making (o_orderdate,
@@ -724,15 +739,14 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit total order.
     """
     o = load_table(spark, sf_dir, "orders")
-    # parquet surfaces o_orderdate as TIMESTAMP_NTZ; unix_micros wants
-    # TIMESTAMP — identical instants under the UTC session timezone
-    ts = F.col("o_orderdate").cast("timestamp")
+    ts = F.col("o_orderdate")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    # range frame over event-time: order by epoch micros, 30-day span
-    wr = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.unix_micros(ts))
-        .rangeBetween(-30 * 86400 * 1_000_000, 0)
+    # integer cents: exact window sums, so the trailing average is
+    # bit-identical across engines (a float avg rounds .xx5
+    # boundaries differently per summation order)
+    over_30d = (
+        " OVER (PARTITION BY o_custkey ORDER BY o_orderdate"
+        " RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)"
     )
     return o.select(
         "o_custkey",
@@ -740,12 +754,11 @@ def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w)))
         .cast("bigint")
         .alias("gap_us"),
-        # integer cents: exact window sums, so the trailing average is
-        # bit-identical across engines (a float avg rounds .xx5
-        # boundaries differently per summation order)
         (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(wr)
-            / F.count(F.lit(1)).over(wr)
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) as bigint))" + over_30d
+            )
+            / F.expr("count(1)" + over_30d)
             / 100.0
         ).alias("avg_price_30d"),
     )
@@ -808,13 +821,7 @@ def window_share_of_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale as window_spend_quartiles, but for an unordered frame
     the rewrite is a plain grand-total join, no slicing needed).
     """
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    spend = (
-        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_mktsegment", "c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
-    )
+    spend = _segment_spend(spark, sf_dir)
     totals = spend.groupBy("c_mktsegment").agg(F.sum("spend").alias("seg_total"))
     return (
         spend.join(F.broadcast(totals), "c_mktsegment")

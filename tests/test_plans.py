@@ -556,3 +556,13 @@ def test_semdedup_no_allpairs_anywhere(registry, spark):
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
     assert "CartesianProduct" not in plan
     assert count_op(df, "SortMergeJoin") <= 2
+
+
+def test_order_gaps_one_sort_serves_both_windows(registry, spark):
+    # The lag window sorts (o_custkey, o_orderdate, o_orderkey); the
+    # 30-day RANGE frame orders by the o_orderdate prefix, so the
+    # finer sort must satisfy it — exactly one Sort in the plan.
+    df = _df(registry, spark, "window_order_gaps")
+    plan = executed_plan(df)
+    assert plan.count("+- Sort") == 1
+    assert shuffle_count(df) == 1
