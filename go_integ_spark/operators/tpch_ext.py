@@ -129,12 +129,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    n1 = F.broadcast(load_table(spark, sf_dir, "nation"))
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nat)
     r = F.broadcast(
         load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     )
     n2 = F.broadcast(
-        load_table(spark, sf_dir, "nation").select(
+        nat.select(
             F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
         )
     )
@@ -281,8 +282,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_disc_price()), 2).alias("total_revenue")
+    # revenue feeds the scalar-max branch AND the final join; persist
+    # so lineitem is scanned/shuffled once, as the docstring promises.
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_disc_price()), 2).alias("total_revenue"))
+        .persist()
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = load_table(spark, sf_dir, "supplier")
@@ -464,7 +469,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eu_cost = cost.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    # eu is an SF-scaled supplier subset: no hint, AQE decides
+    eu_cost = cost.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
     mc = eu_cost.groupBy(F.col("l_partkey").alias("mp")).agg(
         F.min("unit_cost").alias("min_cost")
     )
@@ -474,7 +480,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             mc,
             (F.col("mp") == F.col("l_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -486,25 +492,39 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "having", "subquery"),
     oracle="""
 WITH pv AS (
-    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS cents
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_1'
     GROUP BY l_partkey
 )
-SELECT l_partkey AS p_key, round(value, 2) AS part_value
+SELECT l_partkey AS p_key, cents / 100.0 AS part_value
 FROM pv
-WHERE round(value, 2) > (SELECT round(sum(value) * 0.001, 2) FROM pv)
+WHERE cents * (SELECT CAST(count(*) AS BIGINT) FROM pv)
+      > 2 * (SELECT CAST(sum(cents) AS BIGINT) FROM pv)
 """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (value from lineitem revenue — no partsupp):
     per-part value for one nation's suppliers, HAVING value above a
     fraction of the nation total. The scalar threshold is the pv
-    aggregate re-aggregated to one row and broadcast — Catalyst
-    reuses the cached pv exchange for both branches, so lineitem is
-    shuffled once. Both sides round to cents before the strict
-    compare so summation-order ULPs can't flip membership.
+    aggregate re-aggregated to one row and broadcast; pv is
+    PERSISTED so the threshold branch and the probe branch share one
+    lineitem scan/shuffle (Catalyst does not reuse the exchange
+    across the two subtrees on its own).
+
+    Value is computed in INTEGER CENTS (per-row round once, exact
+    int64 sums) and the HAVING is the pure integer comparison
+    ``cents * n_parts > 2 * total_cents`` (value above twice the
+    average part value) — order-free and engine-exact, where the
+    previous end-rounded float sum flipped a .xx5 boundary the
+    moment a join-strategy change reordered the summation. The
+    2x-average threshold is also scale-INVARIANT (q20's principle):
+    a fixed fraction of the grand total empties as part cardinality
+    grows with SF. The one-nation supplier subset is SF-scaled, so
+    it carries no broadcast hint — AQE broadcasts it while it fits.
     """
     li = load_table(spark, sf_dir, "lineitem")
     n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
@@ -514,16 +534,25 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     pv = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(_disc_price()).alias("value"))
+        .agg(
+            F.sum(F.round(_disc_price() * 100).cast("bigint")).alias("cents")
+        )
+        .persist()
     )
-    thresh = pv.agg(F.round(F.sum("value") * 0.001, 2).alias("cut"))
+    thresh = pv.agg(
+        F.sum("cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
-        pv.join(F.broadcast(thresh), F.round(F.col("value"), 2) > F.col("cut"))
+        pv.join(
+            F.broadcast(thresh),
+            F.col("cents") * F.col("n_parts") > 2 * F.col("total_cents"),
+        )
         .select(
             F.col("l_partkey").alias("p_key"),
-            F.round(F.col("value"), 2).alias("part_value"),
+            (F.col("cents") / 100.0).alias("part_value"),
         )
     )
 
@@ -641,7 +670,7 @@ def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     shipped = (
-        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -721,7 +750,7 @@ def q21_late_supplier_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.filter(
             (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
         )
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

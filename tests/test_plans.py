@@ -566,3 +566,15 @@ def test_order_gaps_one_sort_serves_both_windows(registry, spark):
     plan = executed_plan(df)
     assert plan.count("+- Sort") == 1
     assert shuffle_count(df) == 1
+
+
+def test_q15_q11_revenue_aggregate_is_cached(registry, spark):
+    # Both queries reference their per-key revenue aggregate twice
+    # (scalar branch + probe branch); the persist must surface as an
+    # InMemoryTableScan so the fact scan/shuffle runs once at
+    # execution. (read_schemas still lists the FileScan twice — the
+    # InMemoryRelation's *definition* carries one — so the cache
+    # node, not the scan count, is the pinnable signal.)
+    for name in ("q15_top_supplier", "q11_important_part_value"):
+        df = _df(registry, spark, name)
+        assert "InMemoryTableScan" in executed_plan(df), name
