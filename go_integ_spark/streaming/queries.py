@@ -33,18 +33,30 @@ from go_integ_spark.tables import load_table
 _STREAM_SRC: dict[str, tuple[str, object]] = {}
 
 
-def _events_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
-    cached = _STREAM_SRC.get(sf_dir)
+def _stream_source(
+    spark: SparkSession, sf_dir: str, table: str, cols: list[str] | None = None
+) -> tuple[str, object]:
+    """A gate table materialized as a listable multi-file stream
+    source, memoized per (table, sf_dir) — one write per process
+    serves every streaming gate query over that table. 8 files so
+    maxFilesPerTrigger-limited readers genuinely see multiple
+    micro-batches (one file -> one batch proves nothing about
+    incremental state)."""
+    key = f"{table}:{sf_dir}"
+    cached = _STREAM_SRC.get(key)
     if cached is not None:
         return cached
-    ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="sg_stream_gate_") + "/events"
-    # 8 files so maxFilesPerTrigger-limited readers genuinely see
-    # multiple micro-batches (one file -> one batch proves nothing
-    # about incremental state).
-    ev.repartition(8).write.mode("overwrite").parquet(path)
-    _STREAM_SRC[sf_dir] = (path, ev.schema)
-    return _STREAM_SRC[sf_dir]
+    df = load_table(spark, sf_dir, table)
+    if cols:
+        df = df.select(*cols)
+    path = tempfile.mkdtemp(prefix="sg_stream_gate_") + f"/{table}"
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    _STREAM_SRC[key] = (path, df.schema)
+    return _STREAM_SRC[key]
+
+
+def _events_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
+    return _stream_source(spark, sf_dir, "events")
 
 
 # State-store shards for the gate runs. A streaming query spins up
@@ -74,7 +86,15 @@ def _run_to_memory(df: DataFrame, output_mode: str, prefix: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    out = spark.table(name)
+    # Unregister the sink's temp view immediately: the returned frame
+    # already holds the resolved relation (still collectable), and
+    # without the catalog entry the sink's rows become unreachable —
+    # hence GC-able — as soon as the caller drops the frame, instead
+    # of accumulating one dead result table per gate invocation for
+    # the life of the session.
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @register(
@@ -111,8 +131,11 @@ def _streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles apply verbatim; shared by streaming_hourly_counts and
     streaming_anomaly_mad so that contract lives in one place."""
     path, schema = _events_stream_source(spark, sf_dir)
+    # 4-files-per-trigger over the 8-file source forces >= 2 state
+    # merges — without the limit availableNow swallows everything in
+    # ONE micro-batch and the incremental-state claim goes untested.
     agg = (
-        read_stream(spark, path, schema)
+        read_stream(spark, path, schema, max_files_per_trigger=4)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -141,7 +164,7 @@ def streaming_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path, schema = _events_stream_source(spark, sf_dir)
     deduped = (
-        read_stream(spark, path, schema)
+        read_stream(spark, path, schema, max_files_per_trigger=4)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
@@ -191,7 +214,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     path, schema = _events_stream_source(spark, sf_dir)
     agg = (
-        read_stream(spark, path, schema)
+        read_stream(spark, path, schema, max_files_per_trigger=4)
         .groupBy(
             F.session_window(F.col("ts"), "30 minutes").alias("sess"),
             F.col("user_id"),
@@ -233,7 +256,9 @@ def streaming_running_max_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_integ_spark.streaming.stateful import running_max_cursor
 
     path, schema = _events_stream_source(spark, sf_dir)
-    updates = running_max_cursor(read_stream(spark, path, schema))
+    updates = running_max_cursor(
+        read_stream(spark, path, schema, max_files_per_trigger=4)
+    )
     out = _run_to_memory(updates, "update", "rmc")
     return out.groupBy("user_id").agg(
         F.max("n_total").alias("n_total"),
@@ -265,13 +290,25 @@ def _streaming_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_integ_spark.streaming.tws import user_profiles
 
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_prov = spark.conf.get(prov_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        prov_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    path, schema = _events_stream_source(spark, sf_dir)
-    updates = user_profiles(read_stream(spark, path, schema))
-    out = _run_to_memory(updates, "update", "tws")
+    try:
+        path, schema = _events_stream_source(spark, sf_dir)
+        updates = user_profiles(read_stream(spark, path, schema))
+        out = _run_to_memory(updates, "update", "tws")
+    finally:
+        # scope-and-restore (the _run_to_memory shuffle-partitions
+        # pattern): without this, every LATER streaming query in the
+        # process silently runs on RocksDB instead of the default
+        # provider, making sweep results order-dependent.
+        if prev_prov is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev_prov)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max("n_purchases").alias("n_purchases"),
@@ -318,6 +355,12 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract that makes stream-stream joins viable at scale. Driven
     to completion, the append-mode join must equal the batch interval
     join.
+
+    Deliberately single-batch (no maxFilesPerTrigger): the source
+    files are not time-ordered, so a multi-batch run could advance
+    the watermark past rows still sitting in a later file and drop
+    them as late — the stateless/watermark-free gate queries are the
+    ones that exercise multi-batch state merging.
     """
     path, schema = _events_stream_source(spark, sf_dir)
     clicks = (
@@ -448,18 +491,7 @@ def streaming_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
-    """Documents materialized as a listable multi-file stream source,
-    memoized per sf_dir like ``_events_stream_source`` (one write per
-    process serves every documents-streaming gate query)."""
-    key = f"docs:{sf_dir}"
-    cached = _STREAM_SRC.get(key)
-    if cached is not None:
-        return cached
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    path = tempfile.mkdtemp(prefix="sg_stream_gate_") + "/documents"
-    docs.repartition(8).write.mode("overwrite").parquet(path)
-    _STREAM_SRC[key] = (path, docs.schema)
-    return _STREAM_SRC[key]
+    return _stream_source(spark, sf_dir, "documents", ["doc_id", "text"])
 
 
 @register(
@@ -616,17 +648,7 @@ def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
-    """Embeddings materialized as a listable multi-file stream source,
-    memoized per sf_dir like the docs/events sources."""
-    key = f"emb:{sf_dir}"
-    cached = _STREAM_SRC.get(key)
-    if cached is not None:
-        return cached
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    path = tempfile.mkdtemp(prefix="sg_stream_gate_") + "/embeddings"
-    emb.repartition(8).write.mode("overwrite").parquet(path)
-    _STREAM_SRC[key] = (path, emb.schema)
-    return _STREAM_SRC[key]
+    return _stream_source(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
 
 
 def _srp_registry_oracle() -> str:
