@@ -14,35 +14,6 @@ from go_integ_spark.registry import register
 from go_integ_spark.tables import load_table
 
 
-def asof_join_union_window(
-    left: DataFrame,
-    right: DataFrame,
-    key: str,
-    ts: str,
-) -> DataFrame:
-    """Generic as-of join via union + prefix-max window.
-
-    Spark lacks a native as-of join (pyspark guide: bucketize or
-    merge_asof per group). The union-window formulation is the
-    scale-correct shape: ONE shuffle on the key, no per-key pandas,
-    no range explosion — each left row picks up the running maximum
-    right-side timestamp at its sort position. State per partition is
-    O(1); works unchanged at 100 TB.
-    """
-    lt = left.select(key, ts, F.lit(1).alias("kind"), F.col(ts).alias("orig_ts"))
-    rt = right.select(key, ts, F.lit(0).alias("kind"), F.col(ts).alias("orig_ts"))
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts, "kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tagged = lt.unionByName(rt)
-    running = F.max(
-        F.when(F.col("kind") == 0, F.unix_micros(F.col(ts)))
-    ).over(w)
-    return tagged.withColumn("asof_us", running).filter(F.col("kind") == 1)
-
-
 @register(
     "asof_join_purchase_click",
     tags=("join", "asof", "window"),
@@ -65,9 +36,12 @@ FROM w WHERE kind = 1
 )
 def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest click at
-    or before it (NULL if none). See asof_join_union_window for the
-    scale rationale; here inlined so the window order (ts, kind,
-    event_id) is total for cross-engine determinism.
+    or before it (NULL if none) via union + prefix-max window — the
+    scale-correct as-of shape: ONE shuffle on the key, no per-key
+    pandas, no range explosion; each left row picks up the running
+    max right-side timestamp at its sort position, O(1) state per
+    partition. The window order (ts, kind, event_id) is total for
+    cross-engine determinism.
     """
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -181,7 +155,11 @@ def connector_file_incremental_read(spark: SparkSession, sf_dir: str) -> DataFra
         ).iterated_by("ts"),
         path=f"{sf_dir}/events.parquet",
     )
-    state = {"To": dt.datetime(2024, 1, 20)}
+    # tz-AWARE cursor: a naive datetime literal converts via the OS
+    # timezone (time.mktime), not the UTC-pinned session zone, so the
+    # incremental cutoff would shift on non-UTC hosts while the
+    # DuckDB oracle stays put (reproduced under TZ=America/New_York).
+    state = {"To": dt.datetime(2024, 1, 20, tzinfo=dt.timezone.utc)}
     # NB: uses the engine's incremental read; we only take the frame
     # (the driver's comparator has no notion of the advanced state).
     # Observed variant: the cursor high-water mark rides the caller's
@@ -390,55 +368,25 @@ def connector_http_paginated_read(spark: SparkSession, sf_dir: str) -> DataFrame
     Driver-side fetch (probe-scale); the executor-distributed path is
     the Python DataSource (tests/test_spark_integration.py).
     """
-    import json as _json
-    import threading
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-    from urllib.parse import parse_qs, urlparse
-
-    import pyarrow.parquet as pq
-
     from go_integ_spark.schema.stream import StreamSchema
     from go_integ_spark.sources.http import OffsetLimitPaginator
     from go_integ_spark.sources.source import HttpStream
 
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    rows = pq.read_table(f"{sf_dir}/orders.parquet", columns=cols).to_pylist()
-
-    class Handler(BaseHTTPRequestHandler):
-        def do_GET(self):
-            q = parse_qs(urlparse(self.path).query)
-            start = int(q.get("start", ["0"])[0])
-            num = int(q.get("num", ["1000"])[0])
-            body = _json.dumps({"records": rows[start : start + num]}).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.end_headers()
-            self.wfile.write(body)
-
-        def log_message(self, *a):  # silence
-            pass
-
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    try:
-        stream = HttpStream(
-            schema=StreamSchema.from_ddl(
-                "orders",
-                "o_orderkey bigint, o_custkey bigint, "
-                "o_orderstatus string, o_orderpriority string",
-            ),
-            path="/orders",
-            record_path="records",
-            paginator=lambda: OffsetLimitPaginator(
-                offset_param="start", limit_param="num", page_size=1000
-            ),
-        )
-        pages, _ = stream.read({"url": f"http://127.0.0.1:{srv.server_port}"}, None)
-        fetched = [r for p in pages for r in p]
-    finally:
-        srv.shutdown()
-        srv.server_close()
+    port = _orders_gate_server(sf_dir)
+    stream = HttpStream(
+        schema=StreamSchema.from_ddl(
+            "orders",
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_orderstatus string, o_orderpriority string",
+        ),
+        path="/orders",
+        record_path="records",
+        paginator=lambda: OffsetLimitPaginator(
+            offset_param="start", limit_param="num", page_size=1000
+        ),
+    )
+    pages, _ = stream.read({"url": f"http://127.0.0.1:{port}"}, None)
+    fetched = [r for p in pages for r in p]
     return spark.createDataFrame(
         [(r["o_orderkey"], r["o_custkey"], r["o_orderstatus"], r["o_orderpriority"]) for r in fetched],
         schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_orderpriority string",
@@ -583,6 +531,12 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+    )
+
+
+if basket_part_pairs.__doc__:  # absent under PYTHONOPTIMIZE=2
+    basket_part_pairs.__doc__ = basket_part_pairs.__doc__.replace(
+        "{support}", str(BASKET_MIN_SUPPORT)
     )
 
 
@@ -850,6 +804,12 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mn") + (F.col("bucket") + 1) * width, 4).alias("bin_hi"),
             "n",
         )
+    )
+
+
+if agg_histogram.__doc__:  # absent under PYTHONOPTIMIZE=2
+    agg_histogram.__doc__ = agg_histogram.__doc__.replace(
+        "{HIST_BINS}", str(HIST_BINS)
     )
 
 
@@ -1264,7 +1224,11 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_integ_spark.operators.dedup import _spread
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sets_ = winnow_sets(_spread(docs))
+    # sets_ feeds the df-filter branch AND both sides of the pair
+    # self-join; without the persist the md5-per-char-gram winnow
+    # kernel re-runs once per branch (8 ArrowEvalPython nodes in the
+    # unpersisted plan).
+    sets_ = winnow_sets(_spread(docs)).persist()
     sh = sets_.select("doc_id", "n", F.explode("fps").alias("sid"))
     rare = (
         sh.groupBy("sid")
@@ -1410,9 +1374,12 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin; per-partition grids merge by cellwise addition.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # words feeds the sketch build AND the exact side; persist so the
+    # corpus tokenization (regexp + explode over every document) runs
+    # once per action, not once per branch.
     words = docs.select(
         F.explode(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word")
-    )
+    ).persist()
     depths = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
     keyed = words.select(
         "word", F.explode(depths).alias("d")
@@ -1452,4 +1419,14 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
         "rank",
+    )
+
+
+if agg_countmin_sketch.__doc__:  # absent under PYTHONOPTIMIZE=2
+    agg_countmin_sketch.__doc__ = (
+        agg_countmin_sketch.__doc__
+        .replace("{CMS_DEPTH * CMS_WIDTH}", str(CMS_DEPTH * CMS_WIDTH))
+        .replace("{CMS_DEPTH}", str(CMS_DEPTH))
+        .replace("{CMS_WIDTH}", str(CMS_WIDTH))
+        .replace("{CMS_TOP_K}", str(CMS_TOP_K))
     )
