@@ -39,6 +39,9 @@ from pyspark.sql import functions as F
 
 from go_integ_spark.operators.dedup import (
     SHINGLE_K,
+    SUBSTR_STRIDE,
+    SUBSTR_W,
+    _SHINGLE_EXPR,
     _cached_doc_sets,
     emb_probe_count,
 )
@@ -89,8 +92,9 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE prefix: distinct word-k-gram shingles per doc (string
 # form for DuckDB; Spark uses xxhash64 IDs — counts agree because the
 # final output carries only counts, same collision-freeness assumption
-# as the dedup oracles).
-_SHINGLE_EXPR = " || chr(31) || ".join(f"w[i + {j}]" for j in range(SHINGLE_K))
+# as the dedup oracles). The shingle SQL itself is imported from
+# dedup so the two files cannot drift (one source of truth for the
+# chr(31) separator and gram construction).
 _SH_CTE = f"""
 WITH words AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -390,9 +394,10 @@ WITH s2 AS (
     SELECT s2.* FROM s2 JOIN keep_exact USING (doc_id)
 ), wins AS (
     SELECT doc_id,
-           md5(substr(text, CAST(t.i AS INT), 40)) AS chunk_hash
-    FROM s3, unnest(generate_series(1, len(text) - 39, 10)) AS t(i)
-    WHERE len(text) >= 40
+           md5(substr(text, CAST(t.i AS INT), {SUBSTR_W})) AS chunk_hash
+    FROM s3, unnest(generate_series(1, len(text) - {SUBSTR_W - 1},
+                                    {SUBSTR_STRIDE})) AS t(i)
+    WHERE len(text) >= {SUBSTR_W}
 ), dup_b AS (
     SELECT DISTINCT b.doc_id
     FROM wins a JOIN wins b
@@ -805,7 +810,7 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev_side.groupBy("cell_id")
         .cogroup(tr_side.groupBy("cell_id"))
         .applyInPandas(
-            lambda left, right: _contam_pairs(left, right),
+            _contam_pairs,
             "eval_id bigint, train_id bigint, s double",
         )
         .distinct()  # a pair sharing several cells scores identically
@@ -1001,9 +1006,12 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
     ).cast("bigint")
+    # docs feeds the collected (lang, tok) aggregate AND both kept
+    # branches of the returned union -> persist so the corpus
+    # tokenization runs once, not three times.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tok.alias("tok")
-    )
+    ).persist()
     groups = (
         docs.groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tok"))
@@ -1100,6 +1108,17 @@ DSIR_BUCKETS = 256
 DSIR_TARGET_LANG = "en"
 # log-ratio fixed-point scale: micro-nats. floor() (not round) so a
 # shared-double input can never straddle a half-way tie rule.
+#
+# Residual cross-engine hazard, measured and accepted: unlike sqrt
+# (correctly rounded, the temperature-sampling contract), libm ln is
+# only faithful to ~1 ulp and JVM Math.log vs DuckDB ln DO differ in
+# the last bit on ~7% of DSIR-shaped ratios. A flip of floor(ln(r) *
+# 1e6) needs that ~2e-16 divergence to straddle a 1e-6 grid line —
+# P ~ 2e-10 per bucket, ~5e-8 per corpus — and
+# tests/test_round6b_ops.py::test_dsir_log_ratios_clear_floor_boundaries
+# asserts every actual gate-corpus bucket clears its boundary by
+# orders of magnitude more than the libm divergence, so the gate
+# cannot flip on the corpora it runs on.
 DSIR_SCALE = 1_000_000
 
 
@@ -1347,13 +1366,14 @@ WITH m AS (
     FROM m
 )
 SELECT n, n11, n10, n01, n00,
-       round((n11 + n00)::DOUBLE / n, 6) AS po,
+       round((n11 + n00)::DOUBLE / nullif(n, 0), 6) AS po,
        round(((n11 + n10) * (n11 + n01)
-              + (n01 + n00) * (n10 + n00))::DOUBLE / (n * n), 6) AS pe,
+              + (n01 + n00) * (n10 + n00))::DOUBLE / nullif(n * n, 0), 6)
+           AS pe,
        round((n * (n11 + n00)
               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE
-             / (n * n
-                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))),
+             / nullif(n * n
+                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)), 0),
              6) AS kappa
 FROM t
 """,
@@ -1392,15 +1412,27 @@ def curation_annotation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     n, n11, n10, n01, n00 = [F.col(c) for c in ("n", "n11", "n10", "n01", "n00")]
     smp = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    # NULL guards: an empty corpus zeroes n, and a corpus where one
+    # cell holds every document makes pe = 1 (kappa mathematically
+    # undefined) — under ANSI an unguarded division would throw
+    # DIVIDE_BY_ZERO and kill the gate query instead of emitting NULL.
     return t.select(
         n.alias("n"),
         n11.alias("n11"),
         n10.alias("n10"),
         n01.alias("n01"),
         n00.alias("n00"),
-        F.round((n11 + n00).cast("double") / n, 6).alias("po"),
-        F.round(smp.cast("double") / (n * n), 6).alias("pe"),
         F.round(
-            (n * (n11 + n00) - smp).cast("double") / (n * n - smp), 6
+            (n11 + n00).cast("double") / F.nullif(n.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("po"),
+        F.round(
+            smp.cast("double") / F.nullif((n * n).cast("double"), F.lit(0.0)),
+            6,
+        ).alias("pe"),
+        F.round(
+            (n * (n11 + n00) - smp).cast("double")
+            / F.nullif((n * n - smp).cast("double"), F.lit(0.0)),
+            6,
         ).alias("kappa"),
     )

@@ -257,3 +257,48 @@ def test_dsir_survives_single_word_documents(spark, tmp_path):
     assert {r["doc_id"] for r in rows} == {2, 3}
     for r in rows:
         assert r["n_grams"] == 4
+
+
+def test_dsir_log_ratios_clear_floor_boundaries(spark):
+    """libm ln is not correctly rounded and JVM vs DuckDB results can
+    differ in the last bit (~2e-16); floor(ln(r) * 1e6) would flip
+    across engines only if a bucket's scaled log-ratio sits within
+    that divergence of an integer. Assert every actual gate-corpus
+    bucket clears its nearest boundary by >= 1e-9 scaled units —
+    seven orders of magnitude of margin — so the exact-integer gate
+    column logw_u cannot diverge on this corpus."""
+    import math
+
+    from go_integ_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_SCALE,
+        DSIR_TARGET_LANG,
+    )
+    from go_integ_spark.functions.hashing import h60_py
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    n_r = n_t = 0
+    for r in docs:
+        ws = r["text"].split(" ")
+        if len(ws) < 2 or not r["text"]:
+            continue
+        for a, b in zip(ws, ws[1:]):
+            bucket = h60_py(a + "\x1f" + b) % DSIR_BUCKETS
+            raw[bucket] = raw.get(bucket, 0) + 1
+            n_r += 1
+            if r["lang"] == DSIR_TARGET_LANG:
+                tgt[bucket] = tgt.get(bucket, 0) + 1
+                n_t += 1
+    assert n_r and n_t
+    min_margin = 1.0
+    for bucket in raw:
+        ratio = ((tgt.get(bucket, 0) + 1) * (n_r + DSIR_BUCKETS)) / (
+            (raw[bucket] + 1) * (n_t + DSIR_BUCKETS)
+        )
+        x = math.log(ratio) * DSIR_SCALE
+        # distance from the nearest integer grid line, either side
+        # (exactly-on-boundary is the worst case and must fail)
+        min_margin = min(min_margin, abs(x - round(x)))
+    assert min_margin > 1e-9, min_margin
