@@ -31,25 +31,28 @@ LANG_MARKERS: list[tuple[str, list[str]]] = [
 
 
 def _occurrences(padded: Column, word: str) -> Column:
-    """Count non-overlapping occurrences of ``' word '`` in a
-    space-padded text. length-delta / pattern-length: identical
-    left-to-right non-overlapping semantics in Spark and DuckDB.
+    """Count occurrences of the word (space-delimited) in a
+    space-padded text. Spaces are DOUBLED first so ADJACENT repeats
+    each get their own delimiters — without it ``' the the '``
+    counts 1, not 2, because consecutive matches share a space (the
+    text_bm25_topk fix, applied here too). length-delta /
+    pattern-length: identical left-to-right non-overlapping
+    semantics in Spark and DuckDB.
     """
     pat = f" {word} "
-    return (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / len(pat)
+    doubled = F.replace(padded, F.lit(" "), F.lit("  "))
+    return (
+        F.length(doubled) - F.length(F.replace(doubled, F.lit(pat), F.lit("")))
+    ) / len(pat)
 
 
 def _occurrences_sql(padded: str, word: str) -> str:
     pat = f" {word} "
-    return f"(length({padded}) - length(replace({padded}, ' {word} ', ''))) / {len(pat)}"
-
-
-def _lang_score_sql(lang: str) -> str:
-    terms = " + ".join(_occurrences_sql("p", w) for w in LANG_MARKERS_DICT[lang])
-    return f"({terms})"
-
-
-LANG_MARKERS_DICT = dict(LANG_MARKERS)
+    doubled = f"replace({padded}, ' ', '  ')"
+    return (
+        f"(length({doubled}) - length(replace({doubled}, ' {word} ', '')))"
+        f" / {len(pat)}"
+    )
 
 
 @register(
@@ -122,8 +125,12 @@ SELECT doc_id,
              / greatest(len(regexp_extract_all(text, '[a-z]+')), 1), 4) AS avg_word_len,
        round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
              / greatest(length(text), 1), 4) AS punct_ratio,
-       round(((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
-              + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3)
+       round(((length(replace(' ' || text || ' ', ' ', '  '))
+               - length(replace(replace(' ' || text || ' ', ' ', '  '),
+                                ' the ', ''))) / 5
+              + (length(replace(' ' || text || ' ', ' ', '  '))
+                 - length(replace(replace(' ' || text || ' ', ' ', '  '),
+                                  ' a ', ''))) / 3)
              / greatest(len(regexp_extract_all(text, '[a-z]+')), 1), 4) AS stopword_ratio,
        (len(regexp_extract_all(text, '[a-z]+')) BETWEEN 10 AND 1000
         AND length(regexp_replace(text, '[^a-z]', '', 'g'))
@@ -346,8 +353,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tfidf"
         ),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -398,6 +403,7 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     around it is row-local, so throughput scales with executors and
     maxRecordsPerBatch controls the batch shape a model server wants.
     """
+    import math
     from collections.abc import Iterator
 
     import pandas as pd
@@ -433,7 +439,12 @@ def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(EMBED_DIM):
                     ids.append(doc_id)
                     dims.append(j)
-                    vals.append(round(counts[j] / nt, 6))
+                    # floor(x*1e6+0.5): HALF-UP like DuckDB round();
+                    # Python round() is half-to-EVEN and flips exact
+                    # ties (1/128 -> .007812 vs DuckDB .007813)
+                    vals.append(
+                        math.floor(counts[j] / nt * 1e6 + 0.5) / 1e6
+                    )
             yield pd.DataFrame({"doc_id": ids, "dim_idx": dims, "v": vals})
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -506,7 +517,8 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_unique,
        CAST(max(c) AS BIGINT) AS top_word_cnt,
        CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax_cnt,
-       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS word_entropy
+       round(ln(sum(c)) - list_sum(list(c * ln(c) ORDER BY c)) / sum(c), 4)
+           AS word_entropy
 FROM wc
 GROUP BY doc_id
 """,
@@ -548,7 +560,13 @@ def text_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.expr("filter(cs, c -> c = 1.0D)")).cast("long").alias("hapax_cnt"),
         F.round(
             F.log(F.col("n_words").cast("double"))
-            - F.expr("aggregate(cs, 0.0D, (acc, c) -> acc + c * ln(c))")
+            # fold over the count-SORTED array: the oracle's
+            # list(c*ln(c) ORDER BY c) folds the same multiset in the
+            # same order, pinning the float sum to the last ulp (an
+            # unordered SUM could flip the 4dp rounding)
+            - F.expr(
+                "aggregate(array_sort(cs), 0.0D, (acc, c) -> acc + c * ln(c))"
+            )
             / F.col("n_words").cast("double"),
             4,
         ).alias("word_entropy"),
@@ -597,10 +615,14 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     w = F.split("text", " ")
     out = docs.withColumn("w", w).withColumn("n", F.size("w")).filter(F.col("n") > 0)
+    # p is computed ONCE per distinct word (the filter scan is the
+    # dominant O(distinct * words) row cost; the old fold ran it
+    # twice — once for the factor, once inside ln). Same fold order
+    # (sorted distinct words), bit-identical values.
     entropy = F.expr(
-        "-aggregate(array_sort(array_distinct(w)), cast(0.0 as double),"
-        " (acc, u) -> acc + (size(filter(w, x -> x = u)) / cast(n as double))"
-        "   * ln(size(filter(w, x -> x = u)) / cast(n as double)))"
+        "-aggregate(transform(array_sort(array_distinct(w)),"
+        " u -> size(filter(w, x -> x = u)) / cast(n as double)),"
+        " cast(0.0 as double), (acc, p) -> acc + p * ln(p))"
     )
     return out.select(
         "doc_id",
@@ -711,7 +733,8 @@ WITH w AS (
 )
 SELECT d.doc_id,
        CAST(sum(d.k) AS BIGINT) AS n_bigrams,
-       round(sum(d.k * p.logp) / sum(d.k), 4) AS avg_logp
+       round(list_sum(list(d.k * p.logp ORDER BY d.w1, d.w2)) / sum(d.k), 4)
+           AS avg_logp
 FROM d JOIN probs p ON p.w1 = d.w1 AND p.w2 = d.w2
 GROUP BY d.doc_id
 """
@@ -736,19 +759,34 @@ def bigram_doc_scores(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    c2 = inst.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("n2")
+    d = inst.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k")
     )
+    c2 = d.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     probs = c2.join(c1, "w1").select(
         "w1", "w2", F.log(F.col("n2") / F.col("n1")).alias("logp")
     )
+    # The per-doc float sum folds k*logp over the (w1, w2)-SORTED
+    # bigram list — the oracle's list(k*logp ORDER BY w1, w2) folds
+    # the same multiset in the same order, so avg_logp is
+    # bit-identical across engines AND across runs (a plain
+    # F.sum over shuffle-ordered per-instance logp was neither).
     return (
-        inst.join(probs, ["w1", "w2"])
+        d.join(probs, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.sum("logp") / F.count(F.lit(1)), 4).alias("avg_logp"),
+            F.sum("k").alias("n_bigrams"),
+            F.expr(
+                "aggregate(array_sort(collect_list("
+                " struct(w1, w2, k * logp AS kl))),"
+                " 0.0D, (acc, x) -> acc + x.kl)"
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("s") / F.col("n_bigrams"), 4).alias("avg_logp"),
         )
     )
 
@@ -1081,9 +1119,14 @@ WITH words AS (
 ), b{r} AS MATERIALIZED (
     SELECT l, r2, pc FROM p{r} ORDER BY pc DESC, l, r2 LIMIT 1
 ), v{r + 1} AS MATERIALIZED (
-    SELECT replace(v.st, '{s}' || b.l || '{s2}' || b.r2 || '{s}',
-                   '{s}' || b.l || b.r2 || '{s}') AS st, v.cnt
-    FROM v{r} v CROSS JOIN b{r} b
+    -- LEFT JOIN ON TRUE + coalesce: when b{r} is EMPTY (the corpus
+    -- fully merged in < BPE_MERGES rounds) the round is a no-op,
+    -- matching the Spark side's early break; a CROSS JOIN would
+    -- collapse every later round to zero rows
+    SELECT coalesce(replace(v.st, '{s}' || b.l || '{s2}' || b.r2 || '{s}',
+                            '{s}' || b.l || b.r2 || '{s}'), v.st) AS st,
+           v.cnt
+    FROM v{r} v LEFT JOIN b{r} b ON TRUE
 )"""
         )
     return "".join(ctes)
@@ -1544,9 +1587,10 @@ def _bpe_apply_oracle() -> str:
     for r in range(BPE_MERGES):
         parts.append(
             f""", d{r + 1} AS (
-    SELECT d.w, replace(d.st, '{s}' || b.l || '{s2}' || b.r2 || '{s}',
-                        '{s}' || b.l || b.r2 || '{s}') AS st
-    FROM d{r} d CROSS JOIN b{r} b
+    SELECT d.w,
+           coalesce(replace(d.st, '{s}' || b.l || '{s2}' || b.r2 || '{s}',
+                            '{s}' || b.l || b.r2 || '{s}'), d.st) AS st
+    FROM d{r} d LEFT JOIN b{r} b ON TRUE
 )"""
         )
     parts.append(
@@ -1599,7 +1643,10 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = wdoc.select("w").distinct()
     st = F.concat(
-        F.lit(s2), F.regexp_replace(F.col("w"), "(.)", f"$1{s2}")
+        # (?s): Java '.' skips line terminators by default, so a
+        # newline inside a word would silently merge into the next
+        # symbol while the oracle's per-char split keeps it separate
+        F.lit(s2), F.regexp_replace(F.col("w"), "(?s)(.)", f"$1{s2}")
     )
     for _, left, right, _ in merges:
         st = F.replace(

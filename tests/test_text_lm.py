@@ -137,3 +137,36 @@ def test_bpe_oracle_separator_absent(spark):
             "WHERE text LIKE '%' || chr(31) || '%'"
         ).fetchone()[0]
         assert n == 0, f"sf{sf}: corpus contains {_BPE_SEP!r}"
+
+
+def test_bpe_oracle_survives_early_merge_exhaustion(spark, tmp_path):
+    """A corpus whose vocabulary fully merges in fewer than
+    BPE_MERGES rounds must NOT collapse the unrolled oracles: the
+    Spark side breaks out of the merge loop early, and each dead
+    oracle round is a LEFT-JOIN no-op (a CROSS JOIN against the
+    empty best-pair CTE used to empty every later round, zeroing
+    the final SELECT)."""
+    import duckdb
+
+    from go_integ_spark.operators.text import text_bpe_apply, text_bpe_vocab
+    from go_integ_spark.registry import REGISTRY
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab cd"), (3, "cd cd ab")],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name, fn in (
+        ("text_bpe_vocab", text_bpe_vocab),
+        ("text_bpe_apply", text_bpe_apply),
+    ):
+        got = sorted(map(tuple, fn(spark, str(tmp_path)).collect()))
+        want = sorted(map(tuple, con.execute(REGISTRY[name].oracle).fetchall()))
+        assert got == want, name
+        assert got, f"{name}: empty result on the exhausted corpus"
