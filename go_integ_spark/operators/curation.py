@@ -1436,3 +1436,83 @@ def curation_annotation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("kappa"),
     )
+
+
+# --- Data-constrained epoch scheduling -------------------------------
+
+EPOCH_BUDGET_MULT = 2  # training budget = MULT x total corpus tokens
+EPOCH_CAP = 4  # repeat-value cliff: tokens past ~4 epochs are ~worthless
+# (data-constrained scaling, Muennighoff et al. 2023 — repeated data
+# holds near-full value for ~4 epochs, then decays rapidly; the cap is
+# the integer planning rule that paper's R* curve motivates)
+
+_EPOCH_ORACLE = f"""
+WITH avail AS (
+    SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+    FROM documents GROUP BY source
+), tot AS (
+    SELECT CAST(sum(avail_tokens) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_src
+    FROM avail
+)
+SELECT a.source,
+       a.avail_tokens,
+       CAST(({EPOCH_BUDGET_MULT} * t.total) // t.n_src AS BIGINT)
+           AS demand_tokens,
+       CAST((({EPOCH_BUDGET_MULT} * t.total) // t.n_src * 100)
+                // a.avail_tokens AS BIGINT) AS epochs_centi,
+       CAST(least(({EPOCH_BUDGET_MULT} * t.total) // t.n_src,
+                  {EPOCH_CAP} * a.avail_tokens) AS BIGINT)
+           AS effective_tokens,
+       CAST(({EPOCH_BUDGET_MULT} * t.total) // t.n_src
+            - least(({EPOCH_BUDGET_MULT} * t.total) // t.n_src,
+                    {EPOCH_CAP} * a.avail_tokens) AS BIGINT)
+           AS deficit_tokens
+FROM avail a CROSS JOIN tot t
+"""
+
+
+@register(
+    "curation_epoch_schedule",
+    tags=("curation", "agg"),
+    oracle=_EPOCH_ORACLE,
+)
+def curation_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition plan for a data-constrained training run: given a
+    token budget (EPOCH_BUDGET_MULT x the corpus) split uniformly
+    across sources, report per source how many epochs of its data the
+    demand implies, how many tokens retain value under the ~4-epoch
+    repeat cliff (data-constrained scaling), and the unfillable
+    deficit a mixture re-balance would need to absorb.
+
+    All integer arithmetic (centi-epochs, truncating div), so the
+    oracle is exact. Scale shape: ONE corpus scan into a map-side-
+    combined aggregation (per-source token sums); the total/source
+    count come from a single-partition window over the |sources|-scale
+    result, so the corpus is never scanned or shuffled twice.
+    Every source has >= 1 doc and split() yields >= 1 token per doc,
+    so the epoch division is never by zero.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy()
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("avail_tokens")
+    ).select(
+        "source",
+        "avail_tokens",
+        F.sum("avail_tokens").over(w).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_src"),
+    )
+    demand = F.expr(f"({EPOCH_BUDGET_MULT} * total) div n_src")
+    effective = F.least(demand, F.lit(EPOCH_CAP) * F.col("avail_tokens"))
+    return avail.select(
+        "source",
+        "avail_tokens",
+        demand.cast("bigint").alias("demand_tokens"),
+        F.expr(
+            f"(({EPOCH_BUDGET_MULT} * total) div n_src * 100) div avail_tokens"
+        ).cast("bigint").alias("epochs_centi"),
+        effective.cast("bigint").alias("effective_tokens"),
+        (demand - effective).cast("bigint").alias("deficit_tokens"),
+    )

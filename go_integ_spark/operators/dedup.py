@@ -1780,3 +1780,173 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist2_u",
         F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
     )
+
+
+# --- PageRank over the inter-source duplication graph ----------------
+#
+# Web-scale curation pipelines rank HOSTS, not just documents: a
+# domain whose content is heavily mirrored across many other domains
+# (template farms, scraped mirrors, SEO spam rings) is exactly the
+# kind of node URL-level filters miss. The graph here is derived from
+# the near-dup detector itself — an edge (u, v) weighted by the number
+# of cross-source near-duplicate document pairs — and PageRank over it
+# surfaces the mirror hubs. Reference repo has no graph analytics;
+# this extends the LLM-pipeline layer (SURVEY.md beyond-reference
+# scope).
+#
+# Fixed-point contract (full DuckDB value oracle): ranks live in
+# picounits (PR_UNIT = 1e12) of probability mass, every step is int64
+# multiply + truncating divide, and the iteration count is a fixed
+# constant unrolled into chained CTEs on the oracle side — the same
+# discipline as embedding_kmeans / text_bpe_vocab. Dangling nodes
+# (sources with no duplicate edges) keep their teleport mass only
+# (the "drop dangling mass" PageRank variant; sum(pr) < UNIT is
+# expected and documented). Overflow envelope: pr <= UNIT = 1e12 and
+# edge weights below ~9e5 keep pr * w < 2^63; at gate scale weights
+# are O(100). The damping split (85/100) is exact in integers.
+
+PAGERANK_ITERS = 8
+PR_UNIT = 10**12  # picounits of probability mass
+PR_DAMP_NUM = 85  # damping factor 0.85 as an exact ratio
+PR_DAMP_DEN = 100
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank oracle: the shared exact-Jaccard
+    pair CTEs, source-edge aggregation, then PAGERANK_ITERS chained
+    rank CTEs with integer arithmetic identical to the Spark loop."""
+    prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
+    head = f"""{prefix}), jp AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+), und AS (
+    SELECT least(da.source, db.source) AS u,
+           greatest(da.source, db.source) AS v,
+           count(*) AS w
+    FROM jp
+    JOIN documents da ON da.doc_id = jp.doc_a
+    JOIN documents db ON db.doc_id = jp.doc_b
+    WHERE da.source <> db.source
+    GROUP BY 1, 2
+), edges AS (
+    SELECT u AS src, v AS dst, w FROM und
+    UNION ALL
+    SELECT v AS src, u AS dst, w FROM und
+), wsum AS (
+    SELECT src, sum(w) AS wsum FROM edges GROUP BY src
+), nodes AS (
+    SELECT DISTINCT source AS src FROM documents
+), nn AS (
+    SELECT count(*) AS n FROM nodes
+), pr0 AS (
+    SELECT src, CAST({PR_UNIT} // (SELECT n FROM nn) AS BIGINT) AS pr
+    FROM nodes
+)"""
+    rounds = []
+    for i in range(PAGERANK_ITERS):
+        rounds.append(f""", pr{i + 1} AS (
+    SELECT nodes.src,
+           CAST({PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM)}
+                    // ({PR_DAMP_DEN} * (SELECT n FROM nn))
+                + ({PR_DAMP_NUM} * coalesce(c.agg, 0)) // {PR_DAMP_DEN}
+                AS BIGINT) AS pr
+    FROM nodes
+    LEFT JOIN (
+        SELECT e.dst, sum((p.pr * e.w) // ws.wsum) AS agg
+        FROM edges e
+        JOIN pr{i} p ON p.src = e.src
+        JOIN wsum ws ON ws.src = e.src
+        GROUP BY e.dst
+    ) c ON c.dst = nodes.src
+)""")
+    tail = f"""
+SELECT p.src AS source,
+       CAST(coalesce(ws.wsum, 0) AS BIGINT) AS dup_weight,
+       p.pr AS pr_pico
+FROM pr{PAGERANK_ITERS} p
+LEFT JOIN wsum ws ON ws.src = p.src
+"""
+    return head + "".join(rounds) + tail
+
+
+@register(
+    "graph_pagerank_sources",
+    tags=("graph", "iterative"),
+    oracle=_pagerank_oracle(),
+)
+def graph_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank sources by duplication centrality: PageRank over the graph
+    whose edge (u, v) counts cross-source near-duplicate pairs.
+
+    Pipeline shape at 100 TB: pairs come from the SAME LSH candidate
+    path as dedup_minhash_lsh (row-local signatures, one band-bucket
+    shuffle, exact verification — recall ~1 at j >= 0.5 is what lets
+    this query share the exact-Jaccard oracle CTEs); the doc-pair
+    frame then collapses to a SOURCE-level edge list, which is
+    |domains|-scale, orders of magnitude smaller than the corpus.
+    Each PageRank round is one edges-ranks join + one groupBy(dst) —
+    both partitioned by the source key — and every round passes
+    through ``_checkpoint_fresh_stats`` so Catalyst's size-only
+    estimate cannot square itself across iterations (the measured
+    failure mode documented on that helper). Driver-side scalars are
+    two counts (node count); no collect of data rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    und = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")),
+            "doc_b",
+        )
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select(
+            F.least("src_a", "src_b").alias("u"),
+            F.greatest("src_a", "src_b").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w").unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    # One materialization of the (small) edge frame: reused every
+    # round, and fresh stats keep per-round planning flat.
+    edges = _checkpoint_fresh_stats(
+        edges.join(wsum, "src").select("src", "dst", "w", "wsum")
+    )
+    nodes = docs.select(F.col("source").alias("src")).distinct()
+    n_nodes = nodes.count()
+    teleport = (PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
+    ranks = nodes.select(
+        "src", F.lit(PR_UNIT // n_nodes).cast("bigint").alias("pr")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, "src")
+            .select("dst", F.expr("(pr * w) div wsum").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("agg"))
+        )
+        ranks = _checkpoint_fresh_stats(
+            nodes.join(contrib, nodes["src"] == contrib["dst"], "left").select(
+                nodes["src"],
+                F.expr(
+                    f"cast({teleport} + ({PR_DAMP_NUM} * coalesce(agg, 0))"
+                    f" div {PR_DAMP_DEN} as bigint)"
+                ).alias("pr"),
+            )
+        )
+    return ranks.join(wsum, ranks["src"] == wsum["src"], "left").select(
+        ranks["src"].alias("source"),
+        F.coalesce(F.col("wsum"), F.lit(0)).cast("bigint").alias("dup_weight"),
+        F.col("pr").alias("pr_pico"),
+    )

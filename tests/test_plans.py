@@ -578,3 +578,42 @@ def test_q15_q11_revenue_aggregate_is_cached(registry, spark):
     for name in ("q15_top_supplier", "q11_important_part_value"):
         df = _df(registry, spark, name)
         assert "InMemoryTableScan" in executed_plan(df), name
+
+
+def test_audio_vad_zero_shuffle_pruned_scan(registry, spark):
+    # VAD is entirely map-side: filter -> mapInPandas -> 5 scalars.
+    # No exchange anywhere, and the scan reads only (doc_id, text) —
+    # at 100 TB the payload column flows straight into Arrow batches
+    # without ever hitting a shuffle.
+    df = _df(registry, spark, "multimodal_audio_vad")
+    assert shuffle_count(df) == 0
+    (schema,) = read_schemas(df)
+    assert "text" in schema and "lang" not in schema and "source" not in schema
+    assert "MapInPandas" in executed_plan(df)
+
+
+def test_pagerank_iterations_checkpoint_and_stay_keyed(registry, spark):
+    # The rank loop must never degenerate into an all-pairs join, and
+    # the iteration frames must come from checkpointed RDDs (the
+    # fresh-stats contract that keeps per-round planning flat — see
+    # _checkpoint_fresh_stats). Everything after pair collapse is
+    # |sources|-scale.
+    df = _df(registry, spark, "graph_pagerank_sources")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert "ExistingRDD" in plan  # checkpointed ranks, not raw lineage
+
+
+def test_epoch_schedule_single_corpus_pass(registry, spark):
+    # One map-side-combined per-source aggregation over ONE corpus
+    # scan; totals come from a single-partition window over the tiny
+    # per-source frame (one more |sources|-scale exchange), never a
+    # second scan or a join. Scan pruned to (source, text).
+    df = _df(registry, spark, "curation_epoch_schedule")
+    assert shuffle_count(df) <= 2
+    assert count_op(df, "SortMergeJoin") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert "partial_sum" in executed_plan(df)
+    (schema,) = read_schemas(df)
+    assert "text" in schema and "doc_id" not in schema
