@@ -1887,12 +1887,19 @@ def graph_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query share the exact-Jaccard oracle CTEs); the doc-pair
     frame then collapses to a SOURCE-level edge list, which is
     |domains|-scale, orders of magnitude smaller than the corpus.
-    Each PageRank round is one edges-ranks join + one groupBy(dst) —
-    both partitioned by the source key — and every round passes
-    through ``_checkpoint_fresh_stats`` so Catalyst's size-only
-    estimate cannot square itself across iterations (the measured
-    failure mode documented on that helper). Driver-side scalars are
-    two counts (node count); no collect of data rows.
+    Each PageRank round is one edges-ranks join + one groupBy(dst),
+    both partitioned by the source key. ``edges`` and ``nodes`` are
+    checkpointed ONCE (``_checkpoint_fresh_stats``) — they are
+    referenced in every round, so without it each round would inline
+    the whole LSH pipeline / another corpus scan — and the fixed
+    8-round recurrence is then unrolled LAZILY into one plan and one
+    job, the same discipline as the kmeans/BPE unrolls. Mid-loop
+    eager checkpoints were measured 11.1 s vs 3.3 s for the lazy
+    unroll at sf0.01 (8 extra jobs' scheduling for 20-row frames);
+    the bounded iteration count keeps both plan depth and Catalyst's
+    multiplied size estimate trivially small, which is exactly the
+    case the per-round-checkpoint CC loop is NOT in. Driver-side
+    scalar: one count (node count); no collect of data rows.
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -1918,12 +1925,14 @@ def graph_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
     )
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    # One materialization of the (small) edge frame: reused every
-    # round, and fresh stats keep per-round planning flat.
+    # One materialization each of the (small) edge and node frames:
+    # both are referenced in every unrolled round below.
     edges = _checkpoint_fresh_stats(
         edges.join(wsum, "src").select("src", "dst", "w", "wsum")
     )
-    nodes = docs.select(F.col("source").alias("src")).distinct()
+    nodes = _checkpoint_fresh_stats(
+        docs.select(F.col("source").alias("src")).distinct()
+    )
     n_nodes = nodes.count()
     teleport = (PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM)) // (PR_DAMP_DEN * n_nodes)
     ranks = nodes.select(
@@ -1932,21 +1941,32 @@ def graph_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PAGERANK_ITERS):
         contrib = (
             edges.join(ranks, "src")
-            .select("dst", F.expr("(pr * w) div wsum").alias("c"))
-            .groupBy("dst")
+            .select(
+                F.col("dst").alias("csrc"),
+                F.expr("(pr * w) div wsum").alias("c"),
+            )
+            .groupBy("csrc")
             .agg(F.sum("c").alias("agg"))
         )
-        ranks = _checkpoint_fresh_stats(
-            nodes.join(contrib, nodes["src"] == contrib["dst"], "left").select(
-                nodes["src"],
+        ranks = (
+            nodes.join(contrib, F.col("src") == F.col("csrc"), "left")
+            .select(
+                "src",
                 F.expr(
                     f"cast({teleport} + ({PR_DAMP_NUM} * coalesce(agg, 0))"
                     f" div {PR_DAMP_DEN} as bigint)"
                 ).alias("pr"),
             )
         )
-    return ranks.join(wsum, ranks["src"] == wsum["src"], "left").select(
-        ranks["src"].alias("source"),
+    # dup_weight rides on the checkpointed edge frame (wsum is
+    # functionally dependent on src there) — never back through the
+    # pre-checkpoint LSH lineage.
+    return ranks.join(
+        edges.select(F.col("src").alias("wsrc"), "wsum").distinct(),
+        F.col("src") == F.col("wsrc"),
+        "left",
+    ).select(
+        F.col("src").alias("source"),
         F.coalesce(F.col("wsum"), F.lit(0)).cast("bigint").alias("dup_weight"),
         F.col("pr").alias("pr_pico"),
     )

@@ -164,6 +164,11 @@ def main() -> None:
         # near-dup clusters pressure its within-cluster quadratic
         # (sqrt(20k) = 142 cells, ~140 vectors each).
         "dedup_semdedup",
+        # round-6: PageRank over the source duplication graph — at
+        # this scale the ~2.9k near-dup pairs collapse onto 7 source
+        # nodes, exercising the pair->edge aggregation and the lazy
+        # 8-round unroll over checkpointed frames.
+        "graph_pagerank_sources",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()
