@@ -1970,3 +1970,116 @@ def graph_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("wsum"), F.lit(0)).cast("bigint").alias("dup_weight"),
         F.col("pr").alias("pr_pico"),
     )
+
+
+# --- Triangle counting over the near-duplicate graph -----------------
+#
+# Triangle density separates PAIRWISE near-dups (two mirrored pages)
+# from CLIQUE-like template farms: a doc whose neighborhood closes
+# into many triangles sits inside a mutually-duplicating cluster, and
+# the local clustering coefficient is the standard score for that.
+# Classic distributed formulation (compact-forward / Suri-Vassilvitskii
+# MR triangle counting): orient every edge by a total order so each
+# triangle is enumerated exactly once as a < b < c.
+
+TRI_CC_SCALE = 10000  # clustering coefficient in basis points
+
+
+def _triangle_oracle() -> str:
+    """Shared exact-Jaccard pair CTEs, then the oriented wedge-close
+    join and per-vertex triangle / degree aggregation."""
+    prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
+    return f"""{prefix}), jp AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+), tri AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM jp e1
+    JOIN jp e2 ON e2.doc_a = e1.doc_b
+    JOIN jp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), tn AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY doc_id
+), deg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM jp
+        UNION ALL SELECT doc_b FROM jp
+    ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.degree,
+       CAST(coalesce(t.tri_cnt, 0) AS BIGINT) AS tri_cnt,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN (coalesce(t.tri_cnt, 0) * {2 * TRI_CC_SCALE})
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS cc_bp
+FROM deg d LEFT JOIN tn t ON t.doc_id = d.doc_id
+"""
+
+
+@register(
+    "graph_triangle_count",
+    tags=("graph", "dedup"),
+    oracle=_triangle_oracle(),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count and local clustering coefficient
+    (basis points) over the near-duplicate graph — the clique-ness
+    signal that tells template farms apart from isolated mirror pairs.
+
+    Scale shape: edges are the SAME verified LSH pairs as
+    ``dedup_minhash_lsh`` (bounded by band collisions, never
+    all-pairs), checkpointed ONCE because the triangle join references
+    the edge frame three times — without it each self-join re-runs
+    the whole LSH pipeline. The ``doc_a < doc_b`` orientation means
+    every triangle appears exactly once as a wedge (a<b, b<c) closed
+    by the (a, c) edge: one partitioned join on the shared vertex,
+    one on the closing pair — both |E|-scale shuffles, and the wedge
+    stream a vertex generates is bounded by its out-degree under the
+    orientation (at real scale the refinement is degree-ordered
+    orientation, which provably bounds wedges by O(E^1.5) even on
+    power-law graphs; the id order stands in deterministically here).
+    Vertex aggregation is an explode + map-side-combined count of
+    8-byte ids. No driver-side data collection.
+    """
+    pairs = _checkpoint_fresh_stats(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    wedge = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .join(
+            pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c")),
+            "b",
+        )
+        .select("a", "b", "c")
+    )
+    tri = wedge.join(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
+        ["a", "c"],
+    )
+    tn = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
+    )
+    deg = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.join(tn, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("tri_cnt", F.lit(0)).cast("bigint").alias("tri_cnt"),
+        F.expr(
+            "cast(case when degree >= 2"
+            f" then (coalesce(tri_cnt, 0) * {2 * TRI_CC_SCALE})"
+            " div (degree * (degree - 1))"
+            " else 0 end as bigint)"
+        ).alias("cc_bp"),
+    )

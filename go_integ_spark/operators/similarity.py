@@ -2642,3 +2642,175 @@ def sq_topk(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> DataFrame:
         F.round(F.col("d2"), 4).alias("d2"),
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+# --- Hybrid retrieval: reciprocal rank fusion (lexical + dense) ------
+#
+# Production RAG retrieval is almost never one ranker: a lexical list
+# (BM25/Jaccard) and a dense list (embedding cosine) are fused, and
+# reciprocal rank fusion (Cormack et al., SIGIR 2009) is the standard
+# score-free fusion — each list contributes 1/(k + rank), k=60. The
+# reference repo has no retrieval layer; this composes the repo's own
+# lexical and dense halves (SURVEY.md beyond-reference scope).
+#
+# Fixed-point contract: ranks are integers, so the fused score can be
+# EXACT — each contribution is RRF_SCALE div (RRF_K + rank) in int64
+# micro-units, making the full value oracle bit-checkable (the same
+# discipline as the PQ/kmeans/PageRank fixed-point paths).
+
+RRF_DEPTH = 20  # per-ranker candidate depth feeding the fusion
+RRF_K = 60  # the standard RRF smoothing constant
+RRF_SCALE = 1_000_000  # integer micro-units: 1e6 div (k + rank)
+
+_RRF_ORACLE = f"""
+WITH ws AS (
+    SELECT DISTINCT doc_id, wd FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        FROM documents WHERE length(text) > 0
+    ) WHERE wd <> ''
+), sz AS (
+    SELECT doc_id, count(*) AS n FROM ws GROUP BY doc_id
+), inter AS (
+    SELECT q.doc_id AS query_id, c.doc_id AS doc_id, count(*) AS c
+    FROM ws q JOIN ws c ON q.wd = c.wd
+    WHERE q.doc_id < {N_QUERIES} AND c.doc_id <> q.doc_id
+    GROUP BY 1, 2
+), lex AS (
+    SELECT query_id, doc_id, CAST(rn AS INT) AS lex_rank
+    FROM (
+        SELECT query_id, doc_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY jacc_bp DESC, doc_id) AS rn
+        FROM (
+            SELECT i.query_id, i.doc_id,
+                   (i.c * 10000) // (sq.n + sc.n - i.c) AS jacc_bp
+            FROM inter i
+            JOIN sz sq ON sq.doc_id = i.query_id
+            JOIN sz sc ON sc.doc_id = i.doc_id
+        )
+    ) WHERE rn <= {RRF_DEPTH}
+), v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), dense AS (
+    SELECT query_id, doc_id, CAST(rn AS INT) AS dense_rank
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id, row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rn
+        FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ) WHERE rn <= {RRF_DEPTH}
+), fused AS (
+    SELECT coalesce(l.query_id, d.query_id) AS query_id,
+           coalesce(l.doc_id, d.doc_id) AS doc_id,
+           l.lex_rank, d.dense_rank,
+           CAST(coalesce({RRF_SCALE} // ({RRF_K} + l.lex_rank), 0)
+              + coalesce({RRF_SCALE} // ({RRF_K} + d.dense_rank), 0)
+              AS BIGINT) AS rrf_micro
+    FROM lex l FULL OUTER JOIN dense d
+      ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rrf_micro, lex_rank, dense_rank,
+       CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rn
+    FROM fused
+) WHERE rn <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_hybrid_rrf",
+    tags=("similarity", "retrieval", "llm_pipeline"),
+    oracle=_RRF_ORACLE,
+)
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-k retrieval: fuse a lexical word-Jaccard ranking and
+    a dense cosine ranking with reciprocal rank fusion, RRF_DEPTH deep
+    per ranker, final top-TOP_K per query. Queries are the repo's
+    standard demo set (``vec_id == doc_id`` convention, id <
+    N_QUERIES).
+
+    Scale shape: both rankers are broadcast-query/stream-corpus — the
+    5-row query set (word arrays on the lexical side, vectors on the
+    dense side) rides into every task; per-candidate scoring is
+    map-side JVM work (``array_intersect`` over distinct word arrays;
+    the fold-exact cosine kernel), and each ranker reduces through
+    ``salted_topk`` so no task ever holds a corpus-scale group. The
+    fusion join then runs on two DEPTH*|queries|-row frames —
+    constant-size regardless of corpus — and every fused score is
+    exact int64 arithmetic on ranks, which is what keeps the full
+    value oracle. Lexical candidates are hit-filtered (at least one
+    shared word) before ranking, so the per-query stream is the
+    posting-list union, not the corpus.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("w"),
+        )
+        .withColumn("n", F.size("w").cast("bigint"))
+    )
+    q = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("w").alias("qw"),
+        F.col("n").alias("qn"),
+    )
+    inter = (
+        docs.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn(
+            "c", F.size(F.array_intersect("w", "qw")).cast("bigint")
+        )
+        .filter(F.col("c") > 0)
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("cast(c * 10000 div (qn + n - c) as bigint)").alias(
+                "jacc_bp"
+            ),
+        )
+    )
+    lex = salted_topk(
+        inter, "query_id", [F.col("jacc_bp").desc(), F.col("doc_id")], RRF_DEPTH
+    ).select("query_id", "doc_id", F.col("rn").cast("int").alias("lex_rank"))
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dense = salted_topk(
+        bruteforce_scored(with_norm(emb)),
+        "query_id",
+        [F.col("s").desc(), F.col("neighbor_id")],
+        RRF_DEPTH,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rn").cast("int").alias("dense_rank"),
+    )
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_micro",
+            F.expr(
+                f"cast(coalesce({RRF_SCALE} div ({RRF_K} + lex_rank), 0)"
+                f" + coalesce({RRF_SCALE} div ({RRF_K} + dense_rank), 0)"
+                " as bigint)"
+            ),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_micro",
+            "lex_rank",
+            "dense_rank",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

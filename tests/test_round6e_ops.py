@@ -1,0 +1,165 @@
+"""Invariant pins for the sixth round-6 session's additions, beyond
+oracle equality: triangle counting re-derived by an oracle-independent
+pure-Python implementation, and RRF fusion algebra recomputed from
+independently re-ranked lexical and dense lists.
+"""
+
+from __future__ import annotations
+
+import math
+
+from go_integ_spark.operators.dedup import TRI_CC_SCALE
+from go_integ_spark.operators.similarity import (
+    N_QUERIES,
+    RRF_DEPTH,
+    RRF_K,
+    RRF_SCALE,
+    TOP_K,
+)
+from go_integ_spark.registry import load_all
+from go_integ_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+REG = load_all()
+
+
+def test_triangles_match_pure_python(spark):
+    # Oracle-independent third implementation: rebuild the graph from
+    # the registered LSH pair query and count triangles by closing
+    # oriented wedges over Python sets.
+    pairs = REG["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    edges = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri_cnt: dict[int, int] = {}
+    n_tri = 0
+    for a, b in edges:
+        for c in nbrs[a] & nbrs[b]:
+            if b < c:  # a < b from orientation; c closes a < b < c
+                n_tri += 1
+                for v in (a, b, c):
+                    tri_cnt[v] = tri_cnt.get(v, 0) + 1
+    got = {
+        r["doc_id"]: (r["degree"], r["tri_cnt"], r["cc_bp"])
+        for r in REG["graph_triangle_count"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(nbrs)
+    for v, ns in nbrs.items():
+        d, t = len(ns), tri_cnt.get(v, 0)
+        cc = (t * 2 * TRI_CC_SCALE) // (d * (d - 1)) if d >= 2 else 0
+        assert got[v] == (d, t, cc), v
+    assert n_tri > 0  # the graph is non-trivial at sf0.001
+    assert sum(t for _, t, _ in got.values()) == 3 * n_tri
+
+
+def test_triangle_invariants(spark):
+    rows = REG["graph_triangle_count"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["degree"] >= 1
+        # cc in [0, 1]: tri_cnt can never exceed deg*(deg-1)/2.
+        assert 0 <= r["cc_bp"] <= TRI_CC_SCALE, r
+        if r["tri_cnt"] > 0:
+            assert r["degree"] >= 2, r
+
+
+def _python_rrf(spark):
+    """Full fusion recomputed from scratch: lexical Jaccard over
+    Python word sets; dense cosine replaying the JVM fold's exact
+    float sequence (one rounded multiply + one rounded add per
+    dimension — Python floats are IEEE doubles, so the loop below is
+    bit-identical to the aggregate/zip_with expression)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    words = {
+        r["doc_id"]: set(w for w in r["text"].split(" ") if w)
+        for r in docs
+        if len(r["text"]) > 0
+    }
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+
+    def norm(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return math.sqrt(acc)
+
+    norms = {k: norm(v) for k, v in vecs.items()}
+
+    def cos(a, b):
+        acc = 0.0
+        for x, y in zip(vecs[a], vecs[b]):
+            acc += x * y
+        return acc / (norms[a] * norms[b])
+
+    expect = {}
+    for q in range(N_QUERIES):
+        qw = words[q]
+        lex_scored = []
+        for d, w in words.items():
+            if d == q:
+                continue
+            c = len(qw & w)
+            if c > 0:
+                lex_scored.append((-(c * 10000 // (len(qw) + len(w) - c)), d))
+        lex_scored.sort()
+        lex = {d: i + 1 for i, (_, d) in enumerate(lex_scored[:RRF_DEPTH])}
+        dense_scored = sorted(
+            (-cos(q, d), d) for d in vecs if d != q
+        )
+        dense = {d: i + 1 for i, (_, d) in enumerate(dense_scored[:RRF_DEPTH])}
+        fused = []
+        for d in set(lex) | set(dense):
+            s = 0
+            if d in lex:
+                s += RRF_SCALE // (RRF_K + lex[d])
+            if d in dense:
+                s += RRF_SCALE // (RRF_K + dense[d])
+            fused.append((-s, d))
+        fused.sort()
+        for rank, (neg_s, d) in enumerate(fused[:TOP_K], start=1):
+            expect[(q, d)] = (-neg_s, lex.get(d), dense.get(d), rank)
+    return expect
+
+
+def test_rrf_matches_pure_python(spark):
+    expect = _python_rrf(spark)
+    rows = REG["similarity_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    got = {
+        (r["query_id"], r["doc_id"]): (
+            r["rrf_micro"],
+            r["lex_rank"],
+            r["dense_rank"],
+            r["rank"],
+        )
+        for r in rows
+    }
+    assert got == expect
+
+
+def test_rrf_invariants(spark):
+    rows = REG["similarity_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        # The fused score must be exactly reconstructible from the
+        # two ranks — no float ever enters the fusion.
+        s = 0
+        if r["lex_rank"] is not None:
+            assert 1 <= r["lex_rank"] <= RRF_DEPTH
+            s += RRF_SCALE // (RRF_K + r["lex_rank"])
+        if r["dense_rank"] is not None:
+            assert 1 <= r["dense_rank"] <= RRF_DEPTH
+            s += RRF_SCALE // (RRF_K + r["dense_rank"])
+        assert r["rrf_micro"] == s and s > 0, r
+    assert set(by_q) == set(range(N_QUERIES))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        micro = [r["rrf_micro"] for r in rs]
+        assert micro == sorted(micro, reverse=True), q
+        # A doc ranked by both lists must outscore any doc whose only
+        # contribution is a deeper single-list rank of the same kind.
+        assert len(rs) == TOP_K
