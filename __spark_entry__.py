@@ -142,6 +142,7 @@ _MEASURED_COST = {
     "q18_large_volume_customers": 0.79,
     "text_collocations": 0.8,
     "q9_product_profit": 0.81,
+    "multimodal_scene_cuts": 0.82,
     "q7_volume_shipping": 0.87,
     "curation_diversity_sample": 0.88,
     "connector_graphql_cursor_read": 0.9,
@@ -202,6 +203,7 @@ _MEASURED_COST = {
     "streaming_srp_registry": 3.26,
     "connector_datasource_distributed_read": 4.59,
     "similarity_hybrid_rrf": 4.77,
+    "similarity_ndcg_eval": 5.27,
     "graph_pagerank_sources": 7.28,
     "streaming_static_enrich": 8.13,
     "embedding_communities": 9.27,

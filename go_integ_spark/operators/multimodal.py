@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -526,3 +526,108 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(batches, VAD_SCHEMA)
+
+
+# --- Video scene-cut detection over sampled frames -------------------
+#
+# A training-data video pipeline segments footage into scenes before
+# captioning/embedding: consecutive sampled frames whose features jump
+# past a threshold mark a cut. Real systems diff decoded-frame
+# histograms; the decode is the container's stub (byte slices stand in
+# for keyframes, mean byte value in centi-units stands in for the
+# frame feature), but the Spark shape is the production one: 1-to-N
+# frame fan-out (map-side), Arrow-batched feature extraction, then a
+# per-video lag window over FEATURES ONLY — frame payloads are pruned
+# before the one shuffle, so the exchange carries (doc_id, frame_no,
+# int64), never bytes.
+
+SCENE_FEAT_SCALE = 100  # mean byte value in centi-units
+SCENE_CUT_THRESHOLD = 150  # centi-units (1.5 byte levels)
+
+
+@register(
+    "multimodal_scene_cuts",
+    tags=("multimodal", "pandas_udf", "window"),
+    oracle=f"""
+WITH vid AS (
+    SELECT doc_id, text, greatest(1, length(text) // {FRAME_COUNT}) AS chunk
+    FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+    SELECT doc_id,
+           unnest(generate_series(0, {FRAME_COUNT - 1})) AS frame_no,
+           chunk, text
+    FROM vid
+), feat AS (
+    SELECT doc_id, frame_no,
+           CASE WHEN length(substr(text, frame_no * chunk + 1, chunk)) > 0
+                THEN (list_sum(list_transform(
+                          string_split(substr(text, frame_no * chunk + 1,
+                                              chunk), ''),
+                          c -> ascii(c))) * {SCENE_FEAT_SCALE})
+                     // length(substr(text, frame_no * chunk + 1, chunk))
+                ELSE 0 END AS mean_centi
+    FROM fr
+), delta AS (
+    SELECT doc_id, frame_no,
+           abs(mean_centi - lag(mean_centi) OVER (
+               PARTITION BY doc_id ORDER BY frame_no)) AS d
+    FROM feat
+)
+SELECT doc_id,
+       CAST(count(*) FILTER (d > {SCENE_CUT_THRESHOLD}) AS BIGINT)
+           AS n_cuts,
+       CAST(count(*) FILTER (d > {SCENE_CUT_THRESHOLD}) + 1 AS BIGINT)
+           AS n_scenes,
+       CAST(max(d) AS BIGINT) AS max_delta_centi
+FROM delta WHERE frame_no >= 1
+GROUP BY doc_id
+""",
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection per video: sample FRAME_COUNT frames, diff
+    consecutive frame features, count jumps above the threshold. The
+    stub feature (mean byte value, exact integer centi-units) keeps
+    the whole pipeline value-oracle-checkable; swap the kernel for a
+    histogram differ over real decoded frames and nothing else in the
+    plan changes.
+
+    Scale shape: ``sample_frames`` fans out map-side (mapInPandas,
+    payload never shuffled whole); the feature kernel reduces each
+    frame to one int64 inside the same Arrow batch stream; the lag
+    window and the per-video aggregate then share ONE
+    hash-partitioning on doc_id over integer-only rows. ASCII-corpus
+    convention as the other multimodal stub oracles (byte slicing ==
+    character slicing).
+    """
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_media(docs))
+
+    @F.pandas_udf("bigint")
+    def mean_centi(fr: pd.Series) -> pd.Series:
+        out = []
+        for p in fr:
+            b = np.frombuffer(bytes(p or b""), dtype=np.uint8)
+            out.append(
+                int(b.sum(dtype=np.int64)) * SCENE_FEAT_SCALE // len(b)
+                if len(b)
+                else 0
+            )
+        return pd.Series(out, dtype="int64")
+
+    feat = frames.select(
+        "doc_id", "frame_no", mean_centi("frame").alias("mean_centi")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    delta = feat.withColumn(
+        "d", F.abs(F.col("mean_centi") - F.lag("mean_centi").over(w))
+    ).filter(F.col("frame_no") >= 1)
+    n_cuts = F.sum(
+        F.when(F.col("d") > SCENE_CUT_THRESHOLD, 1).otherwise(0)
+    ).cast("bigint")
+    return delta.groupBy("doc_id").agg(
+        n_cuts.alias("n_cuts"),
+        (n_cuts + F.lit(1)).cast("bigint").alias("n_scenes"),
+        F.max("d").cast("bigint").alias("max_delta_centi"),
+    )

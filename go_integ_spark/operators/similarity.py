@@ -2814,3 +2814,107 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --- nDCG@k: graded ranking quality of the IVF index -----------------
+#
+# recall@k says WHETHER the true neighbors were found; nDCG@k says
+# WHERE they landed — the standard graded metric (Jarvelin &
+# Kekalainen 2002) every retrieval eval reports next to recall. The
+# discount weights 1/log2(rank+1) are irrational, so they are
+# precomputed ONCE driver-side as integer micro-units and inlined as
+# identical literals into both the Spark expression and the DuckDB
+# oracle — the fusion/fixed-point discipline again: no float crosses
+# an engine boundary, and the metric carries a full value oracle.
+
+import math as _math
+
+NDCG_SCALE = 1_000_000
+_NDCG_W = [round(NDCG_SCALE / _math.log2(i + 1)) for i in range(1, TOP_K + 1)]
+_NDCG_IDCG = sum(_NDCG_W)  # ideal DCG: every position a hit
+
+
+def _ndcg_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _NDCG_W)
+    prefix = _recall_oracle().split(", ivf_k AS (")[0].rstrip()
+    return f"""{prefix}, ivf_k AS (
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(q.qe, a.e) DESC, a.vec_id
+               ) AS rn
+        FROM probes p
+        JOIN assigned a ON a.cell_id = p.cell_id
+        JOIN q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    ) WHERE rn <= {TOP_K}
+), bf_k AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY qq.vec_id
+                   ORDER BY list_cosine_similarity(qq.e, c.e) DESC, c.vec_id
+               ) AS rn
+        FROM v qq JOIN v c ON qq.vec_id < {N_QUERIES} AND c.vec_id <> qq.vec_id
+    ) WHERE rn <= {TOP_K}
+)
+SELECT i.query_id,
+       CAST(count(b.neighbor_id) AS BIGINT) AS hits,
+       CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
+                     THEN [{w_list}][i.rank] ELSE 0 END) AS BIGINT)
+           AS dcg_micro,
+       CAST((sum(CASE WHEN b.neighbor_id IS NOT NULL
+                      THEN [{w_list}][i.rank] ELSE 0 END) * 10000)
+            // {_NDCG_IDCG} AS BIGINT) AS ndcg_bp
+FROM ivf_k i
+LEFT JOIN bf_k b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY i.query_id
+"""
+
+
+@register(
+    "similarity_ndcg_eval",
+    tags=("similarity", "evaluation", "vector", "llm_pipeline"),
+    oracle=_ndcg_oracle(),
+)
+def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@k of the IVF index against the exact brute-force ground
+    truth — the position-sensitive companion to
+    ``similarity_recall_eval``: a hit at rank 1 is worth the full
+    discount weight, a hit at rank k only w_k, so an index that finds
+    the right neighbors but shuffles their order scores below one
+    that preserves it. Binary relevance (membership in the true
+    top-k); dcg_micro is the discounted sum in micro-units, ndcg_bp
+    normalizes by the ideal DCG in basis points.
+
+    Scale shape: identical to the recall eval — both arms are the
+    registered pipelines reused verbatim; the metric join touches
+    |queries| x k id rows, and the rank→weight mapping is an inlined
+    k-element array lookup (pure map-side codegen).
+    """
+    wlit = F.array(*[F.lit(w) for w in _NDCG_W])
+    truth = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    hit = approx.join(
+        truth.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).withColumn(
+        "w",
+        F.when(F.col("hit").isNotNull(), F.element_at(wlit, F.col("rank")))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    return hit.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits"),
+        F.sum("w").cast("bigint").alias("dcg_micro"),
+        F.expr(f"cast(sum(w) * 10000 div {_NDCG_IDCG} as bigint)").alias(
+            "ndcg_bp"
+        ),
+    )

@@ -163,3 +163,64 @@ def test_rrf_invariants(spark):
         # A doc ranked by both lists must outscore any doc whose only
         # contribution is a deeper single-list rank of the same kind.
         assert len(rs) == TOP_K
+
+
+def test_ndcg_matches_recall_and_recompute(spark):
+    from go_integ_spark.operators.similarity import _NDCG_IDCG, _NDCG_W
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REG["ann_bruteforce_topk"].fn(spark, SF_DIR).collect()
+    }
+    approx = REG["ann_ivf_topk"].fn(spark, SF_DIR).collect()
+    expect: dict[int, tuple[int, int]] = {}
+    for r in approx:
+        h, d = expect.get(r["query_id"], (0, 0))
+        if (r["query_id"], r["neighbor_id"]) in truth:
+            h, d = h + 1, d + _NDCG_W[r["rank"] - 1]
+        expect[r["query_id"]] = (h, d)
+    rows = REG["similarity_ndcg_eval"].fn(spark, SF_DIR).collect()
+    recall = {
+        r["query_id"]: r["hits"]
+        for r in REG["similarity_recall_eval"].fn(spark, SF_DIR).collect()
+    }
+    assert {r["query_id"] for r in rows} == set(range(N_QUERIES))
+    for r in rows:
+        h, d = expect[r["query_id"]]
+        assert (r["hits"], r["dcg_micro"]) == (h, d), r
+        assert r["hits"] == recall[r["query_id"]]
+        assert r["ndcg_bp"] == d * 10000 // _NDCG_IDCG
+        assert 0 <= r["ndcg_bp"] <= 10000
+        # Perfect-order sanity: full hits at perfect order would be
+        # exactly IDCG; any miss keeps dcg strictly below it.
+        if r["hits"] < len(_NDCG_W):
+            assert r["dcg_micro"] < _NDCG_IDCG
+
+
+def test_scene_cuts_match_pure_python(spark):
+    from go_integ_spark.operators.multimodal import (
+        FRAME_COUNT,
+        SCENE_CUT_THRESHOLD,
+        SCENE_FEAT_SCALE,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for r in docs:
+        if r["doc_id"] % 3 != 2:
+            continue
+        b = r["text"].encode("utf-8")
+        chunk = max(1, len(b) // FRAME_COUNT)
+        means = []
+        for i in range(FRAME_COUNT):
+            fb = b[i * chunk : (i + 1) * chunk]
+            means.append(sum(fb) * SCENE_FEAT_SCALE // len(fb) if fb else 0)
+        deltas = [abs(means[i] - means[i - 1]) for i in range(1, FRAME_COUNT)]
+        cuts = sum(1 for d in deltas if d > SCENE_CUT_THRESHOLD)
+        expect[r["doc_id"]] = (cuts, cuts + 1, max(deltas))
+    got = {
+        r["doc_id"]: (r["n_cuts"], r["n_scenes"], r["max_delta_centi"])
+        for r in REG["multimodal_scene_cuts"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert any(c > 0 for c, _, _ in got.values())  # non-trivial corpus
