@@ -179,6 +179,7 @@ _MEASURED_COST = {
     "streaming_hourly_counts": 1.61,
     "dedup_paraphrase_pairs": 1.66,
     "dedup_simhash": 1.75,
+    "curation_mirror_blocklist": 1.76,
     "streaming_anomaly_mad": 1.8,
     "similarity_pq_search": 1.84,
     "text_bpe_vocab": 1.86,

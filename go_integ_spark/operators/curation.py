@@ -1516,3 +1516,120 @@ def curation_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         effective.cast("bigint").alias("effective_tokens"),
         (demand - effective).cast("bigint").alias("deficit_tokens"),
     )
+
+
+# --- Mirror-farm blocklist from the duplication graph ----------------
+#
+# The policy half of graph_pagerank_sources: a source whose documents
+# keep near-duplicating OTHER sources' documents is a mirror/SEO farm,
+# and web-scale pipelines blocklist the whole host rather than chase
+# its documents one by one (the C4/RefinedWeb host-filter pattern).
+# The signal here is the same cross-source near-dup edge list the
+# PageRank query aggregates; the policy is a simple degree threshold,
+# which is the form production blocklists actually take (explainable,
+# monotone, re-computable per crawl snapshot).
+
+MIRROR_DUP_THRESHOLD = 4  # cross-source near-dup pairs incident
+
+
+def _mirror_blocklist_oracle() -> str:
+    from go_integ_spark.operators.dedup import (
+        _JACCARD_ORACLE,
+        JACCARD_THRESHOLD,
+    )
+
+    prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
+    return f"""{prefix}), jp AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+), und AS (
+    SELECT least(da.source, db.source) AS u,
+           greatest(da.source, db.source) AS v,
+           count(*) AS w
+    FROM jp
+    JOIN documents da ON da.doc_id = jp.doc_a
+    JOIN documents db ON db.doc_id = jp.doc_b
+    WHERE da.source <> db.source
+    GROUP BY 1, 2
+), dw AS (
+    SELECT src, CAST(sum(w) AS BIGINT) AS dup_weight FROM (
+        SELECT u AS src, w FROM und
+        UNION ALL SELECT v AS src, w FROM und
+    ) GROUP BY src
+), per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    GROUP BY source
+)
+SELECT p.source,
+       p.n_docs,
+       CAST(coalesce(d.dup_weight, 0) AS BIGINT) AS dup_weight,
+       coalesce(d.dup_weight, 0) >= {MIRROR_DUP_THRESHOLD} AS blocked,
+       CAST(CASE WHEN coalesce(d.dup_weight, 0) >= {MIRROR_DUP_THRESHOLD}
+                 THEN p.n_docs ELSE 0 END AS BIGINT) AS n_docs_dropped
+FROM per_src p LEFT JOIN dw d ON d.src = p.source
+"""
+
+
+@register(
+    "curation_mirror_blocklist",
+    tags=("curation", "graph", "dedup", "llm_pipeline"),
+    oracle=_mirror_blocklist_oracle(),
+)
+def curation_mirror_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level blocklist from cross-source duplication: per source,
+    the incident cross-source near-dup pair weight, whether it
+    crosses the blocklist threshold, and how many documents the
+    block would drop.
+
+    Scale shape: the LSH pair path is corpus-scale but shared (same
+    verified candidates as ``dedup_minhash_lsh``); everything after
+    the pairs→source collapse is |sources|-scale — two tiny
+    aggregations and one left join. At 100 TB the blocklist itself
+    is the broadcast-side of the subsequent document filter (a
+    |sources|-row frame), so applying the policy costs one
+    broadcast-hash anti-join over the corpus scan.
+    """
+    from go_integ_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    und = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("u"),
+            F.greatest("sa", "sb").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    dw = (
+        und.select(F.col("u").alias("src"), "w")
+        .unionAll(und.select(F.col("v").alias("src"), "w"))
+        .groupBy("src")
+        .agg(F.sum("w").cast("bigint").alias("dup_weight"))
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    joined = per_src.join(dw, per_src["source"] == dw["src"], "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("dup_weight", F.lit(0)).cast("bigint").alias("dup_weight"),
+    )
+    blocked = F.col("dup_weight") >= MIRROR_DUP_THRESHOLD
+    return joined.select(
+        "source",
+        "n_docs",
+        "dup_weight",
+        blocked.alias("blocked"),
+        F.when(blocked, F.col("n_docs")).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_docs_dropped"),
+    )

@@ -224,3 +224,27 @@ def test_scene_cuts_match_pure_python(spark):
     }
     assert got == expect
     assert any(c > 0 for c, _, _ in got.values())  # non-trivial corpus
+
+
+def test_mirror_blocklist_consistent_with_pagerank(spark):
+    from go_integ_spark.operators.curation import MIRROR_DUP_THRESHOLD
+
+    rows = REG["curation_mirror_blocklist"].fn(spark, SF_DIR).collect()
+    # graph_pagerank_sources derives dup_weight from the same edge
+    # list through a different code path (checkpointed edge frame) —
+    # the two must agree source by source.
+    pr = {
+        r["source"]: r["dup_weight"]
+        for r in REG["graph_pagerank_sources"].fn(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert {r["source"] for r in rows} == set(pr)
+    blocked = 0
+    for r in rows:
+        assert r["dup_weight"] == pr[r["source"]], r
+        assert r["blocked"] == (r["dup_weight"] >= MIRROR_DUP_THRESHOLD)
+        assert r["n_docs_dropped"] == (r["n_docs"] if r["blocked"] else 0)
+        blocked += int(r["blocked"])
+    # The threshold separates: some sources blocked, some kept.
+    assert 0 < blocked < len(rows)
