@@ -147,6 +147,7 @@ _MEASURED_COST = {
     "curation_diversity_sample": 0.88,
     "connector_graphql_cursor_read": 0.9,
     "q5_local_supplier_volume": 0.91,
+    "curation_holdout_split": 0.92,
     "q21_late_supplier_wait": 0.92,
     "text_bigram_logprob": 0.94,
     "dedup_minhash_lsh": 0.97,

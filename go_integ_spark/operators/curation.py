@@ -1633,3 +1633,73 @@ def curation_mirror_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_dropped"),
     )
+
+
+# --- Deterministic train/val/test holdout split ----------------------
+#
+# Every training corpus needs a leakage-free split, and the standard
+# production form is HASH-BASED assignment: split(doc) is a pure
+# function of the document id, so re-running the pipeline (or adding
+# new documents) never moves an old document across splits — the
+# property random sampling does not have. The engine-portable md5
+# slice (functions/hashing.py) makes the assignment value-checkable
+# across engines.
+
+SPLIT_MOD = 100
+SPLIT_TRAIN_LT = 90  # buckets [0, 90) -> train
+SPLIT_VAL_LT = 95  # buckets [90, 95) -> val; [95, 100) -> test
+
+
+def _holdout_split_oracle() -> str:
+    from go_integ_spark.functions.hashing import h60_sql
+
+    b = f"({h60_sql('CAST(doc_id AS VARCHAR)')} % {SPLIT_MOD})"
+    return rf"""
+SELECT source,
+       CASE WHEN {b} < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN {b} < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+           AS total_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "curation_holdout_split",
+    tags=("curation", "llm_pipeline"),
+    oracle=_holdout_split_oracle(),
+)
+def curation_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashed
+    doc_id, reported per (source, split) with document and token
+    counts — the audit table that shows every source is represented
+    in every split before training starts.
+
+    Scale shape: assignment is a row-local hash expression (JVM
+    codegen, no shuffle); the only exchange is the map-side-combined
+    (source, split) aggregate carrying two int64 counters. Because
+    the split is a pure function of doc_id, incremental corpus
+    updates re-derive identical assignments — no stored split table
+    to keep consistent at 100 TB.
+    """
+    from go_integ_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = h60(F.col("doc_id").cast("string")) % SPLIT_MOD
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    return (
+        docs.select("source", split.alias("split"), n_tokens.alias("nt"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -248,3 +248,37 @@ def test_mirror_blocklist_consistent_with_pagerank(spark):
         blocked += int(r["blocked"])
     # The threshold separates: some sources blocked, some kept.
     assert 0 < blocked < len(rows)
+
+
+def test_holdout_split_deterministic_and_complete(spark):
+    from go_integ_spark.functions.hashing import h60_py
+    from go_integ_spark.operators.curation import (
+        SPLIT_MOD,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+
+    rows = REG["curation_holdout_split"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    expect: dict[tuple[str, str], list[int]] = {}
+    for r in docs:
+        b = h60_py(str(r["doc_id"])) % SPLIT_MOD
+        s = "train" if b < SPLIT_TRAIN_LT else ("val" if b < SPLIT_VAL_LT else "test")
+        nd_nt = expect.setdefault((r["source"], s), [0, 0])
+        nd_nt[0] += 1
+        nd_nt[1] += len(r["text"].split())
+    got = {
+        (r["source"], r["split"]): [r["n_docs"], r["total_tokens"]]
+        for r in rows
+    }
+    assert got == expect
+    # Every split is populated and the 90/5/5 shape roughly holds.
+    by_split: dict[str, int] = {}
+    for (_, s), (nd, _) in got.items():
+        by_split[s] = by_split.get(s, 0) + nd
+    n = sum(by_split.values())
+    assert n == len(docs)
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"] + by_split["test"]
