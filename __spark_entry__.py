@@ -195,6 +195,7 @@ _MEASURED_COST = {
     "streaming_running_max_cursor": 2.22,
     "dedup_clusters": 2.37,
     "text_winnow_overlap": 2.45,
+    "curation_split_leakage": 2.46,
     "streaming_stream_join": 2.47,
     "embedding_knn_graph": 2.49,
     "ann_ivfpq_residual_topk": 2.55,

@@ -1703,3 +1703,106 @@ def curation_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# --- Split-leakage audit: holdout shingles found in train ------------
+#
+# The companion audit to curation_holdout_split: before an eval split
+# is trusted, measure how much of its n-gram content already appears
+# in train — hash-based assignment prevents ASSIGNMENT drift, but it
+# cannot prevent CONTENT leakage through near-duplicate documents
+# landing on opposite sides of the split. Same shingle machinery as
+# contamination_ngram_overlap, with the split predicate swapped from
+# the modulo stand-in to the real hashed 90/5/5 assignment, and
+# aggregated to the per-split audit row a release gate consumes.
+
+
+def _split_leakage_oracle() -> str:
+    from go_integ_spark.functions.hashing import h60_sql
+
+    b = f"({h60_sql('CAST(doc_id AS VARCHAR)')} % {SPLIT_MOD})"
+    return f"""{_SH_CTE}
+, eval_sh AS (
+    SELECT doc_id,
+           CASE WHEN {b} < {SPLIT_VAL_LT} THEN 'val' ELSE 'test' END AS split,
+           shingle
+    FROM sh WHERE {b} >= {SPLIT_TRAIN_LT}
+), train_sh AS (
+    SELECT DISTINCT shingle FROM sh WHERE {b} < {SPLIT_TRAIN_LT}
+), per_doc AS (
+    SELECT e.split, e.doc_id,
+           count(*) AS n_grams,
+           count(t.shingle) AS n_hit
+    FROM eval_sh e
+    LEFT JOIN train_sh t ON t.shingle = e.shingle
+    GROUP BY e.split, e.doc_id
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(n_hit) AS BIGINT) AS n_hit,
+       CAST((sum(n_hit) * 10000) // sum(n_grams) AS BIGINT) AS leak_bp,
+       CAST(count(*) FILTER (n_hit * 2 >= n_grams) AS BIGINT)
+           AS n_docs_majority_leaked
+FROM per_doc
+GROUP BY split
+"""
+
+
+@register(
+    "curation_split_leakage",
+    tags=("curation", "contamination", "llm_pipeline"),
+    oracle=_split_leakage_oracle(),
+)
+def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split leakage audit over the hashed holdout assignment:
+    for val and test, the fraction of distinct eval-doc shingles that
+    already occur in any train document (exact basis points), plus
+    the count of eval docs that are majority-leaked — the number a
+    release gate thresholds before trusting an eval set.
+
+    Scale shape: reuses the session-cached per-doc shingle-ID sets
+    (built once per corpus); the probe ships 8-byte shingle IDs
+    against the distinct-deduplicated train vocabulary — text never
+    crosses the wire, and the eval side is 10% of the corpus by
+    construction. One id-scale join, two map-side-combined
+    aggregations.
+    """
+    from go_integ_spark.functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = _cached_doc_sets(docs)
+    bucket = h60(F.col("doc_id").cast("string")) % SPLIT_MOD
+    sh = sets_.select("doc_id", bucket.alias("b"), F.explode("sids").alias("sid"))
+    eval_sh = sh.filter(F.col("b") >= SPLIT_TRAIN_LT).select(
+        "doc_id",
+        F.when(F.col("b") < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        "sid",
+    )
+    train_sh = (
+        sh.filter(F.col("b") < SPLIT_TRAIN_LT)
+        .select("sid")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        eval_sh.join(train_sh, "sid", "left")
+        .groupBy("split", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.sum("n_hit").cast("bigint").alias("n_hit"),
+        F.expr("cast(sum(n_hit) * 10000 div sum(n_grams) as bigint)").alias(
+            "leak_bp"
+        ),
+        F.sum(
+            F.when(F.col("n_hit") * 2 >= F.col("n_grams"), 1).otherwise(0)
+        ).cast("bigint").alias("n_docs_majority_leaked"),
+    )

@@ -282,3 +282,49 @@ def test_holdout_split_deterministic_and_complete(spark):
     assert n == len(docs)
     assert set(by_split) == {"train", "val", "test"}
     assert by_split["train"] > by_split["val"] + by_split["test"]
+
+
+def test_split_leakage_matches_pure_python(spark):
+    from go_integ_spark.functions.hashing import h60_py
+    from go_integ_spark.operators.curation import (
+        SPLIT_MOD,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+    from go_integ_spark.operators.dedup import SHINGLE_K
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    shingles: dict[int, set[tuple[str, ...]]] = {}
+    for r in docs:
+        w = r["text"].split(" ")
+        if len(w) >= SHINGLE_K:
+            shingles[r["doc_id"]] = {
+                tuple(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)
+            }
+    train_vocab: set[tuple[str, ...]] = set()
+    split_of = {}
+    for d in shingles:
+        b = h60_py(str(d)) % SPLIT_MOD
+        if b < SPLIT_TRAIN_LT:
+            split_of[d] = "train"
+            train_vocab |= shingles[d]
+        else:
+            split_of[d] = "val" if b < SPLIT_VAL_LT else "test"
+    expect: dict[str, list[int]] = {"val": [0, 0, 0, 0], "test": [0, 0, 0, 0]}
+    for d, s in split_of.items():
+        if s == "train":
+            continue
+        grams = shingles[d]
+        hit = len(grams & train_vocab)
+        agg = expect[s]
+        agg[0] += 1
+        agg[1] += len(grams)
+        agg[2] += hit
+        agg[3] += int(hit * 2 >= len(grams))
+    rows = REG["curation_split_leakage"].fn(spark, SF_DIR).collect()
+    assert {r["split"] for r in rows} == {"val", "test"}
+    for r in rows:
+        nd, ng, nh, maj = expect[r["split"]]
+        assert (r["n_docs"], r["n_grams"], r["n_hit"]) == (nd, ng, nh), r
+        assert r["leak_bp"] == nh * 10000 // ng
+        assert r["n_docs_majority_leaked"] == maj
