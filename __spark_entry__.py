@@ -198,6 +198,7 @@ _MEASURED_COST = {
     "curation_split_leakage": 2.46,
     "streaming_stream_join": 2.47,
     "embedding_knn_graph": 2.49,
+    "similarity_cluster_purity": 2.5,
     "ann_ivfpq_residual_topk": 2.55,
     "dedup_semdedup": 2.83,
     "streaming_histogram": 2.89,

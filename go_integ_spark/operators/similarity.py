@@ -2918,3 +2918,96 @@ def similarity_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_bp"
         ),
     )
+
+
+# --- Cluster purity: unsupervised clusters vs gold labels ------------
+#
+# The standard external clustering eval: assign every vector to its
+# k-means cluster, then score each cluster by the share of its
+# majority gold label. Purity is what tells you whether the cells a
+# curation pipeline samples/caps by actually correspond to semantic
+# groups. Reuses the fixed-point Lloyd loop bit-for-bit (same
+# quantize, same iterate count), so the statically-unrolled oracle
+# extends with one label join and stays value-exact; purity itself is
+# an integer ratio in basis points.
+
+
+def _cluster_purity_oracle() -> str:
+    km = _kmeans_oracle()
+    prefix = km[: km.rfind("\nSELECT cid,")]
+    return f"""{prefix}
+, lab AS (
+    SELECT a.cid, e.label, count(*) AS n
+    FROM a{KMEANS_ITERS} a JOIN embeddings e ON e.vec_id = a.vec_id
+    GROUP BY 1, 2
+), tot AS (
+    SELECT cid, sum(n) AS nv FROM lab GROUP BY cid
+), maj AS (
+    SELECT cid, label, n FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cid ORDER BY n DESC, label) AS rn
+        FROM lab
+    ) WHERE rn = 1
+)
+SELECT t.cid,
+       CAST(t.nv AS BIGINT) AS n_vectors,
+       CAST(m.label AS INT) AS majority_label,
+       CAST(m.n AS BIGINT) AS n_majority,
+       CAST((m.n * 10000) // t.nv AS BIGINT) AS purity_bp
+FROM tot t JOIN maj m ON m.cid = t.cid
+"""
+
+
+@register(
+    "similarity_cluster_purity",
+    tags=("similarity", "clustering", "evaluation", "llm_pipeline"),
+    oracle=_cluster_purity_oracle(),
+)
+def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster purity of the fixed-point k-means assignment
+    against the gold label column: cluster size, majority label
+    (ties to the lowest label id), majority count, and purity in
+    basis points.
+
+    Scale shape: the Lloyd loop is the registered one (broadcast
+    centroid literals, row-local Arrow assign, dimension-parallel
+    update); the eval adds one id-scale label join and then reduces
+    through a SINGLE aggregation over the (cid, label) cells —
+    ``max(struct(n, -label))`` picks the majority with the lowest-
+    label tie-break in the same pass that sums cluster sizes, so the
+    corpus-scale assign pipeline is evaluated exactly once (the
+    window+self-join formulation re-derived it per consumer).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    qv = _kmeans_u_quantize(emb.select("vec_id", "embedding"))
+    centroids = first_k_centroids_u(qv, KMEANS_K)
+    for _ in range(KMEANS_ITERS):
+        assigned = kmeans_assign_u(qv, centroids)
+        centroids = kmeans_update_u(assigned)
+    final = kmeans_assign_u(qv, centroids)
+    cell = (
+        final.select("vec_id", "cid")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = cell.groupBy("cid").agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.max(
+            F.struct(
+                F.col("n").alias("n"),
+                (-F.col("label")).cast("long").alias("neg_label"),
+            )
+        ).alias("mx"),
+    )
+    return agg.select(
+        "cid",
+        "n_vectors",
+        (-F.col("mx.neg_label")).cast("int").alias("majority_label"),
+        F.col("mx.n").cast("bigint").alias("n_majority"),
+        F.expr("cast(mx.n * 10000 div n_vectors as bigint)").alias(
+            "purity_bp"
+        ),
+    )

@@ -328,3 +328,29 @@ def test_split_leakage_matches_pure_python(spark):
         assert (r["n_docs"], r["n_grams"], r["n_hit"]) == (nd, ng, nh), r
         assert r["leak_bp"] == nh * 10000 // ng
         assert r["n_docs_majority_leaked"] == maj
+
+
+def test_cluster_purity_consistent_with_kmeans(spark):
+    # embedding_kmeans reports cluster sizes through the identical
+    # fixed-point Lloyd loop — purity's n_vectors must agree, and
+    # purity algebra must hold per cluster.
+    sizes = {
+        r["cid"]: r["n_vectors"]
+        for r in REG["embedding_kmeans"].fn(spark, SF_DIR).collect()
+    }
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = REG["similarity_cluster_purity"].fn(spark, SF_DIR).collect()
+    assert {r["cid"] for r in rows} == set(sizes)
+    n_labels = len(set(labels.values()))
+    for r in rows:
+        assert r["n_vectors"] == sizes[r["cid"]], r
+        assert 1 <= r["n_majority"] <= r["n_vectors"]
+        # majority floor: the largest label class is at least 1/L.
+        assert r["n_majority"] * n_labels >= r["n_vectors"]
+        assert r["purity_bp"] == r["n_majority"] * 10000 // r["n_vectors"]
+    assert sum(r["n_vectors"] for r in rows) == len(labels)
