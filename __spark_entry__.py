@@ -153,6 +153,7 @@ _MEASURED_COST = {
     "dedup_minhash_lsh": 0.97,
     "curation_dsir_weights": 0.98,
     "text_dup_ngram_fraction": 0.98,
+    "text_rake_keywords": 0.98,
     "text_winnow_fingerprint": 1.0,
     "ann_bruteforce_topk": 1.01,
     "text_bm25_topk": 1.01,

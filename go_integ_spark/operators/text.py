@@ -1965,3 +1965,132 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * tp / F.nullif((2 * tp + fp + fn).cast("double"), F.lit(0.0)), 6
         ).alias("f1"),
     )
+
+
+# --- RAKE keyword extraction -----------------------------------------
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-free word runs; each member word is
+# scored deg(w)/freq(w) over all candidate occurrences (deg counts
+# the full length of every phrase containing w, freq its occurrence
+# count), and a phrase scores the sum of its member word scores. The
+# fixed-point contract: word scores are (deg * 10000) div freq in
+# int64 basis points BEFORE summing, so phrase scores are exact
+# integers both engines reproduce bit-for-bit.
+
+RAKE_STOPWORDS = ["the", "a", "and", "of", "is", "to", "in"]
+RAKE_MAX_LEN = 4  # RAKE's standard candidate-length cap
+RAKE_TOP_N = 20
+_RAKE_SEP = "\x02"
+
+
+def _rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(phrase, words array, nw) — one row per candidate occurrence.
+    Stopword boundaries are cut with ONE global regexp over the
+    space-doubled padded text (doubling gives adjacent stopwords
+    their own delimiters — the bm25 trick), entirely JVM codegen."""
+    alt = "|".join(RAKE_STOPWORDS)
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    seg = F.regexp_replace(
+        F.concat(
+            F.lit(" "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        ),
+        f" ({alt}) ",
+        f" {_RAKE_SEP} ",
+    )
+    words = F.filter(
+        F.split(F.col("seg"), " "), lambda x: x != F.lit("")
+    )
+    return (
+        docs.select(F.explode(F.split(seg, _RAKE_SEP)).alias("seg"))
+        .select(words.alias("ws"))
+        .withColumn("nw", F.size("ws"))
+        .filter((F.col("nw") >= 1) & (F.col("nw") <= RAKE_MAX_LEN))
+        .select(F.array_join("ws", " ").alias("phrase"), "ws", "nw")
+    )
+
+
+def _rake_oracle() -> str:
+    alt = "|".join(RAKE_STOPWORDS)
+    return f"""
+WITH seg AS (
+    SELECT regexp_replace(' ' || replace(text, ' ', '  ') || ' ',
+                          ' ({alt}) ', ' ' || chr(2) || ' ', 'g') AS s
+    FROM documents WHERE length(text) > 0
+), occ AS (
+    SELECT list_filter(string_split(p, ' '), x -> x <> '') AS ws
+    FROM (SELECT unnest(string_split(s, chr(2))) AS p FROM seg)
+), cand AS (
+    SELECT array_to_string(ws, ' ') AS phrase, ws, len(ws) AS nw
+    FROM occ WHERE len(ws) BETWEEN 1 AND {RAKE_MAX_LEN}
+), wstat AS (
+    SELECT w, (CAST(sum(nw) AS BIGINT) * 10000) // count(*) AS score_bp
+    FROM (SELECT unnest(ws) AS w, nw FROM cand)
+    GROUP BY w
+), pocc AS (
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(any_value(nw) AS BIGINT) AS n_words
+    FROM cand GROUP BY phrase
+), pscore AS (
+    SELECT p.phrase, CAST(sum(s.score_bp) AS BIGINT) AS score_bp
+    FROM (SELECT DISTINCT phrase, ws FROM cand) p,
+         unnest(p.ws) AS t(w)
+    JOIN wstat s ON s.w = t.w
+    GROUP BY p.phrase
+)
+SELECT o.phrase, o.n_words, o.n_occurrences, sc.score_bp
+FROM pocc o JOIN pscore sc ON sc.phrase = o.phrase
+ORDER BY sc.score_bp DESC, o.phrase
+LIMIT {RAKE_TOP_N}
+"""
+
+
+@register(
+    "text_rake_keywords",
+    tags=("text", "keywords", "llm_pipeline"),
+    oracle=_rake_oracle(),
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keywords: the RAKE_TOP_N candidate phrases
+    by summed member-word deg/freq scores (exact basis points),
+    with phrase length and occurrence counts.
+
+    Scale shape: phrase segmentation is one global regexp over the
+    padded text (JVM codegen, no Python); word statistics aggregate
+    VOCABULARY-scale rows with map-side combine; phrase scoring joins
+    the distinct-phrase set against the word table on the word key.
+    The final top-N is Spark's TakeOrderedAndProject — per-partition
+    heads then one bounded merge, never a corpus-scale single
+    partition; the (score desc, phrase asc) order makes the cut
+    deterministic cross-engine.
+    """
+    cand = _rake_phrases(spark, sf_dir)
+    wstat = (
+        cand.select(F.explode("ws").alias("w"), "nw")
+        .groupBy("w")
+        .agg(
+            F.expr("cast(sum(nw) as bigint) * 10000 div count(*)").alias(
+                "score_bp"
+            )
+        )
+    )
+    pocc = cand.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.first("nw").cast("bigint").alias("n_words"),
+    )
+    pscore = (
+        cand.select("phrase", "ws")
+        .distinct()
+        .select("phrase", F.explode("ws").alias("w"))
+        .join(wstat, "w")
+        .groupBy("phrase")
+        .agg(F.sum("score_bp").cast("bigint").alias("score_bp"))
+    )
+    return (
+        pocc.join(pscore, "phrase")
+        .select("phrase", "n_words", "n_occurrences", "score_bp")
+        .orderBy(F.desc("score_bp"), F.asc("phrase"))
+        .limit(RAKE_TOP_N)
+    )

@@ -354,3 +354,55 @@ def test_cluster_purity_consistent_with_kmeans(spark):
         assert r["n_majority"] * n_labels >= r["n_vectors"]
         assert r["purity_bp"] == r["n_majority"] * 10000 // r["n_vectors"]
     assert sum(r["n_vectors"] for r in rows) == len(labels)
+
+
+def test_rake_matches_pure_python(spark):
+    from go_integ_spark.operators.text import (
+        RAKE_MAX_LEN,
+        RAKE_STOPWORDS,
+        RAKE_TOP_N,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    stop = set(RAKE_STOPWORDS)
+    cand: list[list[str]] = []
+    for r in docs:
+        if not r["text"]:
+            continue
+        run: list[str] = []
+        for w in r["text"].split(" "):
+            if not w:
+                continue
+            if w in stop:
+                if 1 <= len(run) <= RAKE_MAX_LEN:
+                    cand.append(run)
+                run = []
+            else:
+                run.append(w)
+        if 1 <= len(run) <= RAKE_MAX_LEN:
+            cand.append(run)
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for ws in cand:
+        for w in ws:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(ws)
+    score = {w: deg[w] * 10000 // freq[w] for w in freq}
+    occ: dict[str, int] = {}
+    words_of: dict[str, list[str]] = {}
+    for ws in cand:
+        p = " ".join(ws)
+        occ[p] = occ.get(p, 0) + 1
+        words_of[p] = ws
+    pscore = {p: sum(score[w] for w in ws) for p, ws in words_of.items()}
+    expect_order = sorted(pscore, key=lambda p: (-pscore[p], p))[:RAKE_TOP_N]
+    expect = {
+        p: (len(words_of[p]), occ[p], pscore[p]) for p in expect_order
+    }
+    rows = REG["text_rake_keywords"].fn(spark, SF_DIR).collect()
+    got = {
+        r["phrase"]: (r["n_words"], r["n_occurrences"], r["score_bp"])
+        for r in rows
+    }
+    assert got == expect
+    assert len(rows) == RAKE_TOP_N
