@@ -97,6 +97,7 @@ _MEASURED_COST = {
     "curation_quality_filter": 0.42,
     "events_funnel": 0.42,
     "dedup_exact_substring": 0.43,
+    "events_user_lifetime": 0.43,
     "set_except_rich_not_building": 0.43,
     "text_embed_hash": 0.43,
     "text_lang_id": 0.43,
@@ -118,6 +119,7 @@ _MEASURED_COST = {
     "text_heavy_hitters": 0.56,
     "connector_http_paginated_read": 0.57,
     "events_cohort_retention": 0.57,
+    "events_markov_next": 0.58,
     "similarity_sq_encode": 0.59,
     "curation_annotation_agreement": 0.6,
     "q4_late_orders": 0.6,

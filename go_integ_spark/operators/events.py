@@ -768,3 +768,131 @@ def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="metric_value",
     )
+
+
+@register(
+    "events_user_lifetime",
+    tags=("events", "agg"),
+    oracle="""
+SELECT user_id,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+           AS span_sec,
+       CAST((count(*) * 100 * 86400000000)
+            // greatest(epoch_us(max(ts)) - epoch_us(min(ts)), 1) AS BIGINT)
+           AS events_per_day_centi
+FROM events
+GROUP BY user_id
+""",
+)
+def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime summary: first/last activity, event and
+    purchase counts, active span, and activity rate (events per day,
+    exact integer centi-units over the microsecond span — no float
+    crosses the engine boundary).
+
+    Scale shape: ONE map-side-combined aggregation over the events
+    scan; every derived column is algebra over the five partial
+    aggregates, so the shuffle carries (user_id, 2 timestamps,
+    2 counters) regardless of per-user event counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span_us = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        (span_us / F.lit(1000000)).cast("bigint").alias("span_sec"),
+        F.expr(
+            "cast(count(1) * 100 * 86400000000 div "
+            "greatest(unix_micros(max(ts)) - unix_micros(min(ts)), 1) "
+            "as bigint)"
+        ).alias("events_per_day_centi"),
+    )
+
+
+@register(
+    "events_markov_next",
+    tags=("events", "window", "markov"),
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+), tr AS (
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+), tot AS (
+    SELECT prev_type, sum(n) AS nt FROM tr GROUP BY prev_type
+)
+SELECT t.prev_type,
+       mx.next_type AS top_next_type,
+       CAST(mx.n AS BIGINT) AS n_top,
+       CAST(t.nt AS BIGINT) AS n_total,
+       CAST((mx.n * 10000) // t.nt AS BIGINT) AS p_bp
+FROM tot t
+JOIN (
+    SELECT prev_type, next_type, n FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY prev_type ORDER BY n DESC, next_type) AS rn
+        FROM tr
+    ) WHERE rn = 1
+) mx ON mx.prev_type = t.prev_type
+""",
+)
+def events_markov_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-likely next event per event type — the argmax row of the
+    first-order Markov transition matrix, with its exact
+    basis-point probability. The session-flow table a product
+    funnel review starts from.
+
+    Scale shape: the per-user lag window shares the transition
+    matrix's (user_id) partitioning; transitions then collapse to at
+    most |types|^2 cells, and the argmax + total run in ONE
+    aggregation over those cells (``max(struct(n, rev(next)))``
+    against a summed total — no second pass over the sequence data).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # One pass over the tiny cell frame: total + argmax together.
+    # min_by over (-n, next_type) is the argmax with the oracle's
+    # exact tie-break (highest count, then lexicographically lowest
+    # next_type) — no window, no second aggregation.
+    agg = tr.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.min_by(
+            F.struct(
+                F.col("next_type").alias("next_type"),
+                F.col("n").alias("n"),
+            ),
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("next_type").alias("next_type"),
+            ),
+        ).alias("mx"),
+    )
+    return agg.select(
+        "prev_type",
+        F.col("mx.next_type").alias("top_next_type"),
+        F.col("mx.n").cast("bigint").alias("n_top"),
+        "n_total",
+        F.expr("cast(mx.n * 10000 div n_total as bigint)").alias("p_bp"),
+    )

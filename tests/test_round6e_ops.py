@@ -406,3 +406,44 @@ def test_rake_matches_pure_python(spark):
     }
     assert got == expect
     assert len(rows) == RAKE_TOP_N
+
+
+def test_user_lifetime_algebra(spark):
+    rows = REG["events_user_lifetime"].fn(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    assert {r["user_id"] for r in rows} == set(by_user)
+    for r in rows:
+        evs = by_user[r["user_id"]]
+        first = min(e["ts"] for e in evs)
+        last = max(e["ts"] for e in evs)
+        span_us = int((last - first).total_seconds() * 1e6 + 0.5)
+        assert r["first_seen"] == first and r["last_seen"] == last
+        assert r["n_events"] == len(evs)
+        assert r["n_purchases"] == sum(
+            1 for e in evs if e["event_type"] == "purchase"
+        )
+        assert r["span_sec"] == span_us // 1000000
+        assert r["events_per_day_centi"] == (
+            len(evs) * 100 * 86400000000 // max(span_us, 1)
+        )
+
+
+def test_markov_next_is_argmax_of_transition_matrix(spark):
+    tm = REG["events_transition_matrix"].fn(spark, SF_DIR).collect()
+    cells: dict[str, list] = {}
+    for r in tm:
+        cells.setdefault(r["prev_type"], []).append((r["next_type"], r["n"]))
+    rows = REG["events_markov_next"].fn(spark, SF_DIR).collect()
+    assert {r["prev_type"] for r in rows} == set(cells)
+    for r in rows:
+        cs = cells[r["prev_type"]]
+        best = min(cs, key=lambda c: (-c[1], c[0]))
+        total = sum(n for _, n in cs)
+        assert (r["top_next_type"], r["n_top"]) == best, r
+        assert r["n_total"] == total
+        assert r["p_bp"] == best[1] * 10000 // total
