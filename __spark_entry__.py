@@ -106,6 +106,7 @@ _MEASURED_COST = {
     "subquery_orders_above_avg": 0.45,
     "embedding_random_projection": 0.48,
     "agg_histogram": 0.49,
+    "agg_weighted_median": 0.49,
     "dedup_ngram_jaccard": 0.5,
     "events_transition_matrix": 0.53,
     "window_share_of_segment": 0.53,

@@ -890,3 +890,65 @@ def window_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)"
         ).alias("trail30d"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    tags=("agg", "window", "percentile"),
+    oracle="""
+WITH w AS (
+    SELECT l_returnflag,
+           l_extendedprice AS price,
+           CAST(l_quantity AS BIGINT) AS qty,
+           sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+           ) AS cumw,
+           sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+           ) AS totw
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(any_value(totw) AS BIGINT) AS total_qty,
+       min(CASE WHEN 2 * cumw >= totw THEN price END)
+           AS weighted_median_price
+FROM w
+GROUP BY l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median extended price per return flag:
+    the smallest price at which the running quantity weight reaches
+    half the group total (lower weighted median — a total function of
+    the data, no interpolation, so the result is a RAW data value and
+    cross-engine comparison is byte-exact by construction).
+
+    The cumulative window uses the default RANGE frame, so rows tied
+    on price share one cumulative weight in both engines — the pick
+    cannot depend on tie order. Scale shape: one sort per group for
+    the running sum (the exact-median cost class); at 100 TB the
+    two-pass bucketed quantile (agg_percentiles' approach) is the
+    cheaper stand-in, and this operator is the exact-verification
+    companion.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy("price")
+    tot = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("qty").over(cum).alias("cumw"),
+        F.sum("qty").over(tot).alias("totw"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.first("totw").cast("bigint").alias("total_qty"),
+        F.min(
+            F.when(F.lit(2) * F.col("cumw") >= F.col("totw"), F.col("price"))
+        ).alias("weighted_median_price"),
+    )

@@ -447,3 +447,37 @@ def test_markov_next_is_argmax_of_transition_matrix(spark):
         assert (r["top_next_type"], r["n_top"]) == best, r
         assert r["n_total"] == total
         assert r["p_bp"] == best[1] * 10000 // total
+
+
+def test_weighted_median_matches_pure_python(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], int(r["l_quantity"]))
+        )
+    rows = REG["agg_weighted_median"].fn(spark, SF_DIR).collect()
+    assert {r["l_returnflag"] for r in rows} == set(groups)
+    for r in rows:
+        g = sorted(groups[r["l_returnflag"]])
+        tot = sum(q for _, q in g)
+        cum = 0
+        med = None
+        i = 0
+        while i < len(g):
+            # peers share one cumulative weight (RANGE frame)
+            j = i
+            while j < len(g) and g[j][0] == g[i][0]:
+                cum += g[j][1]
+                j += 1
+            if med is None and 2 * cum >= tot:
+                med = g[i][0]
+            i = j
+        assert r["n_rows"] == len(g)
+        assert r["total_qty"] == tot
+        assert r["weighted_median_price"] == med, r
+        # At least half the weight sits at or below the pick.
+        below = sum(q for p, q in g if p <= med)
+        assert 2 * below >= tot
