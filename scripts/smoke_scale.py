@@ -169,6 +169,14 @@ def main() -> None:
         # nodes, exercising the pair->edge aggregation and the lazy
         # 8-round unroll over checkpointed frames.
         "graph_pagerank_sources",
+        # round-6: triangle closure over the same pair frame — the
+        # injected near-dup clusters make dense local neighborhoods,
+        # pressuring the wedge join's per-vertex fan-out.
+        "graph_triangle_count",
+        # round-6: hybrid RRF — both broadcast-query rankers stream
+        # the 50k-doc / 20k-vector corpus; checks the salted top-k
+        # reductions stay bounded at 10x gate scale.
+        "similarity_hybrid_rrf",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()

@@ -617,3 +617,49 @@ def test_epoch_schedule_single_corpus_pass(registry, spark):
     assert "partial_sum" in executed_plan(df)
     (schema,) = read_schemas(df)
     assert "text" in schema and "doc_id" not in schema
+
+
+# --- sixth round-6 session pins --------------------------------------
+
+
+def test_single_shuffle_aggregation_family(registry, spark):
+    # Each of these reduces the corpus through exactly ONE exchange:
+    # lifetime/holdout are map-side-combined aggregations; the
+    # weighted median's window and group share a partitioning; scene
+    # cuts' lag window and per-video aggregate share doc_id.
+    for name in (
+        "events_user_lifetime",
+        "curation_holdout_split",
+        "agg_weighted_median",
+        "multimodal_scene_cuts",
+    ):
+        assert shuffle_count(_df(registry, spark, name)) == 1, name
+
+
+def test_rake_topn_is_take_ordered(registry, spark):
+    # The final top-N must be TakeOrderedAndProject (per-partition
+    # heads + bounded merge), never a global sort of the phrase table.
+    df = _df(registry, spark, "text_rake_keywords")
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_op(df, "Exchange rangepartitioning") == 0
+
+
+def test_triangle_join_runs_on_checkpointed_edges(registry, spark):
+    # The edge frame is referenced four times (two wedge sides, the
+    # closing edge, the degree count); the checkpoint must absorb all
+    # of them — zero parquet scans means the LSH pipeline cannot be
+    # re-run per self-join reference.
+    df = _df(registry, spark, "graph_triangle_count")
+    assert executed_plan(df).count("Scan parquet") == 0
+
+
+def test_hybrid_rrf_broadcasts_both_query_sets(registry, spark):
+    # Both rankers are broadcast-query/stream-corpus: the 5-row word
+    # and vector query sets ride broadcast nested-loop joins; the
+    # corpus is scanned a bounded number of times and never shuffled
+    # whole (exchanges carry scored candidate rows only).
+    df = _df(registry, spark, "similarity_hybrid_rrf")
+    plan = executed_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert plan.count("Scan parquet") <= 4
