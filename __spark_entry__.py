@@ -174,6 +174,7 @@ _MEASURED_COST = {
     "streaming_foreach_batch_merge": 1.34,
     "streaming_session_window": 1.35,
     "join_interval_overlap": 1.37,
+    "corpus_source_divergence": 1.39,
     "text_lang_confusion": 1.45,
     "window_rolling_distinct_users": 1.48,
     "similarity_mmr_rerank": 1.49,

@@ -1806,3 +1806,125 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_hit") * 2 >= F.col("n_grams"), 1).otherwise(0)
         ).cast("bigint").alias("n_docs_majority_leaked"),
     )
+
+
+# --- per-source distribution drift -----------------------------------
+
+_SOURCE_DIVERGENCE_ORACLE = """
+WITH toks AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), cells AS (
+    SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+    FROM toks GROUP BY 1, 2
+), totals AS (
+    SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM cells GROUP BY 1
+), ns AS (
+    SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM cells GROUP BY 1
+), nt AS (
+    SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM totals
+), terms AS (
+    SELECT c.source, c.word, c.c_sw, t.c_w, s.n_s, nt.n_tot,
+           c.c_sw * nt.n_tot - t.c_w * s.n_s AS diff
+    FROM cells c
+    JOIN totals t USING (word)
+    JOIN ns s USING (source)
+    CROSS JOIN nt
+), top AS (
+    SELECT source, word, diff FROM (
+        SELECT source, word, diff,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY diff DESC, word
+               ) AS rn
+        FROM terms
+    ) WHERE rn = 1
+)
+SELECT a.source,
+       CAST(min(a.n_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       CAST((sum(abs(a.diff)) + (min(a.n_tot) - sum(a.c_w)) * min(a.n_s))
+            * 10000 // (2 * min(a.n_s) * min(a.n_tot)) AS BIGINT) AS tv_bp,
+       min(tp.word) AS top_over_word,
+       CAST(min(tp.diff) * 10000 // (min(a.n_s) * min(a.n_tot)) AS BIGINT)
+           AS top_over_bp
+FROM terms a JOIN top tp ON tp.source = a.source
+GROUP BY a.source
+"""
+
+
+@register(
+    "corpus_source_divergence",
+    tags=("curation", "drift"),
+    oracle=_SOURCE_DIVERGENCE_ORACLE,
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram distribution drift vs the whole corpus:
+    exact total-variation distance in basis points plus each source's
+    most over-represented token — the distribution-shift monitor a
+    multi-source ingest runs before adjusting mix weights (a source
+    whose TV suddenly jumps changed its content, its scraper broke,
+    or it started serving boilerplate).
+
+    Exactness: TV = sum_w |c_sw/N_s - c_w/N| / 2 is a sum of
+    rationals, so every term is kept as the integer cross product
+    |c_sw*N - c_w*N_s| and divided ONCE at the end — no float ever
+    crosses the engine boundary. Words absent from a source
+    contribute c_w*N_s each; their total is (N - sum_present(c_w))
+    * N_s, folded in closed form so the plan never materializes the
+    source x vocabulary complement. int64 envelope: terms are
+    bounded by N_s*N and the bp numerator by 2*N_s*N*10^4, so
+    N_s*N < 4.6e14 must hold (~a 10^9-token corpus with 10^5-token
+    sources); past that the two sums switch to decimal(38,0) on
+    both engines.
+
+    Scale shape: tokens collapse to (source, word) cells in one
+    map-side-combined exchange; word totals re-aggregate the CELLS
+    (vocabulary-scaled, never the token stream again) and join back
+    on the same word key; N_s and N are a |sources|-row broadcast
+    and a 1-row cross join. The argmax rides the final per-source
+    aggregation via min_by — no second pass, no window over the
+    vocabulary.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+    # cells feeds the term join AND both total re-aggregations;
+    # persist so the token-stream exchange runs once, not three
+    # times (Catalyst does not share subplans across DataFrame
+    # references).
+    cells = toks.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sw")
+    ).persist()
+    totals = cells.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    ns = cells.groupBy("source").agg(F.sum("c_sw").cast("bigint").alias("n_s"))
+    nt = totals.agg(F.sum("c_w").cast("bigint").alias("n_tot"))
+    terms = (
+        cells.join(totals, "word")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .withColumn(
+            "diff", F.col("c_sw") * F.col("n_tot") - F.col("c_w") * F.col("n_s")
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.min("n_s").alias("n_s"),
+        F.min("n_tot").alias("n_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum(F.abs(F.col("diff"))).alias("abs_sum"),
+        F.sum("c_w").alias("present_cw"),
+        F.min_by(
+            F.struct(F.col("word").alias("word"), F.col("diff").alias("diff")),
+            F.struct((-F.col("diff")).alias("neg_diff"), F.col("word").alias("word")),
+        ).alias("top"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "n_vocab",
+        F.expr(
+            "cast((abs_sum + (n_tot - present_cw) * n_s) * 10000"
+            " div (2 * n_s * n_tot) as bigint)"
+        ).alias("tv_bp"),
+        F.col("top.word").alias("top_over_word"),
+        F.expr("cast(top.diff * 10000 div (n_s * n_tot) as bigint)").alias(
+            "top_over_bp"
+        ),
+    )

@@ -663,3 +663,23 @@ def test_hybrid_rrf_broadcasts_both_query_sets(registry, spark):
     plan = executed_plan(df)
     assert plan.count("BroadcastNestedLoopJoin") == 2
     assert plan.count("Scan parquet") <= 4
+
+
+# --- seventh round-6 session pins -------------------------------------
+
+
+def test_source_divergence_reuses_cells(registry, spark):
+    # The token stream collapses to (source, word) cells in ONE
+    # exchange; word totals and the scalar N re-aggregate the
+    # persisted cells (InMemoryTableScan), never the token stream —
+    # and N_s / N ride broadcasts, so the corpus-sized data moves
+    # exactly once.
+    df = _df(registry, spark, "corpus_source_divergence")
+    plan = executed_plan(df)
+    # terms + word totals + N_s + N all read the cache
+    assert plan.count("InMemoryTableScan") >= 3
+    # every parquet scan in the printout is the one INSIDE the cached
+    # subtree (toString reprints it under each InMemoryRelation) —
+    # none outside, so the token stream is exchanged exactly once
+    assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
+    assert count_op(df, "BroadcastNestedLoopJoin") == 1  # the 1-row N

@@ -1,0 +1,54 @@
+"""Invariant pins for the seventh round-6 session's additions, beyond
+oracle equality: each operator gets an oracle-INDEPENDENT reference
+(pure-Python Fractions, hand-built fixtures) so a flaw shared by the
+Spark query and its DuckDB oracle cannot hide (the BM25/DSIR lesson
+from earlier in round 6).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from go_integ_spark.registry import load_all
+from go_integ_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+REG = load_all()
+
+
+def test_source_divergence_matches_fraction_reference(spark):
+    # Third implementation: exact rational TV distance per source via
+    # Python Fractions over the raw token stream — independent of both
+    # the Spark integer-cross-product algebra and the oracle's.
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text").collect()
+    corpus: dict[str, int] = {}
+    per_src: dict[str, dict[str, int]] = {}
+    for r in docs:
+        d = per_src.setdefault(r["source"], {})
+        for w in r["text"].split(" "):
+            d[w] = d.get(w, 0) + 1
+            corpus[w] = corpus.get(w, 0) + 1
+    n_tot = sum(corpus.values())
+    got = {
+        r["source"]: r
+        for r in REG["corpus_source_divergence"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        tv = sum(
+            abs(Fraction(cnt.get(w, 0), n_s) - Fraction(c, n_tot))
+            for w, c in corpus.items()
+        ) / 2
+        top_word = min(
+            cnt, key=lambda w: (-(cnt[w] * n_tot - corpus[w] * n_s), w)
+        )
+        row = got[src]
+        assert row["n_tokens"] == n_s
+        assert row["n_vocab"] == len(cnt)
+        assert row["tv_bp"] == int(tv * 10000)  # floor of the exact rational
+        assert row["top_over_word"] == top_word, src
+        over = Fraction(cnt[top_word], n_s) - Fraction(corpus[top_word], n_tot)
+        assert row["top_over_bp"] == int(over * 10000)
+        assert 0 <= row["tv_bp"] <= 10000
