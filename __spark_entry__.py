@@ -198,6 +198,7 @@ _MEASURED_COST = {
     "dedup_srp_buckets": 2.1,
     "streaming_paragraph_dedup": 2.14,
     "streaming_running_max_cursor": 2.22,
+    "agg_bloom_prefilter": 2.79,
     "dedup_clusters": 2.37,
     "text_winnow_overlap": 2.45,
     "curation_split_leakage": 2.46,

@@ -1430,3 +1430,154 @@ if agg_countmin_sketch.__doc__:  # absent under PYTHONOPTIMIZE=2
         .replace("{CMS_WIDTH}", str(CMS_WIDTH))
         .replace("{CMS_TOP_K}", str(CMS_TOP_K))
     )
+
+
+# --- Bloom-filter pre-filter ------------------------------------------
+
+# k=3 hash positions per key; bits sized to the realized key count
+# (m = 10n + 1 -> ~0.26 fill -> ~1.7% FPR) the way a deployment sizes
+# a bloom to its build side, so the realized FPR the gate reports
+# stays in the useful band at every scale factor instead of
+# saturating as the corpus grows.
+BLOOM_K = 3
+BLOOM_BITS_PER_KEY = 10
+BLOOM_PRICE_CUT = 450000.0
+
+
+@register(
+    "agg_bloom_prefilter",
+    tags=("agg", "sketch", "join"),
+    oracle=f"""
+WITH keys AS (
+    SELECT DISTINCT o_custkey AS k FROM orders
+    WHERE o_totalprice > {BLOOM_PRICE_CUT}
+), mbits AS (
+    SELECT CAST({BLOOM_BITS_PER_KEY} * count(*) + 1 AS BIGINT) AS m FROM keys
+), hs AS (
+    SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i
+), bits AS (
+    SELECT DISTINCT
+           {h60_sql("'bloom' || i || ':' || CAST(k AS VARCHAR)")} % m AS bit
+    FROM keys, hs, mbits
+), probe AS (
+    SELECT c_custkey,
+           {h60_sql("'bloom' || i || ':' || CAST(c_custkey AS VARCHAR)")} % m
+               AS bit
+    FROM customer, hs, mbits
+), hits AS (
+    SELECT p.c_custkey, count(b.bit) AS nhit
+    FROM probe p LEFT JOIN bits b USING (bit)
+    GROUP BY 1
+), flags AS (
+    SELECT h.c_custkey,
+           CAST(h.nhit = {BLOOM_K} AS INT) AS bloom_pos,
+           CAST(k.k IS NOT NULL AS INT) AS is_member
+    FROM hits h LEFT JOIN keys k ON k.k = h.c_custkey
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+       (SELECT m FROM mbits) AS m_bits,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(bloom_pos) AS BIGINT) AS n_bloom_positive,
+       CAST(sum(is_member) AS BIGINT) AS n_true_members,
+       CAST(sum(bloom_pos) - sum(is_member) AS BIGINT) AS n_false_positive,
+       CAST((sum(bloom_pos) - sum(is_member)) * 10000
+            // greatest(count(*) - sum(is_member), 1) AS BIGINT) AS fpr_bp
+FROM flags
+""",
+)
+def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter, measured: build a bloom
+    (k={BLOOM_K} h60 positions, m = {BLOOM_BITS_PER_KEY}n+1 bits) over the
+    high-value order custkeys, probe EVERY customer, and report the
+    realized false-positive rate next to the exact semi-join truth —
+    the sketch that replaces a corpus-sized shuffle semi-join with a
+    broadcast bit set when one side is small enough to sketch but too
+    large (or too remote) to broadcast raw.
+
+    A bloom-positive customer has ALL {BLOOM_K} of its hash bits set;
+    bloom-negative is certain-negative (no false negatives — the gate
+    proves n_true_members <= n_bloom_positive on data). The hash
+    family is the engine-portable h60, so the realized bit set and
+    every count are bit-identical across engines and the FPR is an
+    exact integer ratio in basis points.
+
+    Scale shape: the build collapses orders to DISTINCT keys (one
+    key-only shuffle), then to <= m DISTINCT bit positions — the bit
+    set is bounded by m NO MATTER how large the build side grows, and
+    ships as one broadcast. The probe side never shuffles for the
+    bloom test (explode x{BLOOM_K} + broadcast join + per-key count);
+    only the truth semi-join (which exists to measure the sketch, and
+    at 100 TB is exactly what the bloom is deployed to avoid) and the
+    final 1-row aggregate exchange anything.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        orders.filter(F.col("o_totalprice") > BLOOM_PRICE_CUT)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .persist()
+    )
+    # m is sized from the realized key count — one bounded scalar to
+    # the driver (the histogram-bounds pattern), mirrored by the
+    # oracle's scalar CTE.
+    m = BLOOM_BITS_PER_KEY * keys.count() + 1
+
+    def positions(key_col: F.Column) -> F.Column:
+        return F.array(
+            *[
+                h60(F.concat(F.lit(f"bloom{i}:"), key_col.cast("string"))) % m
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    bits = keys.select(F.explode(positions(F.col("k"))).alias("bit")).distinct()
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    probe = cust.select("c_custkey", F.explode(positions(F.col("c_custkey"))).alias("bit"))
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left")
+        .groupBy("c_custkey")
+        .agg(F.count("present").alias("nhit"))
+    )
+    flags = hits.join(
+        keys.withColumnRenamed("k", "c_custkey").withColumn("member", F.lit(1)),
+        "c_custkey",
+        "left",
+    ).select(
+        (F.col("nhit") == BLOOM_K).cast("int").alias("bloom_pos"),
+        F.col("member").isNotNull().cast("int").alias("is_member"),
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_bits_set"))
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("bloom_pos").cast("bigint").alias("n_bloom_positive"),
+        F.sum("is_member").cast("bigint").alias("n_true_members"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_keys",
+            F.lit(m).cast("bigint").alias("m_bits"),
+            "n_bits_set",
+            "n_probes",
+            "n_bloom_positive",
+            "n_true_members",
+            (F.col("n_bloom_positive") - F.col("n_true_members")).alias(
+                "n_false_positive"
+            ),
+            F.expr(
+                "cast((n_bloom_positive - n_true_members) * 10000"
+                " div greatest(n_probes - n_true_members, 1) as bigint)"
+            ).alias("fpr_bp"),
+        )
+    )
+
+
+if agg_bloom_prefilter.__doc__:  # absent under PYTHONOPTIMIZE=2
+    agg_bloom_prefilter.__doc__ = (
+        agg_bloom_prefilter.__doc__
+        .replace("{BLOOM_K}", str(BLOOM_K))
+        .replace("{BLOOM_BITS_PER_KEY}", str(BLOOM_BITS_PER_KEY))
+    )

@@ -683,3 +683,15 @@ def test_source_divergence_reuses_cells(registry, spark):
     # none outside, so the token stream is exchanged exactly once
     assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
     assert count_op(df, "BroadcastNestedLoopJoin") == 1  # the 1-row N
+
+
+def test_bloom_probe_side_never_shuffles_for_the_test(registry, spark):
+    # The bit set rides a broadcast: the probe (customer) side's only
+    # exchanges are its per-key hit count and the final 1-row
+    # aggregate — the bloom membership test itself is map-side.
+    df = _df(registry, spark, "agg_bloom_prefilter")
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    # bits bounded by m: the broadcast build side aggregates DISTINCT
+    # bit positions, never raw keys
+    assert "SortMergeJoin" not in plan

@@ -52,3 +52,37 @@ def test_source_divergence_matches_fraction_reference(spark):
         over = Fraction(cnt[top_word], n_s) - Fraction(corpus[top_word], n_tot)
         assert row["top_over_bp"] == int(over * 10000)
         assert 0 <= row["tv_bp"] <= 10000
+
+
+def test_bloom_prefilter_matches_pure_python(spark):
+    # Third implementation: realize the identical bloom with h60_py
+    # over the raw tables and recompute every stat.
+    from go_integ_spark.functions.hashing import h60_py
+    from go_integ_spark.operators.advanced import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
+        BLOOM_PRICE_CUT,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect()
+    custs = [r["c_custkey"] for r in load_table(spark, SF_DIR, "customer")
+             .select("c_custkey").collect()]
+    keys = {r["o_custkey"] for r in orders if r["o_totalprice"] > BLOOM_PRICE_CUT}
+    m = BLOOM_BITS_PER_KEY * len(keys) + 1
+    bits = {h60_py(f"bloom{i}:{k}") % m for k in keys for i in range(BLOOM_K)}
+    pos = {c for c in custs
+           if all(h60_py(f"bloom{i}:{c}") % m in bits for i in range(BLOOM_K))}
+    (row,) = REG["agg_bloom_prefilter"].fn(spark, SF_DIR).collect()
+    assert row["n_keys"] == len(keys)
+    assert row["m_bits"] == m
+    assert row["n_bits_set"] == len(bits)
+    assert row["n_probes"] == len(custs)
+    assert row["n_bloom_positive"] == len(pos)
+    assert row["n_true_members"] == len(keys & set(custs))
+    # no false negatives: every true member is bloom-positive
+    assert keys & set(custs) <= pos
+    assert row["n_false_positive"] == len(pos - keys)
+    neg = len(custs) - row["n_true_members"]
+    assert row["fpr_bp"] == (len(pos - keys) * 10000) // max(neg, 1)
