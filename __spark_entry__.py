@@ -140,6 +140,7 @@ _MEASURED_COST = {
     "dedup_containment": 0.71,
     "q22_idle_customers": 0.73,
     "text_bpe_apply": 0.74,
+    "window_ewma_value": 0.75,
     "q10_returned_items": 0.77,
     "curation_boilerplate_ngrams": 0.78,
     "q18_large_volume_customers": 0.79,

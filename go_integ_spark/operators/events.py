@@ -896,3 +896,109 @@ def events_markov_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.expr("cast(mx.n * 10000 div n_total as bigint)").alias("p_bp"),
     )
+
+
+# --- bounded-horizon EWMA ---------------------------------------------
+
+# alpha = 1/2, truncated at 8 taps: weights 128,64,...,1 (pandas
+# ewm(alpha=0.5, adjust=True) over the trailing window). 8 halvings
+# leave < 0.4% of the mass beyond the horizon, and the fixed tap
+# count is what makes the smoother exact: integer weights, one
+# floor division at the end.
+EWMA_TAPS = 8
+_EWMA_WEIGHTS = [1 << (EWMA_TAPS - 1 - j) for j in range(EWMA_TAPS)]
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n           ".join(
+        f"lag(vu, {j}) OVER w AS v{j}" for j in range(1, EWMA_TAPS)
+    )
+    num = " + ".join(
+        [f"vu * {_EWMA_WEIGHTS[0]}"]
+        + [f"coalesce(v{j} * {_EWMA_WEIGHTS[j]}, 0)" for j in range(1, EWMA_TAPS)]
+    )
+    den = " + ".join(
+        [str(_EWMA_WEIGHTS[0])]
+        + [
+            f"CASE WHEN v{j} IS NULL THEN 0 ELSE {_EWMA_WEIGHTS[j]} END"
+            for j in range(1, EWMA_TAPS)
+        ]
+    )
+    n_win = " + ".join(
+        ["1"]
+        + [f"CASE WHEN v{j} IS NULL THEN 0 ELSE 1 END" for j in range(1, EWMA_TAPS)]
+    )
+    return f"""
+WITH v AS (
+    SELECT event_id, user_id, ts,
+           CAST(floor(value * 1000000) AS BIGINT) AS vu
+    FROM events
+), l AS (
+    SELECT event_id, user_id, vu,
+           {lags}
+    FROM v
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, vu AS v_micro,
+       CAST({n_win} AS INT) AS n_window,
+       CAST(({num}) // ({den}) AS BIGINT) AS ewma_micro
+FROM l
+"""
+
+
+@register(
+    "window_ewma_value",
+    tags=("window", "events", "smoothing"),
+    oracle=_ewma_oracle(),
+)
+def window_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value
+    (alpha = 1/2) — the standard smoother behind rate limiters,
+    anomaly baselines, and engagement scores — made engine-exact by
+    truncating at {EWMA_TAPS} taps: each value is quantized ONCE to
+    int64 micro-units (floor of an exactly-rounded IEEE product, so
+    both engines agree bit-for-bit), then the smoother is a dot
+    product with integer weights 128..1 over the present lags and a
+    single floor division. The true infinite-horizon EWMA differs by
+    < 0.4% of the oldest mass; what's gained is that no float
+    recurrence ever crosses the engine boundary. Values here are
+    non-negative, so floor division and Spark's truncating ``div``
+    agree; a signed-value deployment would bias num by +den/2 first.
+
+    Scale shape: ONE exchange on user_id; all {EWMA_TAPS} lags share
+    the single window spec (one Window operator, one sort), and the
+    arithmetic is row-local JVM codegen. State per partition is the
+    {EWMA_TAPS}-row frame — O(1), unlike an unbounded running
+    recurrence which cannot be expressed as a frame at all.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vu = F.expr("cast(floor(value * 1000000) as bigint)")
+    df = ev.select("event_id", "user_id", "ts", vu.alias("vu"))
+    for j in range(1, EWMA_TAPS):
+        df = df.withColumn(f"v{j}", F.lag("vu", j).over(w))
+    num = F.col("vu") * _EWMA_WEIGHTS[0]
+    den = F.lit(_EWMA_WEIGHTS[0])
+    n_win = F.lit(1)
+    for j in range(1, EWMA_TAPS):
+        present = F.col(f"v{j}").isNotNull()
+        num = num + F.coalesce(F.col(f"v{j}") * _EWMA_WEIGHTS[j], F.lit(0))
+        den = den + F.when(present, F.lit(_EWMA_WEIGHTS[j])).otherwise(F.lit(0))
+        n_win = n_win + F.when(present, 1).otherwise(0)
+    return (
+        df.withColumn("num_c", num)
+        .withColumn("den_c", den)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("vu").alias("v_micro"),
+            n_win.cast("int").alias("n_window"),
+            F.expr("cast(num_c div den_c as bigint)").alias("ewma_micro"),
+        )
+    )
+
+
+if window_ewma_value.__doc__:  # absent under PYTHONOPTIMIZE=2
+    window_ewma_value.__doc__ = window_ewma_value.__doc__.replace(
+        "{EWMA_TAPS}", str(EWMA_TAPS)
+    )

@@ -695,3 +695,13 @@ def test_bloom_probe_side_never_shuffles_for_the_test(registry, spark):
     # bits bounded by m: the broadcast build side aggregates DISTINCT
     # bit positions, never raw keys
     assert "SortMergeJoin" not in plan
+
+
+def test_ewma_single_window_single_exchange(registry, spark):
+    # All 8 lags share one window spec: one Window operator, one
+    # exchange on user_id, no second sort.
+    df = _df(registry, spark, "window_ewma_value")
+    plan = executed_plan(df)
+    assert plan.count("Window ") + plan.count("RunningWindowFunction") >= 1
+    assert shuffle_count(df) == 1
+    assert plan.count("Sort ") == 1

@@ -86,3 +86,42 @@ def test_bloom_prefilter_matches_pure_python(spark):
     assert row["n_false_positive"] == len(pos - keys)
     neg = len(custs) - row["n_true_members"]
     assert row["fpr_bp"] == (len(pos - keys) * 10000) // max(neg, 1)
+
+
+def test_ewma_matches_pure_python(spark):
+    # Third implementation: the tap-truncated EWMA replayed over
+    # per-user Python lists in exact integer arithmetic.
+    import math
+
+    from go_integ_spark.operators.events import _EWMA_WEIGHTS, EWMA_TAPS
+
+    ev = sorted(
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    want: dict[int, tuple[int, int, int]] = {}
+    hist: dict[int, list[int]] = {}
+    for r in ev:
+        vu = math.floor(r["value"] * 1000000)
+        h = hist.setdefault(r["user_id"], [])
+        h.append(vu)
+        window = h[-EWMA_TAPS:][::-1]  # most recent first
+        num = sum(w * v for w, v in zip(_EWMA_WEIGHTS, window))
+        den = sum(_EWMA_WEIGHTS[: len(window)])
+        want[r["event_id"]] = (vu, len(window), num // den)
+    got = {
+        r["event_id"]: (r["v_micro"], r["n_window"], r["ewma_micro"])
+        for r in REG["window_ewma_value"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_ewma_converges_to_constant(spark):
+    # Smoothing sanity: ewma lies within the window's [min, max].
+    rows = REG["window_ewma_value"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["n_window"] >= 1
+        if r["n_window"] == 1:
+            assert r["ewma_micro"] == r["v_micro"]
