@@ -141,6 +141,7 @@ _MEASURED_COST = {
     "q22_idle_customers": 0.73,
     "text_bpe_apply": 0.74,
     "window_ewma_value": 0.75,
+    "events_bot_gap_regularity": 0.72,
     "q10_returned_items": 0.77,
     "curation_boilerplate_ngrams": 0.78,
     "q18_large_volume_customers": 0.79,

@@ -1002,3 +1002,108 @@ if window_ewma_value.__doc__:  # absent under PYTHONOPTIMIZE=2
     window_ewma_value.__doc__ = window_ewma_value.__doc__.replace(
         "{EWMA_TAPS}", str(EWMA_TAPS)
     )
+
+
+# --- automated-traffic detection --------------------------------------
+
+# A user whose inter-event gaps keep landing in the SAME minute-wide
+# bucket is machine-scheduled: organic gaps spread across buckets
+# (the gate corpus tops out ~5% modal share), cron-like traffic
+# concentrates (a strict scheduler approaches 100%). Thresholds:
+BOT_MIN_GAPS = 20  # don't judge users with too little history
+BOT_SHARE_BP = 2000  # >= 20% of gaps in one minute bucket
+BOT_GAP_UNIT_US = 60_000_000  # minute quantization
+
+
+@register(
+    "events_bot_gap_regularity",
+    tags=("events", "window", "quality"),
+    oracle=f"""
+WITH g AS (
+    SELECT user_id,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+            ))) // {BOT_GAP_UNIT_US} AS gm
+    FROM events
+), c AS (
+    SELECT user_id, gm, CAST(count(*) AS BIGINT) AS n
+    FROM g WHERE gm IS NOT NULL GROUP BY 1, 2
+), top AS (
+    SELECT user_id, gm, n FROM (
+        SELECT user_id, gm, n,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY n DESC, gm
+               ) AS rn
+        FROM c
+    ) WHERE rn = 1
+)
+SELECT c.user_id,
+       CAST(sum(c.n) AS BIGINT) AS n_gaps,
+       CAST(min(t.gm) AS BIGINT) AS modal_gap_min,
+       CAST(min(t.n) AS BIGINT) AS n_modal,
+       CAST(min(t.n) * 10000 // sum(c.n) AS BIGINT) AS modal_share_bp,
+       (sum(c.n) >= {BOT_MIN_GAPS}
+        AND min(t.n) * 10000 // sum(c.n) >= {BOT_SHARE_BP}) AS bot_like
+FROM c JOIN top t USING (user_id)
+GROUP BY c.user_id
+""",
+)
+def events_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-traffic detection by inter-event gap regularity: a
+    user whose gaps keep landing in the same minute-wide bucket is
+    scheduler-driven, not human — the pre-training event-stream
+    analogue of the crawler/bot filters web corpora run before any
+    content reaches a mix. Emits each user's modal gap bucket and
+    its exact basis-point share of all gaps, plus the verdict at
+    >= {BOT_SHARE_BP} bp over >= {BOT_MIN_GAPS} gaps (the organic
+    gate corpus flags nobody — its modal shares top out around 500
+    bp; the injected-scheduler fixture test proves the flag fires).
+
+    Exactness: gaps quantize to integer minute buckets via floor
+    division of the microsecond difference; counts, the min_by
+    argmax (count-desc, bucket-asc tie-break), and the share are
+    pure int64 — nothing rounds.
+
+    Scale shape: the lag window and the (user, bucket) count share
+    the user-keyed exchange prefix; bucket cells collapse to at most
+    |users| x |distinct buckets| rows, and the final per-user argmax
+    + total ride ONE aggregation over those cells (min_by against a
+    summed total — the events_markov_next shape, keyed by user).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            f"(unix_micros(ts) - unix_micros(lag(ts) over ("
+            f"partition by user_id order by ts, event_id)))"
+            f" div {BOT_GAP_UNIT_US}"
+        ).alias("gm"),
+    ).filter(F.col("gm").isNotNull())
+    cells = gaps.groupBy("user_id", "gm").agg(F.count(F.lit(1)).alias("n"))
+    agg = cells.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_gaps"),
+        F.min_by(
+            F.struct(F.col("gm").alias("gm"), F.col("n").alias("n")),
+            F.struct((-F.col("n")).alias("neg_n"), F.col("gm").alias("gm")),
+        ).alias("mx"),
+    )
+    share = F.expr("cast(mx.n * 10000 div n_gaps as bigint)")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.col("mx.gm").cast("bigint").alias("modal_gap_min"),
+        F.col("mx.n").cast("bigint").alias("n_modal"),
+        share.alias("modal_share_bp"),
+        ((F.col("n_gaps") >= BOT_MIN_GAPS) & (share >= BOT_SHARE_BP)).alias(
+            "bot_like"
+        ),
+    )
+
+
+if events_bot_gap_regularity.__doc__:  # absent under PYTHONOPTIMIZE=2
+    events_bot_gap_regularity.__doc__ = (
+        events_bot_gap_regularity.__doc__
+        .replace("{BOT_SHARE_BP}", str(BOT_SHARE_BP))
+        .replace("{BOT_MIN_GAPS}", str(BOT_MIN_GAPS))
+    )

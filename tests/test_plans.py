@@ -705,3 +705,14 @@ def test_ewma_single_window_single_exchange(registry, spark):
     assert plan.count("Window ") + plan.count("RunningWindowFunction") >= 1
     assert shuffle_count(df) == 1
     assert plan.count("Sort ") == 1
+
+
+def test_bot_regularity_windows_share_user_prefix(registry, spark):
+    # The lag window and the (user, bucket) cell count reduce through
+    # key-only exchanges; no nested loop, no corpus-width shuffle
+    # (only user_id + the microsecond lag cross the wire).
+    df = _df(registry, spark, "events_bot_gap_regularity")
+    plan = executed_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    (schema,) = read_schemas(df)
+    assert "props" not in schema and "value" not in schema

@@ -125,3 +125,75 @@ def test_ewma_converges_to_constant(spark):
         assert r["n_window"] >= 1
         if r["n_window"] == 1:
             assert r["ewma_micro"] == r["v_micro"]
+
+
+def test_bot_regularity_matches_pure_python(spark):
+    # Third implementation over the raw events.
+    from go_integ_spark.operators.events import (
+        BOT_GAP_UNIT_US,
+        BOT_MIN_GAPS,
+        BOT_SHARE_BP,
+    )
+
+    ev = sorted(
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "ts")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    prev: dict[int, object] = {}
+    cells: dict[int, dict[int, int]] = {}
+    for r in ev:
+        p = prev.get(r["user_id"])
+        if p is not None:
+            us = int((r["ts"] - p).total_seconds() * 1_000_000)
+            gm = us // BOT_GAP_UNIT_US
+            d = cells.setdefault(r["user_id"], {})
+            d[gm] = d.get(gm, 0) + 1
+        prev[r["user_id"]] = r["ts"]
+    got = {
+        r["user_id"]: tuple(r)[1:]
+        for r in REG["events_bot_gap_regularity"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cells)
+    for u, d in cells.items():
+        n_gaps = sum(d.values())
+        gm = min(d, key=lambda g: (-d[g], g))
+        share = d[gm] * 10000 // n_gaps
+        assert got[u] == (
+            n_gaps, gm, d[gm], share,
+            n_gaps >= BOT_MIN_GAPS and share >= BOT_SHARE_BP,
+        ), u
+
+
+def test_bot_regularity_flags_injected_scheduler(spark, tmp_path):
+    # The organic gate corpus flags nobody; a cron-regular user must
+    # flip the verdict.
+    import datetime as dt
+
+    from go_integ_spark.operators.events import events_bot_gap_regularity
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1: a scheduler — one event every 300s exactly (25 gaps)
+    for i in range(26):
+        rows.append((i, t0 + dt.timedelta(seconds=300 * i), 1, "view", 1.0, "{}"))
+    # user 2: organic — irregular gaps, every bucket distinct
+    off = 0
+    for i in range(26):
+        off += 67 * (i + 1)  # strictly growing, all distinct minutes
+        rows.append((100 + i, t0 + dt.timedelta(seconds=off), 2, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["user_id"]: r for r in events_bot_gap_regularity(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1]["bot_like"] is True
+    assert got[1]["modal_share_bp"] == 10000  # every gap identical
+    assert got[1]["modal_gap_min"] == 5
+    assert got[2]["bot_like"] is False
