@@ -143,6 +143,7 @@ _MEASURED_COST = {
     "window_ewma_value": 0.75,
     "events_bot_gap_regularity": 0.72,
     "q10_returned_items": 0.77,
+    "curation_dedup_impact": 0.81,
     "curation_boilerplate_ngrams": 0.78,
     "q18_large_volume_customers": 0.79,
     "text_collocations": 0.8,

@@ -1928,3 +1928,118 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_over_bp"
         ),
     )
+
+
+# --- dedup impact accounting ------------------------------------------
+
+
+def _dedup_impact_oracle() -> str:
+    from go_integ_spark.operators.dedup import PARA_TOKENS
+
+    p = PARA_TOKENS
+    return f"""
+WITH w AS (
+    SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), p AS (
+    SELECT doc_id, source, t.i AS para_id,
+           ('0x' || substr(md5(array_to_string(
+               ws[t.i * {p} + 1 : t.i * {p} + {p}], ' ')), 1, 15))::BIGINT AS ph,
+           len(ws[t.i * {p} + 1 : t.i * {p} + {p}]) AS plen
+    FROM w, unnest(generate_series(0, (len(ws) - 1) // {p})) AS t(i)
+), r AS (
+    SELECT doc_id, source, plen,
+           row_number() OVER (PARTITION BY ph ORDER BY doc_id, para_id) AS rn
+    FROM p
+), d AS (
+    SELECT source, doc_id,
+           count(*) AS n_paras,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup,
+           sum(plen) AS toks,
+           sum(CASE WHEN rn > 1 THEN plen ELSE 0 END) AS dup_toks
+    FROM r GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN 2 * n_dup > n_paras THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_dropped,
+       CAST(sum(n_paras) AS BIGINT) AS n_paras,
+       CAST(sum(n_dup) AS BIGINT) AS n_dup_paras,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(sum(dup_toks) AS BIGINT) AS n_dup_tokens,
+       CAST(sum(dup_toks) * 10000 // sum(toks) AS BIGINT) AS dup_token_bp
+FROM d GROUP BY source
+"""
+
+
+@register(
+    "curation_dedup_impact",
+    tags=("curation", "dedup", "llm_pipeline"),
+    oracle=_dedup_impact_oracle(),
+)
+def curation_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What paragraph dedup costs each source: docs dropped, duplicate
+    paragraphs and TOKENS removed, and the exact basis-point token
+    loss — the accounting table a curation review reads before
+    shipping a dedup config, because a source losing half its tokens
+    to cross-source duplication is a mirror, while one losing 2% is
+    organic (graph_pagerank_sources ranks the suspects; this query
+    prices them). The doc-drop rule is the integer-exact twin of
+    ``dedup_paragraph``'s (2*dup > total == dup_frac > 0.5 wherever
+    the double rounds faithfully).
+
+    Scale shape: shares dedup_paragraph's structure — paragraph units
+    are row-local (split + transform + explode), the first-occurrence
+    ranking shuffles only (ph, ids, plen), and the per-doc then
+    per-source rollups carry counters. Paragraph text never crosses a
+    shuffle; per-paragraph token lengths tile the document exactly,
+    so n_tokens equals the corpus token count and the bp loss is
+    directly comparable across sources.
+    """
+    from go_integ_spark.functions.hashing import h60
+    from go_integ_spark.operators.dedup import PARA_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    paras = (
+        docs.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(ws) - 1) div {PARA_TOKENS}),"
+                    f" i -> struct(i AS para_id,"
+                    f" slice(ws, i * {PARA_TOKENS} + 1, {PARA_TOKENS}) AS parr))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("p.para_id").alias("para_id"),
+            h60(F.array_join(F.col("p.parr"), " ")).alias("ph"),
+            F.size("p.parr").alias("plen"),
+        )
+    )
+    first = Window.partitionBy("ph").orderBy("doc_id", "para_id")
+    ranked = paras.withColumn("rn", F.row_number().over(first))
+    per_doc = ranked.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum((F.col("rn") > 1).cast("bigint")).alias("n_dup"),
+        F.sum("plen").alias("toks"),
+        F.sum(F.when(F.col("rn") > 1, F.col("plen")).otherwise(0)).alias(
+            "dup_toks"
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_dup") * 2 > F.col("n_paras")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_docs_dropped"),
+        F.sum("n_paras").cast("bigint").alias("n_paras"),
+        F.sum("n_dup").cast("bigint").alias("n_dup_paras"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum("dup_toks").cast("bigint").alias("n_dup_tokens"),
+        F.expr("cast(sum(dup_toks) * 10000 div sum(toks) as bigint)").alias(
+            "dup_token_bp"
+        ),
+    )

@@ -716,3 +716,11 @@ def test_bot_regularity_windows_share_user_prefix(registry, spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     (schema,) = read_schemas(df)
     assert "props" not in schema and "value" not in schema
+
+
+def test_dedup_impact_shuffles_counters_only(registry, spark):
+    # Ranking + two rollups: three exchanges, none carrying text.
+    df = _df(registry, spark, "curation_dedup_impact")
+    assert shuffle_count(df) == 3
+    plan = executed_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

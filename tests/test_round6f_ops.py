@@ -197,3 +197,39 @@ def test_bot_regularity_flags_injected_scheduler(spark, tmp_path):
     assert got[1]["modal_share_bp"] == 10000  # every gap identical
     assert got[1]["modal_gap_min"] == 5
     assert got[2]["bot_like"] is False
+
+
+def test_dedup_impact_consistent_with_dedup_paragraph(spark):
+    # The impact report is an exact per-source rollup of the
+    # registered per-doc paragraph verdicts, and its token totals
+    # conserve the corpus word count.
+    per_doc = {
+        r["doc_id"]: r for r in REG["dedup_paragraph"].fn(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    src_of = {r["doc_id"]: r["source"] for r in docs}
+    words = {r["doc_id"]: len(r["text"].split(" ")) for r in docs}
+    got = {r["source"]: r for r in
+           REG["curation_dedup_impact"].fn(spark, SF_DIR).collect()}
+    by_src: dict[str, list[int]] = {}
+    for d, r in per_doc.items():
+        s = src_of[d]
+        acc = by_src.setdefault(s, [0, 0, 0, 0, 0])
+        acc[0] += 1
+        acc[1] += int(2 * r["n_dup_paras"] > r["n_paras"])
+        acc[2] += r["n_paras"]
+        acc[3] += r["n_dup_paras"]
+        acc[4] += words[d]
+    assert set(got) == set(by_src)
+    for s, (nd, dropped, np_, ndup, toks) in by_src.items():
+        row = got[s]
+        assert row["n_docs"] == nd
+        assert row["n_docs_dropped"] == dropped
+        assert row["n_paras"] == np_
+        assert row["n_dup_paras"] == ndup
+        # paragraph units tile the document exactly
+        assert row["n_tokens"] == toks
+        assert 0 <= row["dup_token_bp"] <= 10000
+        assert row["n_dup_tokens"] <= row["n_tokens"]
