@@ -552,8 +552,11 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    # 4-files-per-trigger (the multi-batch standard the stateful gates
+    # use): >= 2 micro-batches prove the dim re-read + state merge,
+    # and each extra batch re-pays a dim read + broadcast for nothing.
     enriched = (
-        read_stream(spark, path, schema, max_files_per_trigger=2)
+        read_stream(spark, path, schema, max_files_per_trigger=4)
         .withColumn("dim_key", F.col("user_id") + F.lit(1))
         .join(F.broadcast(customers), F.col("dim_key") == F.col("c_custkey"))
         .groupBy(F.col("c_mktsegment").alias("mktsegment"), "event_type")
