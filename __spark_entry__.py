@@ -141,6 +141,7 @@ _MEASURED_COST = {
     "q22_idle_customers": 0.73,
     "text_bpe_apply": 0.74,
     "window_ewma_value": 0.75,
+    "asof_join_nearest": 0.76,
     "events_bot_gap_regularity": 0.72,
     "q10_returned_items": 0.77,
     "curation_dedup_impact": 0.81,

@@ -1581,3 +1581,106 @@ if agg_bloom_prefilter.__doc__:  # absent under PYTHONOPTIMIZE=2
         .replace("{BLOOM_K}", str(BLOOM_K))
         .replace("{BLOOM_BITS_PER_KEY}", str(BLOOM_BITS_PER_KEY))
     )
+
+
+# --- nearest-direction as-of join -------------------------------------
+
+
+@register(
+    "asof_join_nearest",
+    tags=("join", "asof", "window"),
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, 0 AS kind FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, event_id, 1 AS kind FROM events WHERE event_type = 'purchase'
+), w AS (
+    SELECT user_id, ts, event_id, kind,
+           max(CASE WHEN kind = 0 THEN epoch_us(ts) END) OVER wb AS cb,
+           min(CASE WHEN kind = 0 THEN epoch_us(ts) END) OVER wf AS cf
+    FROM tagged
+    WINDOW wb AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), n AS (
+    SELECT event_id, user_id, ts, epoch_us(ts) AS tu, cb, cf
+    FROM w WHERE kind = 1
+), pick AS (
+    SELECT event_id, user_id, ts, tu,
+           CASE WHEN cb IS NULL AND cf IS NULL THEN NULL
+                WHEN cf IS NULL THEN cb
+                WHEN cb IS NULL THEN cf
+                WHEN tu - cb <= cf - tu THEN cb ELSE cf END AS nc,
+           CASE WHEN cb IS NULL AND cf IS NULL THEN NULL
+                WHEN cf IS NULL
+                     OR (cb IS NOT NULL AND tu - cb <= cf - tu) THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM n
+)
+SELECT event_id, user_id, ts,
+       CAST(nc AS BIGINT) AS near_click_us,
+       CAST(abs(nc - tu) AS BIGINT) AS delta_us,
+       direction
+FROM pick
+""",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join — the third member of the as-of
+    trio (pandas ``merge_asof(direction='nearest')``): each purchase
+    matched to the user's click with the smallest absolute time
+    distance, looking BOTH ways, with the backward match winning
+    exact-distance ties (a same-instant click is a 0-delta backward
+    match by the total (ts, kind, event_id) sort). Emits the matched
+    click timestamp, the exact microsecond distance, and which
+    direction won — the sensor-alignment / log-correlation join where
+    "closest reading" matters more than "latest reading".
+
+    Scale shape: the same union + window construction as the
+    backward and forward variants, with BOTH frames (prefix-max and
+    suffix-min over the interleaved click timestamps) computed in one
+    window pass — one exchange on user_id, one sort, O(1) state per
+    partition, no range explosion and no per-key pandas.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    click_us = F.when(F.col("kind") == 0, F.unix_micros(F.col("ts")))
+    n = (
+        clicks.unionByName(purchases)
+        .withColumn("cb", F.max(click_us).over(wb))
+        .withColumn("cf", F.min(click_us).over(wf))
+        .filter(F.col("kind") == 1)
+        .withColumn("tu", F.unix_micros(F.col("ts")))
+    )
+    backward_wins = (F.col("tu") - F.col("cb")) <= (F.col("cf") - F.col("tu"))
+    nc = (
+        F.when(F.col("cb").isNull() & F.col("cf").isNull(), F.lit(None))
+        .when(F.col("cf").isNull(), F.col("cb"))
+        .when(F.col("cb").isNull(), F.col("cf"))
+        .when(backward_wins, F.col("cb"))
+        .otherwise(F.col("cf"))
+    )
+    direction = (
+        F.when(F.col("cb").isNull() & F.col("cf").isNull(), F.lit(None))
+        .when(
+            F.col("cf").isNull() | (F.col("cb").isNotNull() & backward_wins),
+            F.lit("backward"),
+        )
+        .otherwise(F.lit("forward"))
+    )
+    return n.withColumn("nc", nc).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("nc").cast("bigint").alias("near_click_us"),
+        F.abs(F.col("nc") - F.col("tu")).cast("bigint").alias("delta_us"),
+        direction.alias("direction"),
+    )

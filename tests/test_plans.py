@@ -724,3 +724,13 @@ def test_dedup_impact_shuffles_counters_only(registry, spark):
     assert shuffle_count(df) == 3
     plan = executed_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_nearest_single_exchange_single_sort(registry, spark):
+    # Both frames (prefix-max, suffix-min) share one window
+    # partitioning: one exchange on user_id, one sort, no join.
+    df = _df(registry, spark, "asof_join_nearest")
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 1
+    assert plan.count("Sort ") == 1
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan

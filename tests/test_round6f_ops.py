@@ -233,3 +233,42 @@ def test_dedup_impact_consistent_with_dedup_paragraph(spark):
         assert row["n_tokens"] == toks
         assert 0 <= row["dup_token_bp"] <= 10000
         assert row["n_dup_tokens"] <= row["n_tokens"]
+
+
+def test_asof_nearest_matches_pure_python(spark):
+    # Third implementation: brute-force nearest click per purchase
+    # with the backward-wins tie rule.
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    clicks: dict[int, list[int]] = {}
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks.setdefault(r["user_id"], []).append(
+                int(r["ts"].timestamp() * 1_000_000)
+            )
+    got = {
+        r["event_id"]: (r["near_click_us"], r["delta_us"], r["direction"])
+        for r in REG["asof_join_nearest"].fn(spark, SF_DIR).collect()
+    }
+    n_checked = 0
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        n_checked += 1
+        tu = int(r["ts"].timestamp() * 1_000_000)
+        cs = clicks.get(r["user_id"], [])
+        if not cs:
+            assert got[r["event_id"]] == (None, None, None)
+            continue
+        # nearest by |delta|; ties prefer backward (c <= tu)
+        best = min(cs, key=lambda c: (abs(c - tu), c > tu))
+        assert got[r["event_id"]] == (
+            best,
+            abs(best - tu),
+            "backward" if best <= tu else "forward",
+        ), r["event_id"]
+    assert n_checked == len(got) > 0
+    # both directions genuinely occur on the gate corpus
+    dirs = {d for _, _, d in got.values() if d}
+    assert dirs == {"backward", "forward"}
