@@ -177,6 +177,15 @@ def main() -> None:
         # the 50k-doc / 20k-vector corpus; checks the salted top-k
         # reductions stay bounded at 10x gate scale.
         "similarity_hybrid_rrf",
+        # round-6: the (source, word) cell pipeline — the injected
+        # boilerplate inflates one source's token mass; checks the
+        # single token-stream exchange and the vocabulary-scaled
+        # re-aggregations hold at 10x.
+        "corpus_source_divergence",
+        # round-6: the per-source dedup pricing over the paragraph
+        # pipeline — the 2.5k-doc shared boilerplate paragraph is a
+        # mega-hot ranking key here.
+        "curation_dedup_impact",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()
