@@ -34,193 +34,193 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
-    "curation_shuffle_shards": 0.16,
-    "text_fingerprint": 0.16,
-    "sink_singer_envelope": 0.17,
+    "text_pii_redact": 0.14,
+    "sink_airbyte_envelope": 0.15,
+    "incremental_cursor_read": 0.16,
+    "sink_singer_envelope": 0.16,
+    "cdc_scd2_history": 0.17,
+    "window_trailing_spend": 0.17,
+    "multimodal_metadata": 0.18,
     "sample_stratified": 0.18,
-    "text_token_count": 0.18,
-    "cdc_scd2_history": 0.19,
-    "agg_correlation": 0.2,
-    "multimodal_metadata": 0.2,
-    "sink_airbyte_envelope": 0.2,
-    "window_trailing_spend": 0.2,
-    "curation_mix_weights": 0.22,
-    "events_hourly_rollup": 0.22,
-    "text_repetition_ratio": 0.22,
-    "agg_percentiles": 0.23,
-    "corpus_token_stats": 0.23,
-    "dedup_exact": 0.23,
-    "incremental_cursor_read": 0.23,
-    "text_pii_redact": 0.23,
-    "window_order_gaps": 0.23,
-    "agg_cube_status_priority": 0.24,
+    "text_fingerprint": 0.18,
+    "text_repetition_ratio": 0.18,
+    "text_unigram_entropy": 0.18,
+    "sort_limit_top_lineitems": 0.19,
+    "text_token_count": 0.19,
+    "window_running_customer_spend": 0.19,
+    "agg_sketch_accuracy": 0.21,
+    "asof_join_purchase_click": 0.21,
+    "q6_forecast_revenue": 0.22,
+    "text_quality_score": 0.22,
+    "curation_shuffle_shards": 0.23,
     "curation_weighted_sample": 0.24,
-    "text_word_stats": 0.24,
-    "text_unigram_entropy": 0.25,
-    "contamination_ngram_overlap": 0.26,
+    "window_order_gaps": 0.24,
+    "curation_mix_weights": 0.25,
+    "dedup_exact": 0.25,
+    "events_hourly_rollup": 0.25,
     "curation_domain_cap": 0.26,
-    "window_running_customer_spend": 0.27,
-    "agg_sketch_accuracy": 0.28,
-    "events_sessionize": 0.28,
-    "text_classifier_score": 0.28,
+    "events_pivot_type_counts": 0.26,
+    "connector_file_incremental_read": 0.28,
+    "events_funnel": 0.28,
+    "text_chunk_overlap": 0.28,
+    "text_word_stats": 0.28,
+    "agg_cube_status_priority": 0.29,
+    "agg_regression": 0.29,
+    "asof_join_click_attribution": 0.29,
+    "curation_annotation_agreement": 0.29,
+    "events_sessionize": 0.29,
+    "join_semi_customers_with_orders": 0.29,
+    "subquery_orders_above_avg": 0.29,
     "agg_distinct_counts": 0.3,
-    "asof_join_click_attribution": 0.3,
-    "curation_epoch_schedule": 0.3,
-    "dedup_keep_latest": 0.3,
-    "events_pivot_type_counts": 0.3,
-    "q6_forecast_revenue": 0.3,
-    "asof_join_purchase_click": 0.32,
-    "join_semi_customers_with_orders": 0.33,
-    "q1_pricing_summary": 0.33,
-    "sort_limit_top_lineitems": 0.33,
-    "text_quality_score": 0.33,
-    "agg_grouping_sets": 0.34,
-    "agg_mode_deterministic": 0.34,
-    "connector_file_incremental_read": 0.35,
-    "join_anti_customers_without_orders": 0.35,
-    "text_chunk_overlap": 0.35,
-    "agg_regression": 0.36,
-    "embedding_health": 0.36,
-    "set_intersect_rich_building": 0.37,
-    "curation_pack_sequences": 0.38,
-    "curation_temperature_sampling": 0.38,
+    "agg_percentiles": 0.3,
+    "contamination_ngram_overlap": 0.3,
+    "corpus_token_stats": 0.3,
+    "join_anti_customers_without_orders": 0.3,
+    "text_gopher_quality": 0.3,
+    "agg_grouping_sets": 0.31,
+    "events_json_extract": 0.32,
+    "window_top_orders_per_customer": 0.32,
+    "cdc_snapshot_diff": 0.33,
+    "q1_pricing_summary": 0.34,
+    "curation_split_leakage": 0.35,
+    "dedup_keep_latest": 0.35,
+    "curation_holdout_split": 0.36,
+    "text_dup_ngram_fraction": 0.36,
+    "agg_correlation": 0.37,
+    "dedup_paragraph": 0.37,
+    "multimodal_resize_thumbs": 0.37,
+    "set_except_rich_not_building": 0.37,
+    "agg_rollup_nation_segment": 0.38,
     "multimodal_decode_features": 0.38,
-    "window_top_orders_per_customer": 0.38,
-    "multimodal_audio_vad": 0.39,
-    "q14_promo_effect": 0.39,
-    "agg_rollup_nation_segment": 0.4,
-    "dedup_canonical_pick": 0.4,
-    "events_rfm": 0.4,
-    "multimodal_resize_thumbs": 0.4,
-    "range_join_error_clicks": 0.41,
-    "set_union_distinct": 0.41,
+    "embedding_random_projection": 0.39,
+    "events_top_paths": 0.4,
+    "range_join_error_clicks": 0.4,
+    "set_intersect_rich_building": 0.4,
+    "asof_join_nearest": 0.42,
     "curation_quality_filter": 0.42,
-    "events_funnel": 0.42,
-    "dedup_exact_substring": 0.43,
-    "events_user_lifetime": 0.43,
-    "set_except_rich_not_building": 0.43,
-    "text_embed_hash": 0.43,
+    "q17_small_quantity_revenue": 0.42,
+    "q14_promo_effect": 0.43,
     "text_lang_id": 0.43,
-    "cdc_snapshot_diff": 0.44,
-    "dedup_paragraph": 0.45,
-    "subquery_orders_above_avg": 0.45,
-    "embedding_random_projection": 0.48,
-    "agg_histogram": 0.49,
-    "agg_weighted_median": 0.49,
-    "dedup_ngram_jaccard": 0.5,
-    "events_transition_matrix": 0.53,
-    "window_share_of_segment": 0.53,
-    "events_top_paths": 0.54,
-    "multimodal_frame_sample": 0.54,
-    "q19_disjunctive_predicates": 0.54,
-    "embedding_outliers": 0.55,
-    "q12_priority_shipping": 0.55,
-    "similarity_pq_encode": 0.55,
-    "q13_customer_distribution": 0.56,
-    "text_heavy_hitters": 0.56,
-    "connector_http_paginated_read": 0.57,
-    "events_cohort_retention": 0.57,
-    "events_markov_next": 0.58,
-    "similarity_sq_encode": 0.59,
-    "curation_annotation_agreement": 0.6,
-    "q4_late_orders": 0.6,
-    "q16_supplier_part_count": 0.61,
+    "q13_customer_distribution": 0.44,
+    "window_share_of_segment": 0.44,
+    "agg_mode_deterministic": 0.45,
+    "curation_boilerplate_ngrams": 0.45,
+    "events_bot_gap_regularity": 0.45,
+    "curation_pack_sequences": 0.46,
+    "events_transition_matrix": 0.46,
+    "events_rfm": 0.47,
+    "set_union_distinct": 0.47,
+    "events_anomaly_mad": 0.48,
+    "multimodal_frame_sample": 0.48,
+    "dedup_exact_substring": 0.49,
+    "multimodal_phash_dedup": 0.49,
+    "q12_priority_shipping": 0.49,
+    "curation_dedup_impact": 0.5,
+    "events_cohort_retention": 0.5,
+    "events_unpivot_metrics": 0.51,
+    "dedup_canonical_pick": 0.52,
+    "q4_late_orders": 0.52,
+    "curation_ngram_novelty": 0.53,
+    "events_hourly_gapfill": 0.53,
+    "q22_idle_customers": 0.54,
+    "text_heavy_hitters": 0.54,
+    "agg_histogram": 0.55,
+    "q15_top_supplier": 0.55,
+    "text_embed_hash": 0.55,
+    "connector_http_paginated_read": 0.56,
+    "curation_temperature_sampling": 0.56,
+    "text_bpe_vocab": 0.57,
+    "events_user_lifetime": 0.58,
+    "join_salted_skew": 0.59,
+    "embedding_health": 0.61,
+    "join_interval_overlap": 0.61,
+    "multimodal_scene_cuts": 0.61,
+    "similarity_pq_encode": 0.61,
+    "similarity_sq_encode": 0.61,
+    "text_rake_keywords": 0.61,
     "text_tfidf_topk": 0.61,
-    "events_json_extract": 0.63,
-    "q20_promotion_candidates": 0.64,
-    "events_anomaly_mad": 0.65,
-    "events_hourly_gapfill": 0.65,
-    "curation_ngram_novelty": 0.66,
-    "dedup_soft_weights": 0.66,
-    "q17_small_quantity_revenue": 0.66,
-    "events_unpivot_metrics": 0.67,
-    "q3_shipping_priority": 0.68,
-    "q15_top_supplier": 0.69,
-    "text_gopher_quality": 0.7,
-    "dedup_containment": 0.71,
-    "q22_idle_customers": 0.73,
-    "text_bpe_apply": 0.74,
-    "window_ewma_value": 0.75,
-    "asof_join_nearest": 0.76,
-    "events_bot_gap_regularity": 0.72,
-    "q10_returned_items": 0.77,
-    "curation_dedup_impact": 0.81,
-    "curation_boilerplate_ngrams": 0.78,
-    "q18_large_volume_customers": 0.79,
-    "text_collocations": 0.8,
-    "q9_product_profit": 0.81,
-    "multimodal_scene_cuts": 0.82,
-    "q7_volume_shipping": 0.87,
-    "curation_diversity_sample": 0.88,
-    "connector_graphql_cursor_read": 0.9,
-    "q5_local_supplier_volume": 0.91,
-    "curation_holdout_split": 0.92,
-    "q21_late_supplier_wait": 0.92,
-    "text_bigram_logprob": 0.94,
-    "dedup_minhash_lsh": 0.97,
-    "curation_dsir_weights": 0.98,
-    "text_dup_ngram_fraction": 0.98,
-    "text_rake_keywords": 0.98,
-    "text_winnow_fingerprint": 1.0,
-    "ann_bruteforce_topk": 1.01,
-    "text_bm25_topk": 1.01,
-    "streaming_pk_dedup": 1.03,
-    "join_salted_skew": 1.05,
-    "similarity_threshold_join": 1.05,
-    "window_spend_quartiles": 1.06,
-    "q11_important_part_value": 1.11,
-    "dedup_embedding_cosine": 1.14,
-    "q8_market_share": 1.15,
-    "basket_part_pairs": 1.16,
-    "curation_token_budget_select": 1.22,
-    "text_perplexity_buckets": 1.23,
-    "curation_pipeline_funnel": 1.24,
-    "streaming_foreach_batch_merge": 1.34,
-    "streaming_session_window": 1.35,
-    "join_interval_overlap": 1.37,
-    "corpus_source_divergence": 1.39,
-    "text_lang_confusion": 1.45,
-    "window_rolling_distinct_users": 1.48,
-    "similarity_mmr_rerank": 1.49,
-    "q2_min_cost_supplier": 1.53,
-    "ann_ivf_topk": 1.55,
-    "streaming_chunk_manifest": 1.57,
-    "dedup_incremental_lsh": 1.59,
-    "streaming_hourly_counts": 1.61,
-    "dedup_paraphrase_pairs": 1.66,
-    "dedup_simhash": 1.75,
-    "curation_mirror_blocklist": 1.76,
-    "streaming_anomaly_mad": 1.8,
-    "similarity_pq_search": 1.84,
-    "text_bpe_vocab": 1.86,
+    "text_collocations": 0.62,
+    "q10_returned_items": 0.63,
+    "q3_shipping_priority": 0.63,
+    "dedup_soft_weights": 0.64,
+    "q16_supplier_part_count": 0.64,
+    "curation_mirror_blocklist": 0.65,
+    "dedup_ngram_jaccard": 0.65,
+    "window_ewma_value": 0.65,
+    "embedding_outliers": 0.66,
+    "q18_large_volume_customers": 0.66,
+    "q20_promotion_candidates": 0.69,
+    "agg_weighted_median": 0.71,
+    "q9_product_profit": 0.71,
+    "similarity_threshold_join": 0.71,
+    "curation_epoch_schedule": 0.72,
+    "text_bigram_logprob": 0.72,
+    "dedup_containment": 0.73,
+    "window_rolling_distinct_users": 0.75,
+    "curation_pipeline_funnel": 0.77,
+    "events_markov_next": 0.77,
+    "text_bm25_topk": 0.77,
+    "text_classifier_score": 0.77,
+    "corpus_source_divergence": 0.8,
+    "curation_diversity_sample": 0.81,
+    "text_bpe_apply": 0.82,
+    "connector_graphql_cursor_read": 0.83,
+    "q19_disjunctive_predicates": 0.85,
+    "q5_local_supplier_volume": 0.86,
+    "dedup_minhash_lsh": 0.88,
+    "curation_dsir_weights": 0.89,
+    "window_spend_quartiles": 0.93,
+    "agg_bloom_prefilter": 0.96,
+    "ann_bruteforce_topk": 0.96,
+    "streaming_pk_dedup": 0.97,
+    "basket_part_pairs": 0.99,
+    "q21_late_supplier_wait": 1.0,
+    "q7_volume_shipping": 1.03,
+    "q11_important_part_value": 1.06,
+    "text_perplexity_buckets": 1.07,
+    "q8_market_share": 1.1,
+    "text_lang_confusion": 1.11,
+    "q2_min_cost_supplier": 1.12,
+    "text_winnow_fingerprint": 1.12,
+    "similarity_mmr_rerank": 1.13,
+    "dedup_embedding_cosine": 1.21,
+    "similarity_hybrid_rrf": 1.24,
+    "agg_countmin_sketch": 1.3,
+    "streaming_static_enrich": 1.31,
+    "ann_ivf_topk": 1.35,
+    "streaming_chunk_manifest": 1.35,
+    "similarity_pq_search": 1.38,
+    "dedup_semdedup": 1.41,
+    "streaming_session_window": 1.42,
+    "dedup_srp_buckets": 1.48,
+    "contamination_embedding": 1.52,
+    "streaming_foreach_batch_merge": 1.52,
+    "streaming_paragraph_dedup": 1.57,
+    "similarity_ndcg_eval": 1.69,
+    "embedding_knn_graph": 1.71,
+    "similarity_recall_eval": 1.71,
+    "graph_triangle_count": 1.78,
+    "dedup_incremental_lsh": 1.81,
     "embedding_kmeans": 1.9,
-    "similarity_recall_eval": 1.95,
-    "contamination_embedding": 2.01,
-    "agg_countmin_sketch": 2.07,
-    "similarity_bitext_pairs": 2.08,
-    "ann_ivfpq_topk": 2.09,
-    "dedup_srp_buckets": 2.1,
-    "streaming_paragraph_dedup": 2.14,
-    "streaming_running_max_cursor": 2.22,
-    "agg_bloom_prefilter": 2.79,
-    "dedup_clusters": 2.37,
-    "text_winnow_overlap": 2.45,
-    "curation_split_leakage": 2.46,
-    "streaming_stream_join": 2.47,
-    "embedding_knn_graph": 2.49,
-    "similarity_cluster_purity": 2.5,
-    "ann_ivfpq_residual_topk": 2.55,
-    "dedup_semdedup": 2.83,
-    "streaming_histogram": 2.89,
-    "graph_triangle_count": 2.96,
-    "multimodal_phash_dedup": 3.07,
-    "streaming_srp_registry": 3.26,
-    "connector_datasource_distributed_read": 4.59,
-    "similarity_hybrid_rrf": 4.77,
-    "similarity_ndcg_eval": 5.27,
-    "graph_pagerank_sources": 7.28,
-    "streaming_static_enrich": 8.13,
-    "embedding_communities": 9.27,
+    "streaming_anomaly_mad": 1.91,
+    "streaming_running_max_cursor": 1.95,
+    "similarity_cluster_purity": 2.01,
+    "dedup_clusters": 2.03,
+    "text_winnow_overlap": 2.03,
+    "curation_token_budget_select": 2.07,
+    "dedup_simhash": 2.19,
+    "ann_ivfpq_topk": 2.32,
+    "streaming_stream_join": 2.35,
+    "multimodal_audio_vad": 2.4,
+    "streaming_histogram": 2.4,
+    "ann_ivfpq_residual_topk": 2.43,
+    "similarity_bitext_pairs": 2.69,
+    "streaming_srp_registry": 3.44,
+    "dedup_paraphrase_pairs": 3.73,
+    "streaming_hourly_counts": 3.83,
+    "graph_pagerank_sources": 3.85,
+    "connector_datasource_distributed_read": 5.04,
+    "embedding_communities": 8.49,
 }
 
 
