@@ -116,6 +116,7 @@ _MEASURED_COST = {
     "multimodal_phash_dedup": 0.49,
     "q12_priority_shipping": 0.49,
     "curation_dedup_impact": 0.5,
+    "similarity_ivf_cell_balance": 0.81,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

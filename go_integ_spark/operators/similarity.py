@@ -3011,3 +3011,80 @@ def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purity_bp"
         ),
     )
+
+
+# --- IVF index health --------------------------------------------------
+
+
+@register(
+    "similarity_ivf_cell_balance",
+    tags=("similarity", "ivf", "diagnostics"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), assigned AS (
+    SELECT vec_id, cent_id AS cell_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS arn
+        FROM v CROSS JOIN cent c
+    ) WHERE arn = 1
+), sizes AS (
+    SELECT cell_id, CAST(count(*) AS BIGINT) AS n FROM assigned GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+       CAST({IVF_K} AS BIGINT) AS n_cells_total,
+       CAST(count(*) AS BIGINT) AS n_cells_used,
+       CAST({IVF_K} - count(*) AS BIGINT) AS n_cells_empty,
+       CAST(min(n) AS BIGINT) AS min_cell,
+       round(quantile_cont(n, 0.5), 4) AS p50_cell,
+       CAST(max(n) AS BIGINT) AS max_cell,
+       CAST(max(n) * {IVF_K} * 10000 // sum(n) AS BIGINT) AS imbalance_bp
+FROM sizes
+""",
+)
+def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health: the cell-size distribution of the
+    ``ann_ivf_topk`` index — vectors, used/empty cells, min/median/max
+    cell population, and the imbalance factor (largest cell vs the
+    perfectly-balanced share, exact basis points; 10000 = balanced).
+    This is the measurement that decides nprobe and retraining: probe
+    latency is bounded by the LARGEST probed cell, so an index whose
+    imbalance drifts up serves slower at the same recall, and the fix
+    (re-train centroids, split hot cells) is an offline maintenance
+    job this report triggers. Composes the registered index's exact
+    assignment (same centroid rule, same argmax tie-break), so the
+    report can never drift from the index it describes.
+
+    Scale shape: assignment is the row-local Arrow argmax against the
+    broadcast centroid set (no join, no explosion); sizes are one
+    map-side-combined count on cell_id (<= IVF_K rows move), and the
+    summary is a single-row aggregate over that bounded table.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    (crow,) = ivf_centroids(v).collect()
+    assigned = v.withColumn(
+        "cell_id", F.element_at(nearest_cells_pd(crow, 1), 1)
+    )
+    sizes = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return sizes.agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.lit(IVF_K).cast("bigint").alias("n_cells_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells_used"),
+        (F.lit(IVF_K) - F.count(F.lit(1))).cast("bigint").alias("n_cells_empty"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        F.round(F.percentile("n", F.lit(0.5)), 4).alias("p50_cell"),
+        F.max("n").cast("bigint").alias("max_cell"),
+        F.expr(f"cast(max(n) * {IVF_K} * 10000 div sum(n) as bigint)").alias(
+            "imbalance_bp"
+        ),
+    )

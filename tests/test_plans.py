@@ -734,3 +734,12 @@ def test_asof_nearest_single_exchange_single_sort(registry, spark):
     assert shuffle_count(df) == 1
     assert plan.count("Sort ") == 1
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+
+
+def test_ivf_cell_balance_bounded_summary(registry, spark):
+    # Assignment is row-local (no join); only the <= IVF_K count rows
+    # and the 1-row summary exchange.
+    df = _df(registry, spark, "similarity_ivf_cell_balance")
+    plan = executed_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) <= 2

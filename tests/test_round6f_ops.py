@@ -272,3 +272,39 @@ def test_asof_nearest_matches_pure_python(spark):
     # both directions genuinely occur on the gate corpus
     dirs = {d for _, _, d in got.values() if d}
     assert dirs == {"backward", "forward"}
+
+
+def test_ivf_cell_balance_consistent_with_index(spark):
+    # The report must describe the REGISTERED index: recompute sizes
+    # from ann_ivf_topk's own assignment machinery and re-derive every
+    # summary stat.
+    from go_integ_spark.operators.similarity import (
+        IVF_K,
+        ivf_centroids,
+        nearest_cells_pd,
+        with_norm,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    (crow,) = ivf_centroids(v).collect()
+    cells = [
+        r["c"]
+        for r in v.select(
+            F.element_at(nearest_cells_pd(crow, 1), 1).alias("c")
+        ).collect()
+    ]
+    from collections import Counter
+
+    sizes = sorted(Counter(cells).values())
+    (row,) = REG["similarity_ivf_cell_balance"].fn(spark, SF_DIR).collect()
+    assert row["n_vectors"] == sum(sizes) == len(cells)
+    assert row["n_cells_total"] == IVF_K
+    assert row["n_cells_used"] == len(sizes)
+    assert row["n_cells_empty"] == IVF_K - len(sizes)
+    assert row["min_cell"] == sizes[0]
+    assert row["max_cell"] == sizes[-1]
+    assert row["imbalance_bp"] == sizes[-1] * IVF_K * 10000 // sum(sizes)
+    # imbalance is never below the balanced floor
+    assert row["imbalance_bp"] >= 10000 * row["n_cells_used"] // IVF_K
