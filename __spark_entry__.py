@@ -117,6 +117,7 @@ _MEASURED_COST = {
     "q12_priority_shipping": 0.49,
     "curation_dedup_impact": 0.5,
     "similarity_ivf_cell_balance": 0.81,
+    "multimodal_phash_neighbors": 2.41,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

@@ -305,10 +305,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_phash_dedup",
-    tags=("multimodal", "dedup", "pandas_udf"),
-    oracle="""
+# The pHash extraction CTEs, shared by the dedup and the
+# neighborhood-profile oracles (valid because this corpus is pure
+# ASCII, so the char-level SQL equals the byte-level kernel).
+PHASH_CTE = """
 WITH m AS (
     SELECT doc_id,
            CASE CAST(doc_id % 3 AS INT)
@@ -325,6 +325,43 @@ WITH m AS (
                     THEN (1 << j) ELSE 0 END)) AS BIGINT) AS phash
     FROM m
 )
+"""
+
+
+def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, media_type, phash): the Arrow-batched stub pHash over
+    every synthesized media payload — the shared front of the
+    perceptual dedup and neighborhood-profile queries. Bit j of the
+    hash is the pure integer predicate ``8 * histogram_bucket_j >
+    n_bytes`` (numpy bincount per payload, no per-byte Python)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+
+    def _phash(col):  # pd.Series[bytes] -> pd.Series[int64]
+        out = np.zeros(len(col), dtype=np.int64)
+        for i, p in enumerate(col):
+            b = bytes(p or b"")
+            if not b:
+                continue
+            counts = np.bincount(
+                np.frombuffer(b, dtype=np.uint8) % 8, minlength=8
+            )
+            bits = (8 * counts > len(b)).astype(np.int64)
+            out[i] = int((bits << np.arange(8, dtype=np.int64)).sum())
+        return pd.Series(out)
+
+    phash_udf = F.pandas_udf(_phash, "bigint")
+    return media.select(
+        "doc_id", "media_type", phash_udf(F.col("payload")).alias("phash")
+    )
+
+
+@register(
+    "multimodal_phash_dedup",
+    tags=("multimodal", "dedup", "pandas_udf"),
+    oracle=PHASH_CTE + """
 SELECT media_type, phash,
        CAST(count(*) AS BIGINT) AS n_items,
        min(doc_id) AS keep_doc_id,
@@ -352,28 +389,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII (byte == code point); the kernel itself is byte-true for
     arbitrary binaries.
     """
-    import numpy as np
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
-
-    def _phash(col):  # pd.Series[bytes] -> pd.Series[int64]
-        out = np.zeros(len(col), dtype=np.int64)
-        for i, p in enumerate(col):
-            b = bytes(p or b"")
-            if not b:
-                continue
-            counts = np.bincount(
-                np.frombuffer(b, dtype=np.uint8) % 8, minlength=8
-            )
-            bits = (8 * counts > len(b)).astype(np.int64)
-            out[i] = int((bits << np.arange(8, dtype=np.int64)).sum())
-        return pd.Series(out)
-
-    phash_udf = F.pandas_udf(_phash, "bigint")
-    hashed = media.select(
-        "doc_id", "media_type", phash_udf(F.col("payload")).alias("phash")
-    )
+    hashed = phash_hashes(spark, sf_dir)
     return (
         hashed.groupBy("media_type", "phash")
         .agg(
@@ -630,4 +646,97 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cuts.alias("n_cuts"),
         (n_cuts + F.lit(1)).cast("bigint").alias("n_scenes"),
         F.max("d").cast("bigint").alias("max_delta_centi"),
+    )
+
+
+# --- perceptual-hash neighborhood profile ------------------------------
+
+
+@register(
+    "multimodal_phash_neighbors",
+    tags=("multimodal", "dedup", "diagnostics"),
+    oracle=PHASH_CTE + """
+, c AS (
+    SELECT media_type, phash, CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY 1, 2
+), tot AS (
+    SELECT media_type, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1
+), pr AS (
+    SELECT media_type, phash, phash AS probe FROM c
+    UNION ALL
+    SELECT media_type, phash, xor(phash, 1 << t.j) AS probe
+    FROM c, unnest(generate_series(0, 7)) AS t(j)
+), nb AS (
+    SELECT p.media_type, p.phash,
+           CAST(sum(coalesce(c2.n, 0)) AS BIGINT) AS n_within1
+    FROM pr p LEFT JOIN c c2
+      ON c2.media_type = p.media_type AND c2.phash = p.probe
+    GROUP BY 1, 2
+)
+SELECT nb.media_type, nb.phash,
+       c.n AS n_exact,
+       nb.n_within1,
+       CAST(nb.n_within1 * 10000 // t.total AS BIGINT) AS share_within1_bp
+FROM nb
+JOIN c ON c.media_type = nb.media_type AND c.phash = nb.phash
+JOIN tot t ON t.media_type = nb.media_type
+""",
+)
+def multimodal_phash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-index neighborhood profile: for every pHash value
+    present, how many assets sit within hamming distance 1 (the value
+    itself plus its 8 single-bit flips) and what corpus share that
+    neighborhood holds — the separability measurement that decides
+    whether a hamming threshold is usable for near-dup detection
+    (a hash whose neighborhoods hold whole percents of the corpus
+    cannot discriminate; a production 64-bit pHash should profile
+    sparse). Run before committing to any perceptual near-dup join.
+
+    Scale shape: the profile operates entirely on the (media_type,
+    phash) COUNT table, bounded by modalities x 2^bits rows no matter
+    how large the corpus grows — payloads contribute one Arrow-batched
+    hash pass and one counter shuffle, then the 9-probe expansion and
+    the neighborhood join run over the tiny broadcast table.
+    """
+    hashed = phash_hashes(spark, sf_dir)
+    c = hashed.groupBy("media_type", "phash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()
+    tot = c.groupBy("media_type").agg(F.sum("n").cast("bigint").alias("total"))
+    probes = c.select(
+        "media_type",
+        "phash",
+        F.explode(
+            F.array(
+                F.col("phash"),
+                *[F.col("phash").bitwiseXOR(F.lit(1 << j)) for j in range(8)],
+            )
+        ).alias("probe"),
+    )
+    c2 = c.select(
+        F.col("media_type").alias("m2"),
+        F.col("phash").alias("p2"),
+        F.col("n").alias("n2"),
+    )
+    nb = (
+        probes.join(
+            F.broadcast(c2),
+            (F.col("media_type") == F.col("m2")) & (F.col("probe") == F.col("p2")),
+            "left",
+        )
+        .groupBy("media_type", "phash")
+        .agg(F.sum(F.coalesce(F.col("n2"), F.lit(0))).cast("bigint").alias("n_within1"))
+    )
+    return (
+        nb.join(c, ["media_type", "phash"])
+        .join(F.broadcast(tot), "media_type")
+        .select(
+            "media_type",
+            "phash",
+            F.col("n").alias("n_exact"),
+            "n_within1",
+            F.expr("cast(n_within1 * 10000 div total as bigint)").alias(
+                "share_within1_bp"
+            ),
+        )
     )

@@ -743,3 +743,13 @@ def test_ivf_cell_balance_bounded_summary(registry, spark):
     plan = executed_plan(df)
     assert "Join" not in plan
     assert shuffle_count(df) <= 2
+
+
+def test_phash_neighbors_profile_runs_on_bounded_table(registry, spark):
+    # Payloads contribute one hash pass + one counter shuffle; the
+    # 9-probe expansion and neighborhood join ride broadcasts over
+    # the bounded count table — no shuffle join, no payload movement.
+    df = _df(registry, spark, "multimodal_phash_neighbors")
+    plan = executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
