@@ -118,6 +118,7 @@ _MEASURED_COST = {
     "curation_dedup_impact": 0.5,
     "similarity_ivf_cell_balance": 0.81,
     "multimodal_phash_neighbors": 2.41,
+    "graph_degree_distribution": 1.94,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

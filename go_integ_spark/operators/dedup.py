@@ -1985,9 +1985,10 @@ def graph_pagerank_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_CC_SCALE = 10000  # clustering coefficient in basis points
 
 
-def _triangle_oracle() -> str:
-    """Shared exact-Jaccard pair CTEs, then the oriented wedge-close
-    join and per-vertex triangle / degree aggregation."""
+def _jp_cte() -> str:
+    """The shared exact-Jaccard pair CTEs closed as a ``jp`` pair
+    table — the SQL spelling of the near-duplicate edge set every
+    graph query builds on."""
     prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
     return f"""{prefix}), jp AS (
     SELECT doc_a, doc_b
@@ -1995,7 +1996,13 @@ def _triangle_oracle() -> str:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE c / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
-), tri AS (
+)"""
+
+
+def _triangle_oracle() -> str:
+    """Shared exact-Jaccard pair CTEs, then the oriented wedge-close
+    join and per-vertex triangle / degree aggregation."""
+    return _jp_cte() + f""", tri AS (
     SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
     FROM jp e1
     JOIN jp e2 ON e2.doc_a = e1.doc_b
@@ -2082,4 +2089,83 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (degree * (degree - 1))"
             " else 0 end as bigint)"
         ).alias("cc_bp"),
+    )
+
+
+# --- degree distribution of the near-duplicate graph -------------------
+
+
+def _degree_dist_oracle() -> str:
+    return _jp_cte() + """, deg AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM jp
+        UNION ALL SELECT doc_b FROM jp
+    ) GROUP BY doc_id
+), tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+), hist AS (
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs FROM deg GROUP BY degree
+    UNION ALL
+    SELECT 0 AS degree,
+           CAST(t.n_total - (SELECT count(*) FROM deg) AS BIGINT) AS n_docs
+    FROM tot t
+)
+SELECT h.degree, h.n_docs,
+       CAST(h.n_docs * 10000 // t.n_total AS BIGINT) AS share_bp
+FROM hist h CROSS JOIN tot t
+WHERE h.n_docs > 0
+"""
+
+
+@register(
+    "graph_degree_distribution",
+    tags=("graph", "dedup", "diagnostics"),
+    oracle=_degree_dist_oracle(),
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-duplicate graph, including the
+    degree-0 (isolated, never-duplicated) mass — the one-table health
+    check of a dedup run: a power-law tail means template farms /
+    mirror hubs (PageRank and triangle counting name the culprits), a
+    fat degree-0 head means the corpus is mostly original, and a
+    sudden shift between ingests means the crawl mix changed. Shares
+    the verified LSH pair set with every other graph query.
+
+    Scale shape: degrees are an explode + map-side-combined count of
+    8-byte ids over the bounded pair set; the histogram collapses to
+    at most max-degree rows, and the isolated-docs row comes from two
+    single-row aggregates (corpus count minus matched count) — no
+    join against the corpus, no per-doc output.
+    """
+    pairs = _checkpoint_fresh_stats(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    deg = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .persist()
+    )
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    iso = (
+        deg.agg(F.count(F.lit(1)).alias("n_matched"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(0).cast("bigint").alias("degree"),
+            (F.col("n_total") - F.col("n_matched")).cast("bigint").alias("n_docs"),
+        )
+    )
+    return (
+        hist.unionByName(iso)
+        .filter(F.col("n_docs") > 0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_docs",
+            F.expr("cast(n_docs * 10000 div n_total as bigint)").alias("share_bp"),
+        )
     )

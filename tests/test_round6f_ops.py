@@ -334,3 +334,28 @@ def test_phash_neighbors_matches_pure_python(spark):
         assert row["n_within1"] == within1
         assert row["share_within1_bp"] == within1 * 10000 // totals[mt]
         assert row["n_within1"] >= row["n_exact"]
+
+
+def test_degree_distribution_matches_pairs(spark):
+    # Rebuild the histogram from the registered pair query + corpus
+    # count; mass must account for every document exactly once.
+    from collections import Counter
+
+    pairs = REG["dedup_minhash_lsh"].fn(spark, SF_DIR).collect()
+    deg = Counter()
+    for p in pairs:
+        deg[p["doc_a"]] += 1
+        deg[p["doc_b"]] += 1
+    n_total = load_table(spark, SF_DIR, "documents").count()
+    hist = Counter(deg.values())
+    iso = n_total - len(deg)
+    if iso > 0:
+        hist[0] = iso
+    got = {
+        r["degree"]: (r["n_docs"], r["share_bp"])
+        for r in REG["graph_degree_distribution"].fn(spark, SF_DIR).collect()
+    }
+    assert got == {
+        d: (n, n * 10000 // n_total) for d, n in hist.items()
+    }
+    assert sum(n for n, _ in got.values()) == n_total
