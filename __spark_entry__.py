@@ -119,6 +119,7 @@ _MEASURED_COST = {
     "similarity_ivf_cell_balance": 0.81,
     "multimodal_phash_neighbors": 2.41,
     "graph_degree_distribution": 1.94,
+    "sink_partition_plan": 0.64,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

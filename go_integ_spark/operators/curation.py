@@ -2043,3 +2043,83 @@ def curation_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_token_bp"
         ),
     )
+
+
+# --- write-side partition planning ------------------------------------
+
+# Target bytes per output file. 16 KiB exercises multi-file partitions
+# on the synthetic corpus; a production lake uses 128 MiB - 1 GiB and
+# nothing else changes (the plan is algebra over per-partition sums).
+SINK_TARGET_FILE_BYTES = 16384
+SINK_HOT_FACTOR = 2  # hot = partition holds > 2x the mean share
+
+
+@register(
+    "sink_partition_plan",
+    tags=("sink", "write", "plan"),
+    oracle=f"""
+WITH p AS (
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes
+    FROM documents GROUP BY 1, 2
+), tot AS (
+    SELECT CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM p
+)
+SELECT p.lang, p.source, p.n_docs, p.bytes,
+       CAST((p.bytes + {SINK_TARGET_FILE_BYTES - 1})
+            // {SINK_TARGET_FILE_BYTES} AS BIGINT) AS n_files,
+       CAST(p.bytes * 10000 // t.total_bytes AS BIGINT) AS share_bp,
+       p.bytes * t.n_parts > {SINK_HOT_FACTOR} * t.total_bytes AS hot
+FROM p CROSS JOIN tot t
+""",
+)
+def sink_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side layout plan for a partitioned corpus sink: per
+    (lang, source) partition — docs, exact bytes, files needed at the
+    target file size (ceil division), basis-point share of the total
+    write, and a hot flag when one partition holds more than
+    {SINK_HOT_FACTOR}x the mean share. This is the sizing pass run
+    BEFORE `df.write.partitionBy(...)` at 100 TB: hot partitions get
+    an extra bucket column (or the salted shard key
+    curation_shuffle_shards provides), empty-ish ones coalesce, and
+    the file count drives `maxRecordsPerFile` so the lake neither
+    fragments into tiny files nor writes unsplittable monsters.
+
+    Scale shape: ONE map-side-combined aggregation over the corpus
+    scan (counts and byte sums only — text never moves), then
+    a 1-row total via CROSS JOIN broadcast; output is bounded by the
+    partition-key cardinality. All arithmetic is exact int64.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("bytes"),
+    )
+    tot = p.agg(
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    return p.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "bytes",
+        F.expr(
+            f"cast((bytes + {SINK_TARGET_FILE_BYTES - 1})"
+            f" div {SINK_TARGET_FILE_BYTES} as bigint)"
+        ).alias("n_files"),
+        F.expr("cast(bytes * 10000 div total_bytes as bigint)").alias("share_bp"),
+        (
+            F.col("bytes") * F.col("n_parts")
+            > F.lit(SINK_HOT_FACTOR) * F.col("total_bytes")
+        ).alias("hot"),
+    )
+
+
+if sink_partition_plan.__doc__:  # absent under PYTHONOPTIMIZE=2
+    sink_partition_plan.__doc__ = sink_partition_plan.__doc__.replace(
+        "{SINK_HOT_FACTOR}", str(SINK_HOT_FACTOR)
+    )

@@ -753,3 +753,13 @@ def test_phash_neighbors_profile_runs_on_bounded_table(registry, spark):
     plan = executed_plan(df)
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_partition_plan_single_agg_text_never_moves(registry, spark):
+    # One map-side-combined aggregation; the shuffle carries counters,
+    # not text; the total is a broadcast cross join.
+    df = _df(registry, spark, "sink_partition_plan")
+    plan = executed_plan(df)
+    assert "partial_" in plan
+    assert shuffle_count(df) <= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total

@@ -359,3 +359,36 @@ def test_degree_distribution_matches_pairs(spark):
         d: (n, n * 10000 // n_total) for d, n in hist.items()
     }
     assert sum(n for n, _ in got.values()) == n_total
+
+
+def test_partition_plan_matches_pure_python(spark):
+    from go_integ_spark.operators.curation import (
+        SINK_HOT_FACTOR,
+        SINK_TARGET_FILE_BYTES,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "lang", "source", "text"
+    ).collect()
+    parts: dict[tuple[str, str], list[int]] = {}
+    for r in docs:
+        k = (r["lang"], r["source"])
+        acc = parts.setdefault(k, [0, 0])
+        acc[0] += 1
+        acc[1] += len(r["text"].encode("utf-8"))
+    total = sum(b for _, b in parts.values())
+    got = {
+        (r["lang"], r["source"]): r
+        for r in REG["sink_partition_plan"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(parts)
+    t = SINK_TARGET_FILE_BYTES
+    for k, (nd, b) in parts.items():
+        row = got[k]
+        assert row["n_docs"] == nd
+        assert row["bytes"] == b
+        assert row["n_files"] == -(-b // t)  # ceil
+        assert row["share_bp"] == b * 10000 // total
+        assert row["hot"] == (b * len(parts) > SINK_HOT_FACTOR * total)
+    # file math conserves: every partition needs at least one file
+    assert all(r["n_files"] >= 1 for r in got.values())
