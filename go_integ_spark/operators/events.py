@@ -1107,3 +1107,103 @@ if events_bot_gap_regularity.__doc__:  # absent under PYTHONOPTIMIZE=2
         .replace("{BOT_SHARE_BP}", str(BOT_SHARE_BP))
         .replace("{BOT_MIN_GAPS}", str(BOT_MIN_GAPS))
     )
+
+
+# --- linear multi-touch attribution -----------------------------------
+
+ATTR_WINDOW_DAYS = 7
+_ATTR_WIN_US = ATTR_WINDOW_DAYS * 86400 * 1_000_000
+_ATTR_BIN_US = 86400 * 1_000_000  # daily bins for the range join
+
+
+@register(
+    "events_attribution_linear",
+    tags=("events", "join", "attribution"),
+    oracle=f"""
+WITH p AS (
+    SELECT event_id AS p_id, user_id, ts AS p_ts,
+           CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT event_id AS c_id, user_id, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+), pairs AS (
+    SELECT p.p_id, c.c_id, p.user_id, p.v_micro
+    FROM p JOIN c ON c.user_id = p.user_id
+       AND epoch_us(c.c_ts) > epoch_us(p.p_ts) - {_ATTR_WIN_US}
+       AND epoch_us(c.c_ts) <= epoch_us(p.p_ts)
+), sized AS (
+    SELECT *, CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touch
+    FROM pairs
+)
+SELECT p_id, c_id, user_id, n_touch,
+       CAST(v_micro // n_touch AS BIGINT) AS credit_micro
+FROM sized
+""",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the
+    {ATTR_WINDOW_DAYS} days before a purchase shares the purchase
+    value equally — the third standard attribution model next to the
+    last-touch (backward as-of) and next-touch (forward as-of)
+    queries. Emits one row per (purchase, contributing click) with
+    the touch count and the exact per-click credit (purchase value
+    quantized once to int64 micro-units, one floor division).
+
+    Scale shape: the time-window join is the binned range join —
+    purchases explode to the {ATTR_WINDOW_DAYS + 1} daily bins their
+    window overlaps, clicks map to exactly one bin, and the join is a
+    plain shuffled equi-join on (user_id, bin) with the exact window
+    predicate filtering inside matched bins (no per-pair range scan,
+    no nested loop). The touch count rides one window over the pair
+    table partitioned by purchase. Output is bounded by true
+    (purchase, click) co-occurrence within the window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v_micro = F.expr("cast(floor(value * 1000000) as bigint)")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        v_micro.alias("v_micro"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    pb = p.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                ((F.col("p_us") - F.lit(_ATTR_WIN_US)) / F.lit(_ATTR_BIN_US)).cast("long"),
+                (F.col("p_us") / F.lit(_ATTR_BIN_US)).cast("long"),
+            )
+        ),
+    )
+    cb = c.withColumn("bin", (F.col("c_us") / F.lit(_ATTR_BIN_US)).cast("long"))
+    pairs = pb.join(
+        cb,
+        (F.col("user_id") == F.col("c_user")) & (pb["bin"] == cb["bin"]),
+    ).filter(
+        (F.col("c_us") > F.col("p_us") - F.lit(_ATTR_WIN_US))
+        & (F.col("c_us") <= F.col("p_us"))
+    )
+    w = Window.partitionBy("p_id")
+    return pairs.select(
+        "p_id", "c_id", "user_id", "v_micro"
+    ).withColumn("n_touch", F.count(F.lit(1)).over(w).cast("bigint")).select(
+        "p_id",
+        "c_id",
+        "user_id",
+        "n_touch",
+        F.expr("cast(v_micro div n_touch as bigint)").alias("credit_micro"),
+    )
+
+
+if events_attribution_linear.__doc__:  # absent under PYTHONOPTIMIZE=2
+    events_attribution_linear.__doc__ = (
+        events_attribution_linear.__doc__
+        .replace("{ATTR_WINDOW_DAYS + 1}", str(ATTR_WINDOW_DAYS + 1))
+        .replace("{ATTR_WINDOW_DAYS}", str(ATTR_WINDOW_DAYS))
+    )

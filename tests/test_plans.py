@@ -763,3 +763,12 @@ def test_partition_plan_single_agg_text_never_moves(registry, spark):
     assert "partial_" in plan
     assert shuffle_count(df) <= 2
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+
+
+def test_attribution_range_join_is_hash_join(registry, spark):
+    # The 7-day window join must be the binned equi-join, never a
+    # nested loop over time ranges.
+    df = _df(registry, spark, "events_attribution_linear")
+    plan = executed_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -392,3 +392,40 @@ def test_partition_plan_matches_pure_python(spark):
         assert row["hot"] == (b * len(parts) > SINK_HOT_FACTOR * total)
     # file math conserves: every partition needs at least one file
     assert all(r["n_files"] >= 1 for r in got.values())
+
+
+def test_attribution_linear_matches_pure_python(spark):
+    # Brute-force pair reference with exact credit arithmetic, plus
+    # the conservation property: credited mass never exceeds the
+    # purchase value and the shortfall is only floor-division dust.
+    import math
+
+    from go_integ_spark.operators.events import _ATTR_WIN_US
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+    us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    clicks = [(r["user_id"], us(r["ts"]), r["event_id"])
+              for r in ev if r["event_type"] == "click"]
+    want = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        pu = us(r["ts"])
+        touches = [c for u, cu, c in clicks
+                   if u == r["user_id"] and pu - _ATTR_WIN_US < cu <= pu]
+        if not touches:
+            continue
+        v = math.floor(r["value"] * 1_000_000)
+        for cid in touches:
+            want[(r["event_id"], cid)] = (
+                r["user_id"], len(touches), v // len(touches)
+            )
+    got = {
+        (r["p_id"], r["c_id"]): (r["user_id"], r["n_touch"], r["credit_micro"])
+        for r in REG["events_attribution_linear"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
+    for (_, _), (_, n, credit) in got.items():
+        assert credit * n >= 0  # nonneg
