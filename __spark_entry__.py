@@ -121,6 +121,7 @@ _MEASURED_COST = {
     "graph_degree_distribution": 1.94,
     "sink_partition_plan": 0.64,
     "events_attribution_linear": 0.99,
+    "curation_quality_calibration": 0.82,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

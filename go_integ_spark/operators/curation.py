@@ -2123,3 +2123,89 @@ if sink_partition_plan.__doc__:  # absent under PYTHONOPTIMIZE=2
     sink_partition_plan.__doc__ = sink_partition_plan.__doc__.replace(
         "{SINK_HOT_FACTOR}", str(SINK_HOT_FACTOR)
     )
+
+
+# --- quality-filter calibration against length --------------------------
+
+
+def _quality_calibration_oracle() -> str:
+    # curation loads before text in load_all(); importing the text
+    # module here runs its registrations first, so the committed
+    # classifier oracle is available to compose.
+    from go_integ_spark.operators import text as _text  # noqa: F401
+    from go_integ_spark.registry import REGISTRY
+
+    clf = REGISTRY["text_classifier_score"].oracle
+    return f"""
+WITH clf AS ({clf}), d AS (
+    SELECT c.doc_id, c.score_u, c.keep, doc.n_chars,
+           ntile(10) OVER (ORDER BY doc.n_chars, c.doc_id) AS decile
+    FROM clf c JOIN documents doc ON doc.doc_id = c.doc_id
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) // count(*) AS BIGINT) AS avg_chars,
+       CAST(sum(score_u + 1000) // count(*) - 1000 AS BIGINT) AS mean_score_u,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+           AS keep_bp
+FROM d GROUP BY decile
+"""
+
+
+@register(
+    "curation_quality_calibration",
+    tags=("curation", "quality", "eval"),
+    oracle=_quality_calibration_oracle(),
+)
+def curation_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter calibration against document length: docs
+    bucketed into length deciles, each reporting its mean classifier
+    score and keep rate in exact basis points — the diagnostic for
+    the best-known failure mode of model-based quality filters
+    (fastText-style scorers quietly learning to be length filters).
+    A keep rate that climbs monotonically with the decile means the
+    "quality" signal is a length proxy and the filter is reshaping
+    the length distribution, not the quality distribution. The
+    hash-weight stand-in scores flat-by-construction here; a trained
+    model plugged into text_classifier_score inherits this
+    calibration check unchanged.
+
+    Exactness: scores are offset by +1000 (the weight center) before
+    the mean's floor division so every operand stays non-negative
+    and Spark's truncating ``div`` equals DuckDB's flooring ``//``;
+    the deterministic ntile (ORDER BY n_chars, doc_id) is identical
+    in both engines. Composes the REGISTERED classifier query and
+    its committed oracle as a CTE, so calibration can never drift
+    from the production scorer.
+
+    Scale shape: scoring is scan-bound (see text_classifier_score);
+    the global ntile is a single-axis rank over (n_chars, doc_id) —
+    at 100 TB this becomes the two-pass histogram-threshold decile
+    (the window_spend_quartiles / text_perplexity_buckets pattern);
+    the rollup is 10 counter rows.
+    """
+    from go_integ_spark.operators.text import text_classifier_score
+
+    scores = text_classifier_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = scores.join(docs, "doc_id").withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("cast(sum(n_chars) div count(1) as bigint)").alias("avg_chars"),
+        F.expr("cast(sum(score_u + 1000) div count(1) - 1000 as bigint)").alias(
+            "mean_score_u"
+        ),
+        F.expr(
+            "cast(sum(case when keep then 1 else 0 end) * 10000"
+            " div count(1) as bigint)"
+        ).alias("keep_bp"),
+    ).select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_docs",
+        "avg_chars",
+        "mean_score_u",
+        "keep_bp",
+    )

@@ -429,3 +429,39 @@ def test_attribution_linear_matches_pure_python(spark):
     assert got == want and len(got) > 0
     for (_, _), (_, n, credit) in got.items():
         assert credit * n >= 0  # nonneg
+
+
+def test_quality_calibration_matches_pure_python(spark):
+    # Rebuild deciles + rollups from the registered classifier output.
+    scores = {
+        r["doc_id"]: (r["score_u"], r["keep"])
+        for r in REG["text_classifier_score"].fn(spark, SF_DIR).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    order = sorted(chars, key=lambda d: (chars[d], d))
+    n = len(order)
+    base, extra = divmod(n, 10)
+    want: dict[int, list] = {}
+    i = 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        docs = order[i : i + size]
+        i += size
+        s = sum(scores[d][0] + 1000 for d in docs)
+        k = sum(1 for d in docs if scores[d][1])
+        want[dec] = [
+            len(docs),
+            sum(chars[d] for d in docs) // len(docs),
+            s // len(docs) - 1000,
+            k * 10000 // len(docs),
+        ]
+    got = {
+        r["decile"]: [r["n_docs"], r["avg_chars"], r["mean_score_u"], r["keep_bp"]]
+        for r in REG["curation_quality_calibration"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
