@@ -122,6 +122,7 @@ _MEASURED_COST = {
     "sink_partition_plan": 0.64,
     "events_attribution_linear": 0.99,
     "curation_quality_calibration": 0.82,
+    "dedup_threshold_sweep": 0.84,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

@@ -2169,3 +2169,101 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(n_docs * 10000 div n_total as bigint)").alias("share_bp"),
         )
     )
+
+
+# --- Jaccard threshold tuning sweep -------------------------------------
+
+SWEEP_THRESHOLDS_BP = [3000, 4000, 5000, 6000, 7000, 8000, 9000]
+
+
+def _threshold_sweep_oracle() -> str:
+    ts = ", ".join(str(t) for t in SWEEP_THRESHOLDS_BP)
+    prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
+    return f"""{prefix}), th AS (
+    SELECT unnest([{ts}]) AS threshold_bp
+), hit AS (
+    SELECT th.threshold_bp, i.doc_a, i.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    CROSS JOIN th
+    WHERE i.c * 10000 >= th.threshold_bp * (sa.n + sb.n - i.c)
+)
+, pairs_t AS (
+    SELECT threshold_bp, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM hit GROUP BY 1
+), docs_t AS (
+    SELECT threshold_bp, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+    FROM (
+        SELECT threshold_bp, doc_a AS doc_id FROM hit
+        UNION ALL
+        SELECT threshold_bp, doc_b FROM hit
+    ) GROUP BY 1
+)
+SELECT th.threshold_bp,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(d.nd, 0) AS BIGINT) AS n_docs_affected
+FROM th
+LEFT JOIN pairs_t p USING (threshold_bp)
+LEFT JOIN docs_t d USING (threshold_bp)
+"""
+
+
+@register(
+    "dedup_threshold_sweep",
+    tags=("dedup", "eval", "tuning"),
+    oracle=_threshold_sweep_oracle(),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning table: pair counts and affected-doc
+    counts at every candidate Jaccard threshold, from ONE pair-scoring
+    pass — the sweep a curation review reads before committing a
+    dedup threshold (too low and organic text collapses, too high and
+    mirrors survive; the elbow in n_docs_affected is the usual pick).
+
+    Exactness: each threshold test is the integer cross product
+    ``c * 10000 >= t_bp * (n_a + n_b - c)`` — no float Jaccard is
+    ever compared, so boundary pairs land identically in both
+    engines.
+
+    Scale shape: shared cached shingle sets + ONE bucket-and-
+    enumerate pair pass (the same bounded candidate set every
+    Jaccard query uses); the |thresholds|-row table rides a
+    broadcast cross join, and the rollup carries (threshold, ids) —
+    the sweep costs one pair enumeration, not one per threshold.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sets_ = _cached_doc_sets(docs)
+    sh = sets_.select("doc_id", "n", F.explode("sids").alias("sid"))
+    pairs = cooccurrence_counts(sh)
+    th = spark.createDataFrame(
+        [(t,) for t in SWEEP_THRESHOLDS_BP], "threshold_bp int"
+    )
+    hits = pairs.crossJoin(F.broadcast(th)).filter(
+        F.col("c") * 10000
+        >= F.col("threshold_bp") * (F.col("n_a") + F.col("n_b") - F.col("c"))
+    )
+    per_t = (
+        hits.select(
+            "threshold_bp",
+            "doc_a",
+            "doc_b",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .groupBy("threshold_bp")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_affected"),
+        )
+    )
+    return (
+        F.broadcast(th)
+        .join(per_t, "threshold_bp", "left")
+        .select(
+            "threshold_bp",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )

@@ -465,3 +465,20 @@ def test_quality_calibration_matches_pure_python(spark):
         for r in REG["curation_quality_calibration"].fn(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_threshold_sweep_monotone_and_consistent(spark):
+    # Monotonicity: higher thresholds keep fewer pairs/docs; and the
+    # 0.5 row must equal the registered exact-Jaccard pair query.
+    rows = sorted(
+        REG["dedup_threshold_sweep"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["threshold_bp"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_docs_affected"] >= b["n_docs_affected"]
+    at50 = {r["threshold_bp"]: r for r in rows}[5000]
+    exact = REG["dedup_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    docs = {d for p in exact for d in (p["doc_a"], p["doc_b"])}
+    assert at50["n_pairs"] == len(exact)
+    assert at50["n_docs_affected"] == len(docs)
