@@ -3088,3 +3088,88 @@ def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "imbalance_bp"
         ),
     )
+
+
+# --- per-dimension embedding profile ------------------------------------
+
+# Fixed-point offset covering |x| <= 2 (corpus coordinates are within
+# [-0.6, 0.6]; a health-gated pipeline asserts the range first —
+# embedding_health flags non-finite and zero-norm rows).
+DIM_OFFSET_U = 2_000_000
+DIM_DEAD_M2_U = 1_000_000  # mean energy below (rms ~1e-3)^2*1e12
+DIM_DOMINANT_X = 4  # dominant = > 4x the mean dimension energy
+
+
+@register(
+    "embedding_dim_profile",
+    tags=("embedding", "diagnostics"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), x AS (
+    SELECT t.i - 1 AS dim,
+           CAST(floor(e[t.i] * 1000000) AS BIGINT) AS xu
+    FROM v, unnest(generate_series(1, len(e))) AS t(i)
+), d AS (
+    SELECT dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(xu + {DIM_OFFSET_U}) // count(*) - {DIM_OFFSET_U} AS BIGINT)
+               AS mean_u,
+           CAST(sum(xu * xu) // count(*) AS BIGINT) AS m2_u
+    FROM x GROUP BY dim
+), tot AS (
+    SELECT CAST(sum(m2_u) // count(*) AS BIGINT) AS avg_m2 FROM d
+)
+SELECT d.dim, d.n_vecs, d.mean_u, d.m2_u,
+       d.m2_u < {DIM_DEAD_M2_U} AS dead,
+       d.m2_u > {DIM_DOMINANT_X} * t.avg_m2 AS dominant
+FROM d CROSS JOIN tot t
+""",
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile: exact fixed-point mean and
+    energy (second moment) for every coordinate, with dead-dimension
+    and dominant-dimension flags — the encoder-health check run
+    before building any index: dead dims waste index bytes and
+    distance compute (prune them or retrain), a dominant dim means a
+    normalization bug upstream that will swamp every cosine. Pairs
+    with embedding_health (row-level gates) as the column-level gate.
+
+    Exactness: coordinates quantize ONCE to int64 micro-units (the
+    float->double widening and the 1e6 product are exactly rounded,
+    floor is exact); the mean offsets by +{DIM_OFFSET_U} so the
+    operand stays non-negative and Spark's truncating ``div`` equals
+    DuckDB's ``//``; energies are already non-negative. int64
+    envelope: sum(xu^2) < 4e12 per row-dim pair — fine to ~2e6
+    vectors per aggregation; past that the two sums switch to
+    decimal(38,0) on both engines.
+
+    Scale shape: posexplode + ONE map-side-combined aggregation whose
+    shuffle carries (dim, two int64 partials) — at most |dims| rows
+    move; the cross-dimension average rides a 1-row broadcast over
+    the |dims|-row frame.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    x = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim",
+        F.expr("cast(floor(cast(xf as double) * 1000000) as bigint)").alias("xu"),
+    )
+    d = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.expr(
+            f"cast(sum(xu + {DIM_OFFSET_U}) div count(1)"
+            f" - {DIM_OFFSET_U} as bigint)"
+        ).alias("mean_u"),
+        F.expr("cast(sum(xu * xu) div count(1) as bigint)").alias("m2_u"),
+    )
+    tot = d.agg(
+        F.expr("cast(sum(m2_u) div count(1) as bigint)").alias("avg_m2")
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        "n_vecs",
+        "mean_u",
+        "m2_u",
+        (F.col("m2_u") < DIM_DEAD_M2_U).alias("dead"),
+        (F.col("m2_u") > DIM_DOMINANT_X * F.col("avg_m2")).alias("dominant"),
+    )

@@ -482,3 +482,38 @@ def test_threshold_sweep_monotone_and_consistent(spark):
     docs = {d for p in exact for d in (p["doc_a"], p["doc_b"])}
     assert at50["n_pairs"] == len(exact)
     assert at50["n_docs_affected"] == len(docs)
+
+
+def test_dim_profile_matches_pure_python(spark):
+    import math
+
+    from go_integ_spark.operators.similarity import (
+        DIM_DEAD_M2_U,
+        DIM_DOMINANT_X,
+        DIM_OFFSET_U,
+    )
+
+    vecs = [
+        r["embedding"]
+        for r in load_table(spark, SF_DIR, "embeddings")
+        .select("embedding")
+        .collect()
+    ]
+    dims = len(vecs[0])
+    stats = []
+    for d in range(dims):
+        xs = [math.floor(float(v[d]) * 1_000_000) for v in vecs]
+        n = len(xs)
+        mean_u = sum(x + DIM_OFFSET_U for x in xs) // n - DIM_OFFSET_U
+        m2_u = sum(x * x for x in xs) // n
+        stats.append((n, mean_u, m2_u))
+    avg_m2 = sum(m for _, _, m in stats) // dims
+    got = {
+        r["dim"]: (r["n_vecs"], r["mean_u"], r["m2_u"], r["dead"], r["dominant"])
+        for r in REG["embedding_dim_profile"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(dims))
+    for d, (n, mu, m2) in enumerate(stats):
+        assert got[d] == (
+            n, mu, m2, m2 < DIM_DEAD_M2_U, m2 > DIM_DOMINANT_X * avg_m2
+        ), d
