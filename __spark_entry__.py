@@ -124,6 +124,7 @@ _MEASURED_COST = {
     "curation_quality_calibration": 0.82,
     "dedup_threshold_sweep": 0.84,
     "embedding_dim_profile": 0.73,
+    "text_vocab_growth": 0.66,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

@@ -2094,3 +2094,99 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_bp"), F.asc("phrase"))
         .limit(RAKE_TOP_N)
     )
+
+
+# --- vocabulary growth curve (Heaps' law) -------------------------------
+
+
+@register(
+    "text_vocab_growth",
+    tags=("text", "corpus", "diagnostics"),
+    oracle="""
+WITH d AS (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           ntile(10) OVER (ORDER BY doc_id) AS decile
+    FROM documents
+), per_doc AS (
+    SELECT doc_id, decile, CAST(len(ws) AS BIGINT) AS n_tokens FROM d
+), w AS (
+    SELECT word, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(ws) AS word FROM d
+    ) GROUP BY word
+), wd AS (
+    SELECT p.decile, CAST(count(*) AS BIGINT) AS new_vocab
+    FROM w JOIN per_doc p ON p.doc_id = w.first_doc
+    GROUP BY p.decile
+), dd AS (
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM per_doc GROUP BY decile
+)
+SELECT dd.decile,
+       CAST(sum(dd.n_docs) OVER win AS BIGINT) AS cum_docs,
+       CAST(sum(dd.n_tokens) OVER win AS BIGINT) AS cum_tokens,
+       CAST(sum(coalesce(wd.new_vocab, 0)) OVER win AS BIGINT) AS cum_vocab,
+       CAST(coalesce(wd.new_vocab, 0) AS BIGINT) AS new_vocab
+FROM dd LEFT JOIN wd USING (decile)
+WINDOW win AS (ORDER BY dd.decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law): cumulative distinct
+    vocabulary vs cumulative tokens at corpus deciles (by doc_id
+    order) — the corpus-linguistics health curve: natural text grows
+    vocabulary as a power law (the curve keeps bending up), while a
+    templated/duplicated corpus plateaus early and machine-generated
+    gibberish grows linearly. A new-ingest curve that suddenly
+    flattens means the crawl started re-fetching what it already has.
+
+    Exactness: pure integer counting — each word's first occurrence
+    is min(doc_id), its decile is the first doc's decile, and every
+    cumulative is a running sum over the 10-row decile frame.
+
+    Scale shape: the deterministic ntile is a single-axis rank (at
+    100 TB the two-pass histogram-threshold split replaces it, as in
+    curation_holdout_split's hash split); first occurrences are ONE
+    vocabulary-scaled min aggregation over the token stream; the join
+    back to deciles ships (word-first doc_id) pairs; everything after
+    operates on a 10-row frame.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.withColumn("ws", F.split("text", " ")).withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("doc_id"))
+    )
+    per_doc = d.select(
+        "doc_id", "decile", F.size("ws").cast("bigint").alias("n_tokens")
+    )
+    w = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    wd = (
+        w.join(
+            per_doc.select(F.col("doc_id").alias("first_doc"), "decile"),
+            "first_doc",
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_vocab"))
+    )
+    dd = per_doc.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    win = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = dd.join(wd, "decile", "left").withColumn(
+        "new_vocab", F.coalesce("new_vocab", F.lit(0)).cast("bigint")
+    )
+    return joined.select(
+        "decile",
+        F.sum("n_docs").over(win).cast("bigint").alias("cum_docs"),
+        F.sum("n_tokens").over(win).cast("bigint").alias("cum_tokens"),
+        F.sum("new_vocab").over(win).cast("bigint").alias("cum_vocab"),
+        "new_vocab",
+    )

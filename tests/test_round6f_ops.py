@@ -517,3 +517,37 @@ def test_dim_profile_matches_pure_python(spark):
         assert got[d] == (
             n, mu, m2, m2 < DIM_DEAD_M2_U, m2 > DIM_DOMINANT_X * avg_m2
         ), d
+
+
+def test_vocab_growth_matches_pure_python(spark):
+    docs = sorted(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    n = len(docs)
+    base, extra = divmod(n, 10)
+    seen: set[str] = set()
+    want = []
+    cum_docs = cum_tokens = cum_vocab = 0
+    i = 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        new_v = 0
+        for r in docs[i : i + size]:
+            ws = r["text"].split(" ")
+            cum_tokens += len(ws)
+            for w in ws:
+                if w not in seen:
+                    seen.add(w)
+                    new_v += 1
+        i += size
+        cum_docs += size
+        cum_vocab += new_v
+        want.append((dec, cum_docs, cum_tokens, cum_vocab, new_v))
+    got = sorted(
+        tuple(r) for r in REG["text_vocab_growth"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want
+    # growth curve is monotone and ends at the full corpus totals
+    assert got[-1][1] == n
+    assert got[-1][3] == len(seen)
