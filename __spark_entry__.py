@@ -125,6 +125,7 @@ _MEASURED_COST = {
     "dedup_threshold_sweep": 0.84,
     "embedding_dim_profile": 0.73,
     "text_vocab_growth": 0.66,
+    "graph_dup_flow": 0.78,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

@@ -2209,3 +2209,94 @@ def curation_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_score_u",
         "keep_bp",
     )
+
+
+# --- directed duplication flow between sources --------------------------
+
+
+def _dup_flow_oracle() -> str:
+    from go_integ_spark.operators.dedup import PARA_TOKENS
+
+    p = PARA_TOKENS
+    return f"""
+WITH w AS (
+    SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), p AS (
+    SELECT doc_id, source, t.i AS para_id,
+           ('0x' || substr(md5(array_to_string(
+               ws[t.i * {p} + 1 : t.i * {p} + {p}], ' ')), 1, 15))::BIGINT AS ph
+    FROM w, unnest(generate_series(0, (len(ws) - 1) // {p})) AS t(i)
+), r AS (
+    SELECT source,
+           first_value(source) OVER win AS origin_source,
+           row_number() OVER win AS rn
+    FROM p
+    WINDOW win AS (PARTITION BY ph ORDER BY doc_id, para_id)
+)
+SELECT origin_source, source AS dup_source,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       origin_source <> source AS cross_source
+FROM r WHERE rn > 1
+GROUP BY origin_source, source
+"""
+
+
+@register(
+    "graph_dup_flow",
+    tags=("graph", "dedup", "curation"),
+    oracle=_dup_flow_oracle(),
+)
+def graph_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed duplication flow between sources: for every duplicate
+    paragraph occurrence, an edge from the source that FIRST
+    published the paragraph (the origin, by the same global
+    first-occurrence rule dedup_paragraph keeps) to the source
+    holding the duplicate — who copies whom. The diagonal
+    (cross_source = false) is internal duplication; heavy off-diagonal
+    rows name mirror/scraper relationships directionally, which the
+    undirected LSH weights behind curation_mirror_blocklist and
+    graph_pagerank_sources cannot: a wire service REPUBLISHED
+    everywhere looks identical to a scraper in an undirected graph,
+    but opposite in this one.
+
+    Scale shape: one window pass over the paragraph hashes assigns
+    every occurrence its rank AND its partition's first source
+    (first_value shares the ranking window — no self-join back to
+    the keeper); the rollup is bounded by |sources|^2 rows. Hash-only
+    shuffles; paragraph text never moves.
+    """
+    from go_integ_spark.functions.hashing import h60
+    from go_integ_spark.operators.dedup import PARA_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    paras = (
+        docs.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(ws) - 1) div {PARA_TOKENS}),"
+                    f" i -> struct(i AS para_id, array_join(slice(ws,"
+                    f" i * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' ') AS ptxt))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("p.para_id").alias("para_id"),
+            h60(F.col("p.ptxt")).alias("ph"),
+        )
+    )
+    win = Window.partitionBy("ph").orderBy("doc_id", "para_id")
+    r = paras.select(
+        "source",
+        F.first("source").over(win).alias("origin_source"),
+        F.row_number().over(win).alias("rn"),
+    ).filter(F.col("rn") > 1)
+    return r.groupBy("origin_source", F.col("source").alias("dup_source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+    ).withColumn(
+        "cross_source", F.col("origin_source") != F.col("dup_source")
+    )

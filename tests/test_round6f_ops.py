@@ -551,3 +551,20 @@ def test_vocab_growth_matches_pure_python(spark):
     # growth curve is monotone and ends at the full corpus totals
     assert got[-1][1] == n
     assert got[-1][3] == len(seen)
+
+
+def test_dup_flow_conserves_dedup_impact_mass(spark):
+    # Flow rows must sum, per losing source, to exactly the duplicate
+    # paragraphs curation_dedup_impact charges that source.
+    flow = REG["graph_dup_flow"].fn(spark, SF_DIR).collect()
+    impact = {
+        r["source"]: r["n_dup_paras"]
+        for r in REG["curation_dedup_impact"].fn(spark, SF_DIR).collect()
+    }
+    per_loser: dict[str, int] = {}
+    for r in flow:
+        per_loser[r["dup_source"]] = per_loser.get(r["dup_source"], 0) + r["n_paras"]
+        assert r["cross_source"] == (r["origin_source"] != r["dup_source"])
+        assert r["n_paras"] > 0
+    for src, n in impact.items():
+        assert per_loser.get(src, 0) == n, src
