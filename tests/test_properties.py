@@ -407,3 +407,87 @@ def test_greedy_budget_plan_equals_prefix_reference(docs, budget):
         )
         got.update(members[:m])
     assert got == want, (docs, budget, got, want)
+
+
+# --- seventh round-6 session kernels ----------------------------------
+
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g"]),
+        st.dictionaries(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            st.integers(min_value=1, max_value=50),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_tv_closed_form_absent_mass_identity(per_src):
+    """The algebraic identity corpus_source_divergence relies on:
+    folding absent-word mass in closed form equals the naive sum over
+    the FULL vocabulary, for any counts."""
+    corpus: dict[str, int] = {}
+    for cnt in per_src.values():
+        for w, c in cnt.items():
+            corpus[w] = corpus.get(w, 0) + c
+    n_tot = sum(corpus.values())
+    for cnt in per_src.values():
+        n_s = sum(cnt.values())
+        naive = sum(
+            abs(cnt.get(w, 0) * n_tot - c_w * n_s) for w, c_w in corpus.items()
+        )
+        present = sum(
+            abs(c_sw * n_tot - corpus[w] * n_s) for w, c_sw in cnt.items()
+        )
+        w_s = sum(corpus[w] for w in cnt)
+        closed = present + (n_tot - w_s) * n_s
+        assert closed == naive
+        # and the resulting TV is a valid distance in [0, 1]
+        assert 0 <= closed <= 2 * n_s * n_tot
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=500), max_size=60),
+    st.sets(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_construction_never_false_negative(keys, probes):
+    """For ANY key and probe sets, the h60 bloom construction used by
+    agg_bloom_prefilter admits every true member (one-sided error)."""
+    from go_integ_spark.functions.hashing import h60_py
+    from go_integ_spark.operators.advanced import BLOOM_BITS_PER_KEY, BLOOM_K
+
+    m = BLOOM_BITS_PER_KEY * len(keys) + 1
+    bits = {h60_py(f"bloom{i}:{k}") % m for k in keys for i in range(BLOOM_K)}
+    pos = {
+        p
+        for p in probes
+        if all(h60_py(f"bloom{i}:{p}") % m in bits for i in range(BLOOM_K))
+    }
+    assert keys & probes <= pos  # no false negatives, ever
+    assert len(bits) <= min(m, BLOOM_K * len(keys))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40)
+)
+@settings(max_examples=200, deadline=None)
+def test_ewma_weights_bound_and_constant_fixpoint(vals):
+    """The tap-truncated integer EWMA stays within the window's
+    [min, max] and is exactly v on constant series."""
+    from go_integ_spark.operators.events import _EWMA_WEIGHTS, EWMA_TAPS
+
+    hist: list[int] = []
+    for v in vals:
+        hist.append(v)
+        window = hist[-EWMA_TAPS:][::-1]
+        num = sum(w * x for w, x in zip(_EWMA_WEIGHTS, window))
+        den = sum(_EWMA_WEIGHTS[: len(window)])
+        e = num // den
+        assert min(window) <= e <= max(window)
+    if len(set(vals)) == 1:
+        assert e == vals[0]
