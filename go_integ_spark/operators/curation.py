@@ -2300,3 +2300,82 @@ def graph_dup_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "cross_source", F.col("origin_source") != F.col("dup_source")
     )
+
+
+# --- term-blocklist filter ----------------------------------------------
+
+# Stand-in blocklist: neutral corpus tokens chosen so the gate
+# exercises both a hitting term ('dup', ~5% of docs) and an absent
+# one ('forbidden'). A deployment swaps in its real word list (C4's
+# badwords file, a policy list) — semantics and plan are unchanged;
+# word-boundary matching, not substring.
+BLOCKLIST_TERMS = ["dup", "forbidden"]
+
+
+def _blocklist_oracle() -> str:
+    pads = []
+    for t in BLOCKLIST_TERMS:
+        hit = f"(length(p) - length(replace(p, ' {t} ', ''))) // {len(t) + 2}"
+        pads.append(f"CAST({hit} AS BIGINT)")
+    n_hits = " + ".join(pads)
+    n_terms = " + ".join(
+        f"CASE WHEN contains(p, ' {t} ') THEN 1 ELSE 0 END"
+        for t in BLOCKLIST_TERMS
+    )
+    return f"""
+WITH d AS (
+    SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS p
+    FROM documents
+)
+SELECT doc_id,
+       CAST({n_terms} AS BIGINT) AS n_blocked_terms,
+       CAST({n_hits} AS BIGINT) AS n_hits,
+       ({n_hits}) = 0 AS keep
+FROM d
+"""
+
+
+@register(
+    "curation_blocklist_filter",
+    tags=("curation", "quality", "filter"),
+    oracle=_blocklist_oracle(),
+)
+def curation_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist gate — the C4 "bad words" filter class: drop
+    any document containing a blocklisted WORD (boundary-matched, not
+    substring), reporting how many listed terms appear and the total
+    occurrence count so policy reviews can distinguish a single
+    incidental hit from saturated pages. The committed list holds
+    neutral stand-in tokens (one hitting ~5% of the corpus, one
+    absent); a deployment swaps in its real list and nothing else
+    changes.
+
+    Exactness: occurrence counting is the doubled-space length-delta
+    replace (the BM25 trick — adjacent repeats never share a
+    delimiter), pure integer arithmetic.
+
+    Scale shape: scan-bound row-local JVM replaces, zero shuffles,
+    zero UDFs — the filter composes with partition pruning and costs
+    one pass no matter how long the list grows (each term adds one
+    replace to the same projection).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.concat(F.lit(" "), F.regexp_replace("text", " ", "  "), F.lit(" "))
+    d = docs.select("doc_id", p.alias("p"))
+    n_hits = None
+    n_terms = None
+    for t in BLOCKLIST_TERMS:
+        needle = f" {t} "
+        cnt = (
+            (F.length("p") - F.length(F.replace(F.col("p"), F.lit(needle), F.lit(""))))
+            / F.lit(len(needle))
+        ).cast("bigint")
+        present = F.contains(F.col("p"), F.lit(needle)).cast("bigint")
+        n_hits = cnt if n_hits is None else n_hits + cnt
+        n_terms = present if n_terms is None else n_terms + present
+    return d.select(
+        "doc_id",
+        n_terms.cast("bigint").alias("n_blocked_terms"),
+        n_hits.cast("bigint").alias("n_hits"),
+        (n_hits == 0).alias("keep"),
+    )

@@ -568,3 +568,40 @@ def test_dup_flow_conserves_dedup_impact_mass(spark):
         assert r["n_paras"] > 0
     for src, n in impact.items():
         assert per_loser.get(src, 0) == n, src
+
+
+def test_blocklist_filter_matches_pure_python(spark):
+    from go_integ_spark.operators.curation import BLOCKLIST_TERMS
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    got = {
+        r["doc_id"]: (r["n_blocked_terms"], r["n_hits"], r["keep"])
+        for r in REG["curation_blocklist_filter"].fn(spark, SF_DIR).collect()
+    }
+    n_dropped = 0
+    for r in docs:
+        ws = r["text"].split(" ")
+        hits = sum(ws.count(t) for t in BLOCKLIST_TERMS)
+        terms = sum(1 for t in BLOCKLIST_TERMS if t in ws)
+        assert got[r["doc_id"]] == (terms, hits, hits == 0), r["doc_id"]
+        n_dropped += hits > 0
+    # the stand-in list genuinely fires on this corpus (but not on
+    # every doc), so keep=False rows are real data, not vacuous
+    assert 0 < n_dropped < len(docs)
+
+
+def test_blocklist_adjacent_repeats_counted(spark, tmp_path):
+    # 'dup dup dup' must count 3 — the doubled-space trick's reason.
+    from go_integ_spark.operators.curation import curation_blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "dup dup dup", "en", "s", 11), (2, "dupdup dup", "en", "s", 10)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_hits"], r["keep"])
+        for r in curation_blocklist_filter(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (3, False)
+    assert got[2] == (1, False)  # 'dupdup' is NOT a word match
