@@ -127,6 +127,7 @@ _MEASURED_COST = {
     "text_vocab_growth": 0.66,
     "graph_dup_flow": 0.78,
     "curation_blocklist_filter": 0.42,
+    "events_session_stats": 0.86,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

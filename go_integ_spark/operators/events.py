@@ -1207,3 +1207,85 @@ if events_attribution_linear.__doc__:  # absent under PYTHONOPTIMIZE=2
         .replace("{ATTR_WINDOW_DAYS + 1}", str(ATTR_WINDOW_DAYS + 1))
         .replace("{ATTR_WINDOW_DAYS}", str(ATTR_WINDOW_DAYS))
     )
+
+
+# --- session-level statistics -----------------------------------------
+
+SESSION_GAP_SEC = 1800  # same 30-minute inactivity rule as sessionize
+
+
+@register(
+    "events_session_stats",
+    tags=("events", "window", "sessionize"),
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > {SESSION_GAP_SEC * 1_000_000}
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM gaps
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+           AS duration_sec,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS value_micro
+FROM s
+GROUP BY user_id, session_seq
+""",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-LEVEL rollup — the table one layer below
+    ``events_sessionize``'s per-user counts: every session's event
+    count, wall-clock duration, purchase count, and exact total value
+    (micro-units), keyed (user, session_seq). This is the grain
+    engagement and conversion analytics actually query ("median
+    session length", "purchase rate per session"), and the downstream
+    feed for events_rfm-style scoring.
+
+    Scale shape: the same one exchange on user_id serves the lag
+    window, the cumulative session numbering, AND the final
+    (user, session) aggregation — Catalyst reuses the partitioning,
+    so corpus rows move once. Session ids are per-user cumulative
+    sums (deterministic total order), identical in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_SEC * 1_000_000), 1
+    ).otherwise(0)
+    s = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(wcum)
+    )
+    return s.groupBy(
+        "user_id", F.col("session_seq").cast("bigint").alias("session_seq")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("duration_sec"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(F.expr("cast(floor(value * 1000000) as bigint)"))
+        .cast("bigint")
+        .alias("value_micro"),
+    )

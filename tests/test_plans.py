@@ -772,3 +772,10 @@ def test_attribution_range_join_is_hash_join(registry, spark):
     plan = executed_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_session_stats_single_exchange(registry, spark):
+    # Lag window, cumulative numbering, and the (user, session) agg
+    # all share the user_id partitioning: corpus rows move once.
+    df = _df(registry, spark, "events_session_stats")
+    assert shuffle_count(df) == 1

@@ -605,3 +605,29 @@ def test_blocklist_adjacent_repeats_counted(spark, tmp_path):
     }
     assert got[1] == (3, False)
     assert got[2] == (1, False)  # 'dupdup' is NOT a word match
+
+
+def test_session_stats_consistent_with_sessionize(spark):
+    # Session-level rows must roll up exactly to the registered
+    # per-user sessionize counts, and session durations must respect
+    # the 30-minute gap rule.
+    stats = REG["events_session_stats"].fn(spark, SF_DIR).collect()
+    per_user = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in REG["events_sessionize"].fn(spark, SF_DIR).collect()
+    }
+    agg: dict[int, list[int]] = {}
+    for r in stats:
+        a = agg.setdefault(r["user_id"], [0, 0])
+        a[0] = max(a[0], r["session_seq"])
+        a[1] += r["n_events"]
+        assert r["n_events"] >= 1
+        assert r["duration_sec"] >= 0
+        assert r["n_purchases"] <= r["n_events"]
+    assert {u: tuple(v) for u, v in agg.items()} == per_user
+    # session count per user equals max seq AND the number of rows
+    from collections import Counter
+
+    rows_per_user = Counter(r["user_id"] for r in stats)
+    for u, (n_sessions, _) in per_user.items():
+        assert rows_per_user[u] == n_sessions
