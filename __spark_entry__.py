@@ -128,6 +128,7 @@ _MEASURED_COST = {
     "graph_dup_flow": 0.78,
     "curation_blocklist_filter": 0.42,
     "events_session_stats": 0.86,
+    "similarity_pq_agreement": 2.06,
     "events_cohort_retention": 0.5,
     "events_unpivot_metrics": 0.51,
     "dedup_canonical_pick": 0.52,

@@ -3173,3 +3173,61 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m2_u") < DIM_DEAD_M2_U).alias("dead"),
         (F.col("m2_u") > DIM_DOMINANT_X * F.col("avg_m2")).alias("dominant"),
     )
+
+
+# --- PQ serving agreement -----------------------------------------------
+
+
+def _pq_agreement_oracle() -> str:
+    from go_integ_spark.registry import REGISTRY
+
+    pq = REGISTRY["similarity_pq_search"].oracle
+    bf = REGISTRY["ann_bruteforce_topk"].oracle
+    return f"""
+WITH pq AS ({pq}), bf AS ({bf})
+SELECT pq.query_id,
+       CAST(count(bf.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(bf.neighbor_id) * 10000 // {TOP_K} AS BIGINT)
+           AS agreement_bp
+FROM pq
+LEFT JOIN bf
+  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+GROUP BY pq.query_id
+"""
+
+
+@register(
+    "similarity_pq_agreement",
+    tags=("similarity", "evaluation", "vector", "llm_pipeline"),
+    oracle=_pq_agreement_oracle(),
+)
+def similarity_pq_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier agreement for the PQ index: overlap@k between the
+    compressed ADC top-k and the exact full-precision index on the
+    same queries, in exact basis points — the user-visible
+    discrepancy a deployment monitors when it swaps the float index
+    for codes (alongside similarity_recall_eval's IVF pruning loss
+    and similarity_ndcg_eval's position-weighted view; this completes
+    the eval matrix with the QUANTIZATION axis). Stated honestly: the
+    exact arm ranks by cosine and the PQ arm by ADC squared-L2, so on
+    non-normalized corpora the number bundles quantization AND metric
+    effects — exactly what the deployed swap changes.
+
+    Scale shape: both arms are the registered pipelines reused
+    verbatim; the comparison joins two k-row-per-query id sets.
+    At 100 TB this runs on a sampled query set after every codebook
+    retrain.
+    """
+    truth = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = similarity_pq_search(spark, sf_dir).select("query_id", "neighbor_id")
+    hit = pq.join(
+        truth.withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits"),
+        F.expr(
+            f"cast(sum(coalesce(hit, 0)) * 10000 div {TOP_K} as bigint)"
+        ).alias("agreement_bp"),
+    )

@@ -631,3 +631,24 @@ def test_session_stats_consistent_with_sessionize(spark):
     rows_per_user = Counter(r["user_id"] for r in stats)
     for u, (n_sessions, _) in per_user.items():
         assert rows_per_user[u] == n_sessions
+
+
+def test_pq_agreement_matches_set_overlap(spark):
+    # Direct set compare of the two registered arms.
+    from go_integ_spark.operators.similarity import TOP_K
+
+    truth: dict[int, set[int]] = {}
+    for r in REG["ann_bruteforce_topk"].fn(spark, SF_DIR).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    pq: dict[int, set[int]] = {}
+    for r in REG["similarity_pq_search"].fn(spark, SF_DIR).collect():
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {
+        r["query_id"]: (r["hits"], r["agreement_bp"])
+        for r in REG["similarity_pq_agreement"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(pq)
+    for q in pq:
+        hits = len(pq[q] & truth.get(q, set()))
+        assert got[q] == (hits, hits * 10000 // TOP_K), q
+        assert 0 <= got[q][1] <= 10000
