@@ -1539,12 +1539,16 @@ WITH v AS (
                    {_RP_SIGN_SQL} * qs[d + 1])) AS BIGINT)) AS p
     FROM q
 ), bk AS (
+    -- the outer CAST pins bucket to BIGINT: list_sum's return type
+    -- (HUGEINT vs BIGINT) is a DuckDB-version detail, and an
+    -- unpinned unnest type reaches the driver's value hash (the r6
+    -- streaming_srp_registry hash-red)
     SELECT vec_id,
            unnest(list_transform(range({SRP_BANDS}), b ->
-               b * {1 << SRP_ROWS} +
+               CAST(b * {1 << SRP_ROWS} +
                list_sum(list_transform(range({SRP_ROWS}), i ->
                    CASE WHEN p[b * {SRP_ROWS} + i + 1] >= 0
-                        THEN (1 << i) ELSE 0 END)))) AS bucket
+                        THEN (1 << i) ELSE 0 END)) AS BIGINT))) AS bucket
     FROM proj
 )"""
 
@@ -1627,6 +1631,23 @@ def dedup_paraphrase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dataset; the paper sweeps it).
 SEMDEDUP_TAU = 0.40
 
+# The tau gate is evaluated ENTIRELY in int64 (round 6 lesson: the
+# one float comparison in this pipeline — fold cosine vs 0.40 — was
+# the repo's only oracle leaning on DuckDB's built-in
+# list_cosine_similarity, whose reduction order is a library
+# implementation detail; a different DuckDB build on the driver host
+# flipped a boundary pair and hash-failed the r6 gate). Vectors are
+# quantized once at SEMDEDUP_GATE_SCALE and the gate becomes
+#   dot >= 0 AND den^2 * dot^2 >= num^2 * |a|^2 * |b|^2  (all int64)
+# which is exactly cos(qa, qb) >= num/den with zero float ops on
+# either engine. Overflow envelope at |x| < 0.6, dim 64, scale 4096:
+# dot <= 64 * (0.6*4096)^2 ~ 3.9e8, so dot^2 * den^2 <= 3.8e18 and
+# num^2 * na2 * nb2 <= 6.1e17 — both inside int64.
+SEMDEDUP_TAU_NUM = 2
+SEMDEDUP_TAU_DEN = 5
+assert SEMDEDUP_TAU_NUM / SEMDEDUP_TAU_DEN == SEMDEDUP_TAU
+SEMDEDUP_GATE_SCALE = 4096
+
 # Per-cluster pair-scoring cap, same trade as LSH_MAX_BUCKET: a
 # degenerate mega-cluster (a duplication-heavy corpus collapsing into
 # one cell after a single Lloyd round) would otherwise build an n^2
@@ -1634,6 +1655,65 @@ SEMDEDUP_TAU = 0.40
 # skipped by the prune (their members all stay kept) — precision 1.0,
 # bounded recall loss, mirrored exactly in the oracle.
 SEMDEDUP_MAX_CLUSTER = 4096
+
+
+def int_cosine_gate_pairs_in_groups(
+    grouped: DataFrame,
+    key_col: str,
+    tau_num: int,
+    tau_den: int,
+    scale: int,
+    max_group: int | None = None,
+) -> DataFrame:
+    """(vec_a, vec_b) pairs whose INTEGER-gated cosine clears
+    tau_num/tau_den, scored within each ``key_col`` group as one
+    cogrouped block — the all-int64 sibling of
+    :func:`cosine_pairs_in_groups` for pipelines whose output never
+    needs the float similarity value (SemDeDup's prune only needs the
+    pair set). Vectors quantize once at ``scale``; the gate
+    ``dot >= 0 AND den^2*dot^2 >= num^2*na2*nb2`` is exact integer
+    arithmetic, so Spark/numpy/DuckDB agree bit-for-bit regardless of
+    each engine's float reduction order. Zero-quantized vectors
+    (na2 == 0) never pair. ``max_group`` mirrors the
+    ``LSH_MAX_BUCKET`` mega-group skip."""
+    import numpy as np
+    import pandas as pd
+
+    num2, den2 = tau_num * tau_num, tau_den * tau_den
+
+    def _pairs_above(pdf):
+        n = len(pdf)
+        if n < 2 or (max_group is not None and n > max_group):
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        e = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
+        q = np.floor(e * scale + 0.5).astype(np.int64)
+        dot = q @ q.T  # exact int64 Gram matrix
+        n2 = np.diag(dot)
+        ok = (
+            (dot >= 0)
+            & (n2[:, None] > 0)
+            & (n2[None, :] > 0)
+            & (den2 * dot * dot >= num2 * (n2[:, None] * n2[None, :]))
+        )
+        ii, jj = np.where(np.triu(ok, k=1))
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        return pd.DataFrame(
+            {
+                "vec_a": np.where(swap, b, a),
+                "vec_b": np.where(swap, a, b),
+            }
+        )
+
+    return grouped.groupBy(key_col).applyInPandas(
+        _pairs_above, "vec_a bigint, vec_b bigint"
+    )
 
 
 def _semdedup_oracle() -> str:
@@ -1669,14 +1749,34 @@ WITH v AS (
         + lloyd_update_cte("c1", "a0", dim)
         + lloyd_assign_cte("a1", "qv", "c1", dim)
     )
-    tail = f""", p AS (
-    SELECT x.vec_id AS va, x.d2 AS da, y.vec_id AS vb, y.d2 AS db
+    gs = SEMDEDUP_GATE_SCALE
+    num2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
+    den2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
+    tail = f""", gn AS (
+    -- int64 tau-gate basis: quantize once at {gs}, norms exact
+    SELECT vec_id,
+           list_transform(e, x ->
+               CAST(floor(x * {gs}.0 + 0.5) AS BIGINT)) AS gq,
+           CAST(list_sum(list_transform(e, x ->
+               CAST(floor(x * {gs}.0 + 0.5) AS BIGINT)
+               * CAST(floor(x * {gs}.0 + 0.5) AS BIGINT))) AS BIGINT) AS n2
+    FROM v
+), pr AS (
+    SELECT x.vec_id AS va, x.d2 AS da, y.vec_id AS vb, y.d2 AS db,
+           ga.n2 AS na2, gb.n2 AS nb2,
+           CAST(list_sum(list_transform(range({dim}), d ->
+               ga.gq[d + 1] * gb.gq[d + 1])) AS BIGINT) AS dot
     FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id
-    JOIN v vx ON vx.vec_id = x.vec_id
-    JOIN v vy ON vy.vec_id = y.vec_id
-    WHERE list_cosine_similarity(vx.e, vy.e) >= {SEMDEDUP_TAU}
-      AND x.cid NOT IN (SELECT cid FROM a1 GROUP BY cid
+    JOIN gn ga ON ga.vec_id = x.vec_id
+    JOIN gn gb ON gb.vec_id = y.vec_id
+    WHERE x.cid NOT IN (SELECT cid FROM a1 GROUP BY cid
                         HAVING count(*) > {SEMDEDUP_MAX_CLUSTER})
+), p AS (
+    -- cos(qa, qb) >= {SEMDEDUP_TAU_NUM}/{SEMDEDUP_TAU_DEN} as pure
+    -- int64 (no float comparison can drift across DuckDB builds)
+    SELECT va, da, vb, db FROM pr
+    WHERE dot >= 0 AND na2 > 0 AND nb2 > 0
+      AND dot * dot * {den2} >= {num2} * na2 * nb2
 ), dropped AS (
     -- pairs carry va < vb by construction; on a distance tie the
     -- larger id (vb) is dropped
@@ -1709,9 +1809,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     init, ONE update round) — every distance is exact int64, so the
     keep-farthest rule has no float ties to diverge on, and the
     dynamic-k unroll still admits a full DuckDB value oracle. Pair
-    scoring reuses ``cosine_pairs_in_groups`` (the fold-exact
-    cogrouped block scorer the IVF dedup uses), grouped by FINAL
-    cluster id.
+    scoring uses :func:`int_cosine_gate_pairs_in_groups` — the
+    all-int64 tau gate (quantize at ``SEMDEDUP_GATE_SCALE``, compare
+    ``den^2*dot^2`` vs ``num^2*na2*nb2``), grouped by FINAL cluster
+    id — so the ENTIRE pipeline is integer-exact end to end; the r6
+    float gate (fold cosine vs 0.40, oracled with DuckDB's built-in
+    ``list_cosine_similarity``) hash-failed on the driver host's
+    DuckDB build and is gone.
 
     Scale shape: assign steps are broadcast-codebook row-local
     kernels (sqrt(N) x dim integers broadcast, ~16 MB at 1e9
@@ -1725,7 +1829,6 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import math
 
-    from go_integ_spark.functions.vector import with_norm
     from go_integ_spark.operators.similarity import (
         _kmeans_u_quantize,
         first_k_centroids_u,
@@ -1744,11 +1847,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         kmeans_assign_u(qv, cents).select("vec_id", "cid", "dist2_u").persist()
     )
-    grouped = assigned.join(with_norm(emb), "vec_id").select(
-        "cid", "vec_id", "e", "e_norm"
-    )
-    pairs = cosine_pairs_in_groups(
-        grouped, "cid", SEMDEDUP_TAU, max_group=SEMDEDUP_MAX_CLUSTER
+    grouped = assigned.join(
+        emb.select("vec_id", F.col("embedding").alias("e")), "vec_id"
+    ).select("cid", "vec_id", "e")
+    pairs = int_cosine_gate_pairs_in_groups(
+        grouped,
+        "cid",
+        SEMDEDUP_TAU_NUM,
+        SEMDEDUP_TAU_DEN,
+        SEMDEDUP_GATE_SCALE,
+        max_group=SEMDEDUP_MAX_CLUSTER,
     )
     d = assigned.select("vec_id", "dist2_u")
     loser = (

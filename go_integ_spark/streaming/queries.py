@@ -658,7 +658,7 @@ def _srp_registry_oracle() -> str:
     from go_integ_spark.operators.dedup import srp_bucket_cte
 
     return srp_bucket_cte() + """
-SELECT bucket, min(vec_id) AS first_vec_id,
+SELECT bucket, CAST(min(vec_id) AS BIGINT) AS first_vec_id,
        CAST(count(*) AS BIGINT) AS n_members
 FROM bk GROUP BY bucket
 """

@@ -1,10 +1,21 @@
 """Local replica of the driver's DuckDB-oracle comparison:
 row count + column names + order-insensitive value comparison with
 column names sorted before comparing.
+
+STRICT since round 7: the round-6 replica rounded floats to 9
+decimals and folded -0.0 into 0.0, and two queries that passed it
+("196/196 BIT-EXACT") hash-failed the real driver gate. Floats now
+canonicalize to their exact round-trip ``repr`` — no rounding, and
+-0.0 / 0.0 stay DISTINCT (Python's ``-0.0 == 0.0`` would otherwise
+hide a signed-zero divergence the driver's hash can see). ``repr``
+also separates int 1 from float 1.0, so an engine-side type drift
+(e.g. a DuckDB HUGEINT reaching pandas as float — the r6
+streaming_srp_registry red) fails HERE first.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 from typing import Any
 
@@ -28,8 +39,8 @@ def _norm(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and fold float32/64 print noise
-        return round(v, 9) + 0.0
+        # exact round-trip repr: bit-exact, keeps -0.0 distinct
+        return repr(v)
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     if hasattr(v, "isoformat"):
@@ -43,6 +54,17 @@ def canonicalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm(r[i]) for i in order) for r in rows]
     return sorted(out, key=repr)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    """Driver-style digest over the canonical (name-sorted columns,
+    row-sorted, strict-normed) value matrix — lets a test or sweep
+    log ONE comparable token per result set."""
+    h = hashlib.sha256()
+    for row in canonicalize(cols, rows):
+        h.update(repr(row).encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 
 def compare(

@@ -37,7 +37,11 @@ def test_semdedup_matches_numpy_reference(spark):
     and require the identical (cid, dist2_u, keep) per vector."""
     import numpy as np
 
-    from go_integ_spark.operators.dedup import SEMDEDUP_TAU
+    from go_integ_spark.operators.dedup import (
+        SEMDEDUP_GATE_SCALE,
+        SEMDEDUP_TAU_DEN,
+        SEMDEDUP_TAU_NUM,
+    )
     from go_integ_spark.operators.similarity import KMEANS_SCALE
 
     rows = REG["dedup_semdedup"].fn(spark, SF_DIR).collect()
@@ -81,19 +85,30 @@ def test_semdedup_matches_numpy_reference(spark):
     cid1_idx, d2_1 = assign(cents1)
     cid1 = np.array(alive, dtype=np.int64)[cid1_idx]
 
-    # within-cluster pairs above tau (fold-order cosine like the
-    # kernel: per-dimension accumulate)
-    norms = np.sqrt((e * e).sum(axis=1))
+    # within-cluster pairs above tau — the all-int64 gate (pure
+    # Python ints here, so this reference is overflow-free by
+    # construction and independent of the numpy kernel's int64 path)
+    qg = np.floor(e * SEMDEDUP_GATE_SCALE + 0.5).astype(np.int64)
+    num2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
+    den2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
+    n2 = [int((qg[i] * qg[i]).sum()) for i in range(n)]
     dropped: set[int] = set()
     for c in alive:
         m = np.where(cid1 == c)[0]
         if len(m) < 2:
             continue
-        acc = np.zeros((len(m), len(m)))
-        for d in range(e.shape[1]):
-            acc += e[m, d : d + 1] * e[m, d][None, :]
-        sim = acc / (norms[m, None] * norms[m][None, :])
-        ii, jj = np.where(np.triu(sim >= SEMDEDUP_TAU, k=1))
+        ok = np.zeros((len(m), len(m)), dtype=bool)
+        for a_i in range(len(m)):
+            for b_i in range(len(m)):
+                ia, ib = int(m[a_i]), int(m[b_i])
+                dot = int(sum(int(x) * int(y) for x, y in zip(qg[ia], qg[ib])))
+                ok[a_i, b_i] = (
+                    dot >= 0
+                    and n2[ia] > 0
+                    and n2[ib] > 0
+                    and den2 * dot * dot >= num2 * n2[ia] * n2[ib]
+                )
+        ii, jj = np.where(np.triu(ok, k=1))
         for a, b in zip(m[ii], m[jj]):
             da, db = int(d2_1[a]), int(d2_1[b])
             va, vb = int(ids[a]), int(ids[b])

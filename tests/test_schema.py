@@ -103,6 +103,33 @@ def test_entry_queries_staleness_first_and_complete():
     assert set(entry.oracle_sql()) <= set(names)
 
 
+def test_entry_never_green_backlog_fits_driver_budget():
+    """Never-checked-budget guard (VERDICT r6 item 8): every query
+    with NO green driver row ever — never gate-checked, or only
+    red rows like text_winnow_fingerprint's stale r1 `no_oracle` —
+    must sit inside the first DRIVER_GATE_BUDGET positions of the
+    gate ordering, so ONE driver round clears the whole backlog.
+    Registry growth is what breaks this: each new query lands in the
+    -1 staleness bucket, and once that bucket outgrows the driver's
+    per-round row budget some queries stay unverified indefinitely
+    (round 6 added 58 and the backlog went 14 -> 27). This is the
+    structural form of "freeze growth until the backlog clears"."""
+    import __spark_entry__ as entry
+
+    DRIVER_GATE_BUDGET = 50  # rows the r6 driver gate actually ran
+    last_green = entry._last_green_rounds()
+    order = entry._ordered_names()
+    never_green = [n for n in order if last_green.get(n, -1) == -1]
+    head = set(order[:DRIVER_GATE_BUDGET])
+    overflow = [n for n in never_green if n not in head]
+    assert not overflow, (
+        f"{len(never_green)} never-green queries but only "
+        f"{DRIVER_GATE_BUDGET} gate slots; these would stay "
+        f"unverified: {overflow} — stop adding queries until the "
+        "backlog clears"
+    )
+
+
 def test_entry_staleness_order_burns_down_whole_registry(monkeypatch):
     """Simulated driver rounds with a fixed per-round budget B: if the
     gate greens the first B queries each round, the staleness ordering

@@ -380,6 +380,35 @@ def test_ivfpq_above_chance_and_beats_unpruned_pq(spark, exact):
         assert dists == sorted(dists)
 
 
+def test_ivfpq_recall_floor_at_gate_sf(spark):
+    """Recall floor at the DRIVER'S gate scale (sf0.01) for the two
+    IVF-PQ flagship compositions (VERDICT r6 item 7): the eval-matrix
+    queries measure recall, this pins a constant floor so a silent
+    quality regression fails the suite before the gate ever sees it.
+    Deterministic on the fixed corpus; 3x chance is the same bar the
+    sf0.001 test uses for the composed approximation."""
+    from go_integ_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivfpq_residual_topk,
+        ann_ivfpq_topk,
+    )
+
+    gate_sf = "/root/testdata/sf0.01"
+    exact01 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce_topk(spark, gate_sf).collect()
+    }
+    n_corpus = 500
+    chance = TOP_K / n_corpus
+    for fn in (ann_ivfpq_topk, ann_ivfpq_residual_topk):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in fn(spark, gate_sf).collect()
+        }
+        recall = len(got & exact01) / len(exact01)
+        assert recall >= 3 * chance, (fn.__name__, recall, chance)
+
+
 def test_ivfpq_trained_codebook_runs(spark):
     """The trained-codebook variant swaps the Lloyd book into BOTH
     the encode and LUT sides and must stay self-consistent: full
