@@ -606,9 +606,14 @@ def lloyd_assign_cte(out: str, src: str, cents: str, dim: int) -> str:
         SELECT *, row_number() OVER (
             PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM (
+            -- CAST pins d2 to BIGINT: list_sum returns HUGEINT on
+            -- some DuckDB builds, and d2 reaches gate OUTPUT columns
+            -- (dedup_semdedup.dist2_u — the r6 hash-red: local
+            -- fetchall() yields int either way, the driver's pandas
+            -- canonicalizer does not)
             SELECT s.vec_id, s.q, c.cid,
-                   list_sum(list_transform(generate_series(1, {dim}), i ->
-                       (s.q[i] - c.c[i]) * (s.q[i] - c.c[i]))) AS d2
+                   CAST(list_sum(list_transform(generate_series(1, {dim}), i ->
+                       (s.q[i] - c.c[i]) * (s.q[i] - c.c[i]))) AS BIGINT) AS d2
             FROM {src} s CROSS JOIN {cents} c
         )
     ) WHERE rn = 1
@@ -1166,7 +1171,7 @@ def similarity_pq_search(
     luts = F.array(
         *[
             F.struct(
-                F.lit(int(r["vec_id"])).alias("query_id"),
+                F.lit(int(r["vec_id"])).cast("bigint").alias("query_id"),
                 F.array(
                     *[
                         F.array(*[F.lit(du) for du in row])
@@ -3120,7 +3125,7 @@ WITH v AS (
 ), tot AS (
     SELECT CAST(sum(m2_u) // count(*) AS BIGINT) AS avg_m2 FROM d
 )
-SELECT d.dim, d.n_vecs, d.mean_u, d.m2_u,
+SELECT CAST(d.dim AS INTEGER) AS dim, d.n_vecs, d.mean_u, d.m2_u,
        d.m2_u < {DIM_DEAD_M2_U} AS dead,
        d.m2_u > {DIM_DOMINANT_X} * t.avg_m2 AS dominant
 FROM d CROSS JOIN tot t

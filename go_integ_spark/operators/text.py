@@ -2123,7 +2123,7 @@ WITH d AS (
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
     FROM per_doc GROUP BY decile
 )
-SELECT dd.decile,
+SELECT CAST(dd.decile AS INTEGER) AS decile,
        CAST(sum(dd.n_docs) OVER win AS BIGINT) AS cum_docs,
        CAST(sum(dd.n_tokens) OVER win AS BIGINT) AS cum_tokens,
        CAST(sum(coalesce(wd.new_vocab, 0)) OVER win AS BIGINT) AS cum_vocab,

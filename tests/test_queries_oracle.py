@@ -51,6 +51,26 @@ def test_no_unlisted_rows_only_queries():
     )
 
 
+def test_oracle_output_types_are_version_safe(spark):
+    """Cross-engine TYPE audit (the r6 red-row class nothing else
+    catches): the driver hashes both result sets through pandas, so
+    an oracle output column whose DuckDB type is build-dependent
+    (HUGEINT from list_sum/sum, FLOAT, unsigned) or disagrees with
+    the Spark column's type can hash-diverge on the driver host while
+    the local fetchall()-based value comparison — which yields plain
+    Python ints either way — stays green forever. Both r6 hash-reds
+    (dedup_semdedup.dist2_u = raw list_sum HUGEINT,
+    streaming_srp_registry.bucket = unnest of a list_sum element)
+    were this class."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from audit_oracle_types import audit
+
+    bad = audit(spark)
+    assert not bad, "type-fragile oracle outputs:\n  " + "\n  ".join(bad)
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, name):
     spec = REGISTRY[name]
