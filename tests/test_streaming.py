@@ -335,6 +335,38 @@ def test_streaming_static_enrich_equals_batch_join(spark):
     assert got == want and len(got) > 0
 
 
+def test_streaming_srp_registry_equals_batch_twin(spark):
+    """The streaming SRP bucket registry driven to completion must
+    equal the batch GROUP BY over the identical bucket kernel —
+    VALUES and DTYPES both (VERDICT r6: the r6 hash-red for this
+    query was a type-level divergence the value comparison could not
+    see, so schema identity is asserted explicitly)."""
+    from go_integ_spark.operators.dedup import srp_bucket_udf
+    from go_integ_spark.streaming.queries import streaming_srp_registry
+    from go_integ_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got_df = streaming_srp_registry(spark, sf)
+    batch = (
+        load_table(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.explode(srp_bucket_udf()(F.col("embedding"))).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("vec_id").alias("first_vec_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    assert [
+        (f.name, f.dataType.simpleString()) for f in got_df.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in batch.schema.fields]
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_paragraph_dedup_equals_batch_distinct(spark):
     """Exploding paragraphs inside a streaming plan and deduplicating
     on the content hash must surface exactly the batch-distinct hash
