@@ -97,6 +97,9 @@ _MEASURED_COST = {
     "range_join_error_clicks": 0.4,
     "set_intersect_rich_building": 0.4,
     "asof_join_nearest": 0.42,
+    "asof_join_tolerance": 0.76,
+    "similarity_hard_negatives": 1.07,
+    "similarity_ivf_probe_recall": 1.69,
     "curation_quality_filter": 0.42,
     "q17_small_quantity_revenue": 0.42,
     "q14_promo_effect": 0.43,

@@ -1684,3 +1684,87 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("nc") - F.col("tu")).cast("bigint").alias("delta_us"),
         direction.alias("direction"),
     )
+
+
+# pandas merge_asof(tolerance=...) parity: a backward match only
+# counts within this window. 24h sits inside the corpus's backward-gap
+# IQR (p25 ~14.5h, median ~36h at sf0.01), so both arms of the gate
+# are populated at every SF.
+ASOF_TOLERANCE_US = 24 * 3600 * 1_000_000
+
+
+@register(
+    "asof_join_tolerance",
+    tags=("join", "asof", "window"),
+    oracle=f"""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, 0 AS kind FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT user_id, ts, event_id, 1 AS kind FROM events WHERE event_type = 'purchase'
+), w AS (
+    SELECT user_id, ts, event_id, kind,
+           max(CASE WHEN kind = 0 THEN epoch_us(ts) END) OVER wb AS cb
+    FROM tagged
+    WINDOW wb AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), n AS (
+    SELECT event_id, user_id, ts, epoch_us(ts) AS tu, cb
+    FROM w WHERE kind = 1
+)
+SELECT event_id, user_id, ts,
+       cb IS NOT NULL AND tu - cb <= {ASOF_TOLERANCE_US} AS matched,
+       CAST(CASE WHEN cb IS NOT NULL AND tu - cb <= {ASOF_TOLERANCE_US}
+                 THEN cb END AS BIGINT) AS click_us,
+       CAST(CASE WHEN cb IS NOT NULL AND tu - cb <= {ASOF_TOLERANCE_US}
+                 THEN tu - cb END AS BIGINT) AS delta_us
+FROM n
+""",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded backward as-of join — pandas
+    ``merge_asof(direction='backward', tolerance=...)`` parity,
+    completing the as-of family (backward / forward / nearest /
+    tolerance): each purchase matches the user's latest
+    click-at-or-before ONLY if it lies within ASOF_TOLERANCE_US
+    (24 h); a staler click yields an explicit non-match rather than a
+    misleading far-away join partner — the attribution-window /
+    sensor-staleness semantics every event pipeline needs alongside
+    the unbounded variant.
+
+    Scale shape: identical to the other as-of members — ONE union +
+    window construction (one exchange on user_id, one sort, O(1)
+    state per partition), the tolerance gate is a pure row-local
+    integer comparison on the already-computed prefix-max, so the
+    bound costs nothing. No range explosion, no per-key pandas.
+    Reference repo has no joins at all (SURVEY.md §2.3); pandas'
+    merge_asof documents the tolerance contract this mirrors.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    click_us = F.when(F.col("kind") == 0, F.unix_micros(F.col("ts")))
+    n = (
+        clicks.unionByName(purchases)
+        .withColumn("cb", F.max(click_us).over(wb))
+        .filter(F.col("kind") == 1)
+        .withColumn("tu", F.unix_micros(F.col("ts")))
+    )
+    in_tol = F.col("cb").isNotNull() & (
+        (F.col("tu") - F.col("cb")) <= ASOF_TOLERANCE_US
+    )
+    return n.select(
+        "event_id",
+        "user_id",
+        "ts",
+        in_tol.alias("matched"),
+        F.when(in_tol, F.col("cb")).cast("bigint").alias("click_us"),
+        F.when(in_tol, F.col("tu") - F.col("cb"))
+        .cast("bigint")
+        .alias("delta_us"),
+    )

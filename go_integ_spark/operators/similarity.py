@@ -257,6 +257,68 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Near-dup ceiling for hard-negative mining: candidates at or above
+# this cosine are (semantic) duplicates of the query, not negatives —
+# the same corpus-wide near-dup bar the dedup family uses.
+HARD_NEG_DUP_CEILING = 0.45  # == operators.dedup.EMB_COS_THRESHOLD
+
+
+@register(
+    "similarity_hard_negatives",
+    tags=("similarity", "topk", "vector", "llm_pipeline"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.e, c.e) AS s
+    FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, round(s, 4) AS cos_sim,
+       CAST(rn AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, neighbor_id
+    ) AS rn
+    FROM scored WHERE s < {HARD_NEG_DUP_CEILING}
+)
+WHERE rn <= {TOP_K}
+""",
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model
+    training: per query, the TOP_K most similar corpus vectors that
+    are NOT near-duplicates (cosine strictly below the corpus-wide
+    0.45 near-dup bar) — the "hardest" negatives a
+    triplet/InfoNCE loss needs, with the positives/duplicates band
+    excluded so training never pushes apart actual copies. Standard
+    recipe in retrieval-model pipelines (DPR/ANCE-style mining);
+    absent from the reference (no vector ops at all), part of the
+    beyond-reference LLM-pipeline layer.
+
+    Scale shape: identical to the brute-force baseline it composes —
+    broadcast the bounded query set, stream the corpus through
+    map-side fold-exact scoring with the ceiling applied BEFORE the
+    bounded ``salted_topk`` reduction, so the shuffle carries at most
+    |queries| x k candidate rows per partition. At deployment scale
+    the scored stream comes from the IVF probe path instead; the
+    ceiling gate and reduction are unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scored = bruteforce_scored(with_norm(emb)).filter(
+        F.col("s") < HARD_NEG_DUP_CEILING
+    )
+    out = salted_topk(
+        scored, "query_id", [F.col("s").desc(), F.col("neighbor_id")], TOP_K
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("s"), 4).alias("cos_sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
 @register(
     "similarity_threshold_join",
     tags=("similarity", "join", "vector"),
@@ -2551,6 +2613,145 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     return hit.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits"),
+        F.expr(
+            f"cast(sum(coalesce(hit, 0)) * 10000 div {TOP_K} as bigint)"
+        ).alias("recall_bp"),
+    )
+
+
+# The nprobe sweep: recall@k at each probe depth, all taken from ONE
+# cell enumeration (the dedup_threshold_sweep discipline — a sweep
+# must not re-run its expensive stage per point).
+IVF_PROBE_CURVE = (1, 2, 4, 8)
+
+
+@register(
+    "similarity_ivf_probe_recall",
+    tags=("similarity", "ivf", "diagnostics"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT vec_id AS cent_id, e AS ce FROM v
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {IVF_K}
+), assigned AS (
+    SELECT vec_id, e, cent_id AS cell_id FROM (
+        SELECT v.vec_id, v.e, c.cent_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+               ) AS arn
+        FROM v CROSS JOIN cent c
+    ) WHERE arn = 1
+), probes AS (
+    SELECT query_id, cell_id, prn FROM (
+        SELECT a.vec_id AS query_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.cent_id
+               ) AS prn
+        FROM assigned a CROSS JOIN cent c
+        WHERE a.vec_id < {N_QUERIES}
+    ) WHERE prn <= {max(IVF_PROBE_CURVE)}
+), q AS (
+    SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}
+), np(nprobe) AS (
+    VALUES {", ".join(f"({p})" for p in IVF_PROBE_CURVE)}
+), scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qe, a.e) AS s, p.prn
+    FROM probes p
+    JOIN assigned a ON a.cell_id = p.cell_id
+    JOIN q ON q.query_id = p.query_id
+    WHERE a.vec_id <> p.query_id
+), curve AS (
+    SELECT n.nprobe, s.query_id, s.neighbor_id,
+           row_number() OVER (
+               PARTITION BY n.nprobe, s.query_id
+               ORDER BY s.s DESC, s.neighbor_id) AS rn
+    FROM scored s JOIN np n ON s.prn <= n.nprobe
+), ivf_k AS (
+    SELECT nprobe, query_id, neighbor_id FROM curve WHERE rn <= {TOP_K}
+), bf_k AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY qq.vec_id
+                   ORDER BY list_cosine_similarity(qq.e, c.e) DESC, c.vec_id
+               ) AS rn
+        FROM v qq JOIN v c ON qq.vec_id < {N_QUERIES} AND c.vec_id <> qq.vec_id
+    ) WHERE rn <= {TOP_K}
+)
+SELECT CAST(i.nprobe AS INTEGER) AS nprobe, i.query_id,
+       CAST(count(b.neighbor_id) AS BIGINT) AS hits,
+       CAST(count(b.neighbor_id) * 10000 // {TOP_K} AS BIGINT) AS recall_bp
+FROM ivf_k i
+LEFT JOIN bf_k b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY i.nprobe, i.query_id
+""",
+)
+def similarity_ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe/recall trade-off curve — recall@k of the IVF index
+    at probe depths 1/2/4/8 against the exact brute-force truth, per
+    query. This is THE tuning artifact an ANN deployment reads before
+    fixing nprobe (latency grows ~linearly in probes, recall
+    saturates); `similarity_recall_eval` reports the single operating
+    point, this measures the whole dial.
+
+    Scale shape: ONE cell enumeration feeds every curve point — the
+    corpus is scored once against the max(IVF_PROBE_CURVE)-cell probe
+    set with each candidate carrying its cell's probe rank, and the
+    per-nprobe top-k is a rank filter over that single scored frame
+    (the dedup_threshold_sweep discipline: a sweep never re-runs its
+    expensive stage per point). The per-(query, nprobe) top-k windows
+    run over |queries| x |probed cells| bounded candidate sets — a
+    plain window, no salting needed, documented against
+    ``salted_topk``'s skew rationale because the partition count here
+    is |queries| x |curve| with <= corpus/K rows each. Truth is the
+    registered brute-force pipeline reused verbatim.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    (crow,) = ivf_centroids(v).collect()
+    assigned = v.withColumn(
+        "cell_id", F.element_at(nearest_cells_pd(crow, 1), 1)
+    ).select("vec_id", "e", "e_norm", "cell_id")
+    max_p = max(IVF_PROBE_CURVE)
+    probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("e_norm").alias("qe_norm"),
+        F.posexplode(nearest_cells_pd(crow, max_p)).alias("pidx", "cell_id"),
+    )
+    sim = cosine_sim_pd("qe", "qe_norm", "e", "e_norm")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("s", sim)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "s",
+            (F.col("pidx") + 1).alias("prn"),
+        )
+    )
+    curve = scored.withColumn(
+        "nprobe", F.explode(F.array(*[F.lit(p) for p in IVF_PROBE_CURVE]))
+    ).filter(F.col("prn") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("s").desc(), "neighbor_id"
+    )
+    topk = curve.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    truth = ann_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = topk.join(truth, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("nprobe", "query_id").agg(
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits"),
         F.expr(
             f"cast(sum(coalesce(hit, 0)) * 10000 div {TOP_K} as bigint)"
