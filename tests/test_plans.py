@@ -779,3 +779,44 @@ def test_session_stats_single_exchange(registry, spark):
     # all share the user_id partitioning: corpus rows move once.
     df = _df(registry, spark, "events_session_stats")
     assert shuffle_count(df) == 1
+
+
+def test_asof_tolerance_one_exchange_one_sort(registry, spark):
+    # Same plan contract as the other as-of members: the union +
+    # prefix-max window moves event rows ONCE (one exchange on
+    # user_id, one sort); the tolerance bound is a row-local integer
+    # gate that must not add a join or another window.
+    df = _df(registry, spark, "asof_join_tolerance")
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 1
+    assert plan.count("+- Sort") == 1
+    assert "Join" not in plan
+
+
+def test_hard_negatives_broadcast_and_bounded_reduction(registry, spark):
+    # The scored stream is the brute-force shape (broadcast bounded
+    # query set, intentional BNLJ) with the ceiling applied BEFORE
+    # the salted top-k, so the only exchanges are the bounded
+    # reduction's — never a corpus-sized shuffle.
+    df = _df(registry, spark, "similarity_hard_negatives")
+    plan = executed_plan(df)
+    assert count_op(df, "BroadcastNestedLoopJoin") == 1  # query set join
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 2  # salted local + final top-k windows
+
+
+def test_probe_recall_curve_single_enumeration(registry, spark):
+    # ONE cell enumeration feeds all four curve points: the corpus is
+    # scored once against the broadcast probe set (equi-join on
+    # cell_id -> BroadcastHashJoin), the per-point top-k is a rank
+    # filter; brute-force truth contributes its own broadcast side.
+    # No cell-cross corpus join may appear more than once.
+    df = _df(registry, spark, "similarity_ivf_probe_recall")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_op(df, "BroadcastHashJoin") >= 1  # probes x assigned
+    # The kernel count must NOT scale with |IVF_PROBE_CURVE| (4
+    # points): exactly five Arrow stages exist regardless — corpus
+    # cell assignment, query probe list, probe-set scoring, and the
+    # brute-force truth arm's norm + scoring kernels.
+    assert plan.count("ArrowEvalPython") == 5
