@@ -186,6 +186,14 @@ def main() -> None:
         # pipeline — the 2.5k-doc shared boilerplate paragraph is a
         # mega-hot ranking key here.
         "curation_dedup_impact",
+        # round-7: the nprobe sweep — ONE cell enumeration must feed
+        # all four curve points at 20k vectors (a per-point re-scan
+        # would show as 4x the probe-join shuffle volume), and the
+        # ceiling-gated hard-negative reduction must stay bounded on
+        # the injected near-dup clusters (many candidates AT the
+        # 0.45 ceiling).
+        "similarity_ivf_probe_recall",
+        "similarity_hard_negatives",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()
