@@ -491,3 +491,68 @@ def test_ewma_weights_bound_and_constant_fixpoint(vals):
         assert min(window) <= e <= max(window)
     if len(set(vals)) == 1:
         assert e == vals[0]
+
+
+# --- int64 cosine tau gate (round 7) ----------------------------------
+#
+# The SemDeDup pair gate: den^2*dot^2 >= num^2*na2*nb2 over vectors
+# quantized at SEMDEDUP_GATE_SCALE. Two properties fuzzed here, no
+# Spark needed (the kernel math is plain numpy):
+#  1. the numpy int64 path equals a pure-Python unbounded-int replay
+#     (catches silent int64 overflow — numpy wraps, Python cannot);
+#  2. the integer gate decides cos(qa, qb) >= num/den EXACTLY (the
+#     rational comparison via Fraction — no floats anywhere).
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_int_cosine_gate_matches_exact_rational(vecs):
+    import numpy as np
+    from fractions import Fraction
+
+    from go_integ_spark.operators.dedup import (
+        SEMDEDUP_GATE_SCALE,
+        SEMDEDUP_TAU_DEN,
+        SEMDEDUP_TAU_NUM,
+    )
+
+    scale, num, den = SEMDEDUP_GATE_SCALE, SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
+    e = np.array(vecs, dtype=np.float64)
+    q = np.floor(e * scale + 0.5).astype(np.int64)
+    dot = q @ q.T
+    n2 = np.diag(dot)
+    ok_np = (
+        (dot >= 0)
+        & (n2[:, None] > 0)
+        & (n2[None, :] > 0)
+        & (den * den * dot * dot >= num * num * (n2[:, None] * n2[None, :]))
+    )
+    qs = [[int(x) for x in row] for row in q]
+    for i in range(len(qs)):
+        for j in range(len(qs)):
+            d = sum(a * b for a, b in zip(qs[i], qs[j]))
+            na2 = sum(a * a for a in qs[i])
+            nb2 = sum(b * b for b in qs[j])
+            ok_py = (
+                d >= 0
+                and na2 > 0
+                and nb2 > 0
+                and den * den * d * d >= num * num * na2 * nb2
+            )
+            assert bool(ok_np[i, j]) == ok_py, (i, j, d, na2, nb2)
+            # gate == exact rational cos^2 comparison with sign guard
+            if na2 > 0 and nb2 > 0:
+                want = d >= 0 and Fraction(d * d, na2 * nb2) >= Fraction(
+                    num * num, den * den
+                )
+                assert ok_py == want
