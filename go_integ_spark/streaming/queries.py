@@ -685,7 +685,11 @@ def streaming_srp_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_integ_spark.operators.dedup import srp_bucket_udf
 
     path, schema = _emb_stream_source(spark, sf_dir)
-    stream = read_stream(spark, path, schema, max_files_per_trigger=2)
+    # 4 files/trigger over the 8-file source = 2 real micro-batches —
+    # the r6 static-enrich standard: still proves incremental state,
+    # halves the per-batch Arrow-kernel + complete-mode state jobs
+    # (this was the costliest streaming gate entry at 4.9 s warm).
+    stream = read_stream(spark, path, schema, max_files_per_trigger=4)
     bucketed = stream.select(
         "vec_id", F.explode(srp_bucket_udf()(F.col("embedding"))).alias("bucket")
     )
