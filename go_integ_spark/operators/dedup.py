@@ -1637,16 +1637,28 @@ SEMDEDUP_TAU = 0.40
 # list_cosine_similarity, whose reduction order is a library
 # implementation detail; a different DuckDB build on the driver host
 # flipped a boundary pair and hash-failed the r6 gate). Vectors are
-# quantized once at SEMDEDUP_GATE_SCALE and the gate becomes
+# quantized once and the gate becomes
 #   dot >= 0 AND den^2 * dot^2 >= num^2 * |a|^2 * |b|^2  (all int64)
 # which is exactly cos(qa, qb) >= num/den with zero float ops on
-# either engine. Overflow envelope at |x| < 0.6, dim 64, scale 4096:
-# dot <= 64 * (0.6*4096)^2 ~ 3.9e8, so dot^2 * den^2 <= 3.8e18 and
-# num^2 * na2 * nb2 <= 6.1e17 — both inside int64.
+# either engine.
+#
+# The quantization multiplier is CORPUS-ADAPTIVE: m = QMAX / amax
+# where amax = max(|x|) over the corpus. A fixed scale only bounds
+# the int64 envelope for a fixed input range (the first cut at scale
+# 4096 was safe for the gate tables' |x| < 0.6 but silently WRAPPED
+# in numpy on the 10x smoke corpus, whose synthetic embeddings reach
+# |x| ~ 22 — 28% of pair decisions flipped). amax is an exact
+# order-free aggregate and m is one correctly-rounded IEEE division,
+# so both engines derive the identical multiplier from the identical
+# parquet doubles; q = floor(x*m + 0.5) is then two more
+# correctly-rounded scalar ops — bit-identical everywhere, no
+# reduction order anywhere. Envelope for ANY input: |q| <= QMAX+1,
+# dot <= dim*(QMAX+1)^2 ~ 2.7e8 at dim 64, dot^2*den^2 <= 1.8e18 and
+# num^2*na2*nb2 <= 2.9e17 — inside int64 by construction.
 SEMDEDUP_TAU_NUM = 2
 SEMDEDUP_TAU_DEN = 5
 assert SEMDEDUP_TAU_NUM / SEMDEDUP_TAU_DEN == SEMDEDUP_TAU
-SEMDEDUP_GATE_SCALE = 4096
+SEMDEDUP_GATE_QMAX = 2048
 
 # Per-cluster pair-scoring cap, same trade as LSH_MAX_BUCKET: a
 # degenerate mega-cluster (a duplication-heavy corpus collapsing into
@@ -1662,7 +1674,8 @@ def int_cosine_gate_pairs_in_groups(
     key_col: str,
     tau_num: int,
     tau_den: int,
-    scale: int,
+    mult: float,
+    qmax: int = SEMDEDUP_GATE_QMAX,
     max_group: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b) pairs whose INTEGER-gated cosine clears
@@ -1670,11 +1683,16 @@ def int_cosine_gate_pairs_in_groups(
     cogrouped block — the all-int64 sibling of
     :func:`cosine_pairs_in_groups` for pipelines whose output never
     needs the float similarity value (SemDeDup's prune only needs the
-    pair set). Vectors quantize once at ``scale``; the gate
+    pair set). Vectors quantize once as ``floor(x*mult + 0.5)`` —
+    pass ``mult = qmax / max|x|`` (see :func:`gate_quant_mult`) so
+    the int64 envelope holds for ANY input magnitude; the gate
     ``dot >= 0 AND den^2*dot^2 >= num^2*na2*nb2`` is exact integer
     arithmetic, so Spark/numpy/DuckDB agree bit-for-bit regardless of
-    each engine's float reduction order. Zero-quantized vectors
-    (na2 == 0) never pair. ``max_group`` mirrors the
+    each engine's float reduction order. The kernel ASSERTS the
+    quantized values are inside the envelope — a wrong mult fails
+    loudly instead of silently wrapping int64 (the bug the first
+    fixed-scale cut had on the 10x smoke corpus). Zero-quantized
+    vectors (na2 == 0) never pair. ``max_group`` mirrors the
     ``LSH_MAX_BUCKET`` mega-group skip."""
     import numpy as np
     import pandas as pd
@@ -1692,7 +1710,12 @@ def int_cosine_gate_pairs_in_groups(
             )
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         e = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
-        q = np.floor(e * scale + 0.5).astype(np.int64)
+        q = np.floor(e * mult + 0.5).astype(np.int64)
+        assert np.abs(q).max(initial=0) <= qmax + 1, (
+            "gate quantization outside the int64-safe envelope: "
+            f"max|q| = {np.abs(q).max()} > {qmax + 1}; mult must be "
+            "derived from the corpus max|x|"
+        )
         dot = q @ q.T  # exact int64 Gram matrix
         n2 = np.diag(dot)
         ok = (
@@ -1714,6 +1737,32 @@ def int_cosine_gate_pairs_in_groups(
     return grouped.groupBy(key_col).applyInPandas(
         _pairs_above, "vec_a bigint, vec_b bigint"
     )
+
+
+def gate_quant_mult(emb: DataFrame, qmax: int = SEMDEDUP_GATE_QMAX) -> float:
+    """The corpus-adaptive quantization multiplier ``qmax / max|x|``
+    for the int64 tau gate. max|x| is an exact order-free aggregate
+    over the parquet doubles and the division is one
+    correctly-rounded IEEE op, so DuckDB's scalar-subquery twin
+    (``_GATE_MULT_SQL``) derives the bit-identical multiplier. The
+    1e-30 floor keeps an all-zero corpus from dividing by zero (every
+    vector then quantizes to zero and the na2 > 0 guard drops all
+    pairs — same verdict on both engines)."""
+    (amax,) = emb.agg(
+        F.max(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+            .cast("double")
+        ).alias("amax")
+    ).collect()
+    return qmax / max(float(amax["amax"]), 1e-30)
+
+
+# DuckDB twin of gate_quant_mult: same exact max, same single
+# division. Interpolate with .format(qmax=...).
+_GATE_MULT_SQL = (
+    "(SELECT {qmax} / greatest(max(list_max(list_transform(e, x -> abs(x)))),"
+    " 1e-30) FROM v)"
+)
 
 
 def _semdedup_oracle() -> str:
@@ -1749,18 +1798,26 @@ WITH v AS (
         + lloyd_update_cte("c1", "a0", dim)
         + lloyd_assign_cte("a1", "qv", "c1", dim)
     )
-    gs = SEMDEDUP_GATE_SCALE
     num2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
     den2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
-    tail = f""", gn AS (
-    -- int64 tau-gate basis: quantize once at {gs}, norms exact
+    tail = f""", gm AS (
+    -- corpus-adaptive multiplier: exact order-free max + ONE
+    -- correctly-rounded division == gate_quant_mult bit-for-bit
+    SELECT {SEMDEDUP_GATE_QMAX}.0 / greatest(
+        max(list_max(list_transform(e, x -> abs(x)))), 1e-30) AS m
+    FROM v
+), gn AS (
+    -- int64 tau-gate basis: quantize once, norms exact (gm rides in
+    -- as a 1-row cross join: DuckDB lambdas capture outer columns
+    -- but not subqueries)
     SELECT vec_id,
            list_transform(e, x ->
-               CAST(floor(x * {gs}.0 + 0.5) AS BIGINT)) AS gq,
+               CAST(floor(x * gm.m + 0.5) AS BIGINT)) AS gq,
            CAST(list_sum(list_transform(e, x ->
-               CAST(floor(x * {gs}.0 + 0.5) AS BIGINT)
-               * CAST(floor(x * {gs}.0 + 0.5) AS BIGINT))) AS BIGINT) AS n2
-    FROM v
+               CAST(floor(x * gm.m + 0.5) AS BIGINT)
+               * CAST(floor(x * gm.m + 0.5) AS BIGINT)))
+               AS BIGINT) AS n2
+    FROM v CROSS JOIN gm
 ), pr AS (
     SELECT x.vec_id AS va, x.d2 AS da, y.vec_id AS vb, y.d2 AS db,
            ga.n2 AS na2, gb.n2 AS nb2,
@@ -1810,10 +1867,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-farthest rule has no float ties to diverge on, and the
     dynamic-k unroll still admits a full DuckDB value oracle. Pair
     scoring uses :func:`int_cosine_gate_pairs_in_groups` — the
-    all-int64 tau gate (quantize at ``SEMDEDUP_GATE_SCALE``, compare
-    ``den^2*dot^2`` vs ``num^2*na2*nb2``), grouped by FINAL cluster
-    id — so the ENTIRE pipeline is integer-exact end to end; the r6
-    float gate (fold cosine vs 0.40, oracled with DuckDB's built-in
+    all-int64 tau gate (quantize at the corpus-adaptive
+    ``gate_quant_mult`` multiplier, compare ``den^2*dot^2`` vs
+    ``num^2*na2*nb2``), grouped by FINAL cluster id — so the ENTIRE
+    pipeline is integer-exact end to end; the r6 float gate (fold
+    cosine vs 0.40, oracled with DuckDB's built-in
     ``list_cosine_similarity``) hash-failed on the driver host's
     DuckDB build and is gone.
 
@@ -1855,7 +1913,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         SEMDEDUP_TAU_NUM,
         SEMDEDUP_TAU_DEN,
-        SEMDEDUP_GATE_SCALE,
+        gate_quant_mult(emb),
         max_group=SEMDEDUP_MAX_CLUSTER,
     )
     d = assigned.select("vec_id", "dist2_u")

@@ -303,6 +303,16 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     |queries| x k candidate rows per partition. At deployment scale
     the scored stream comes from the IVF probe path instead; the
     ceiling gate and reduction are unchanged.
+
+    Oracle-drift note: the ceiling is a FLOAT gate (Spark fold cosine
+    vs DuckDB's builtin), the class that flipped dedup_semdedup's r6
+    row — kept here because the gated value is also the RANK key (an
+    integer twin would change the semantics, not just the spelling)
+    and the margin is measured safe: no sf0.01 query-corpus pair sits
+    within 1e-3 of the 0.45 bar, ~1e13 x the builtin-vs-fold 1-ulp
+    drift and ~1e4 x a hypothetical float32 builtin; the same gate at
+    the same bar has driver-green precedent (dedup_embedding_cosine,
+    r4).
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     scored = bruteforce_scored(with_norm(emb)).filter(

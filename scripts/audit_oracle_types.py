@@ -64,8 +64,12 @@ def audit(spark) -> list[str]:
     for name, spec in sorted(reg.items()):
         if spec.oracle is None:
             continue
-        rel = con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
-        o_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+        try:
+            rel = con.sql(f"SELECT * FROM ({spec.oracle}) LIMIT 0")
+            o_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+        except Exception as exc:  # report, keep auditing the rest
+            bad.append(f"{name}: oracle failed to bind: {exc}")
+            continue
         try:
             s_types = {
                 f.name: f.dataType.simpleString()

@@ -507,7 +507,13 @@ def test_ewma_weights_bound_and_constant_fixpoint(vals):
 @given(
     st.lists(
         st.lists(
-            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            # wide magnitude range on purpose: the corpus-adaptive
+            # multiplier must keep the gate int64-safe for ANY |x|
+            # (a fixed scale silently wrapped on the 10x smoke
+            # corpus's |x| ~ 22 embeddings)
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+            ),
             min_size=8,
             max_size=8,
         ),
@@ -521,14 +527,16 @@ def test_int_cosine_gate_matches_exact_rational(vecs):
     from fractions import Fraction
 
     from go_integ_spark.operators.dedup import (
-        SEMDEDUP_GATE_SCALE,
+        SEMDEDUP_GATE_QMAX,
         SEMDEDUP_TAU_DEN,
         SEMDEDUP_TAU_NUM,
     )
 
-    scale, num, den = SEMDEDUP_GATE_SCALE, SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
+    num, den = SEMDEDUP_TAU_NUM, SEMDEDUP_TAU_DEN
     e = np.array(vecs, dtype=np.float64)
-    q = np.floor(e * scale + 0.5).astype(np.int64)
+    mult = SEMDEDUP_GATE_QMAX / max(float(np.abs(e).max()), 1e-30)
+    q = np.floor(e * mult + 0.5).astype(np.int64)
+    assert np.abs(q).max(initial=0) <= SEMDEDUP_GATE_QMAX + 1
     dot = q @ q.T
     n2 = np.diag(dot)
     ok_np = (

@@ -38,7 +38,7 @@ def test_semdedup_matches_numpy_reference(spark):
     import numpy as np
 
     from go_integ_spark.operators.dedup import (
-        SEMDEDUP_GATE_SCALE,
+        SEMDEDUP_GATE_QMAX,
         SEMDEDUP_TAU_DEN,
         SEMDEDUP_TAU_NUM,
     )
@@ -87,8 +87,10 @@ def test_semdedup_matches_numpy_reference(spark):
 
     # within-cluster pairs above tau — the all-int64 gate (pure
     # Python ints here, so this reference is overflow-free by
-    # construction and independent of the numpy kernel's int64 path)
-    qg = np.floor(e * SEMDEDUP_GATE_SCALE + 0.5).astype(np.int64)
+    # construction and independent of the numpy kernel's int64 path);
+    # the multiplier replays gate_quant_mult's exact arithmetic
+    m = SEMDEDUP_GATE_QMAX / max(float(np.abs(e).max()), 1e-30)
+    qg = np.floor(e * m + 0.5).astype(np.int64)
     num2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
     den2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
     n2 = [int((qg[i] * qg[i]).sum()) for i in range(n)]

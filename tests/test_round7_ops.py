@@ -21,13 +21,21 @@ REG = load_all()
 def test_asof_tolerance_matches_python_replay(spark):
     from go_integ_spark.operators.advanced import ASOF_TOLERANCE_US
 
+    import calendar
+
     rows = REG["asof_join_tolerance"].fn(spark, SF_DIR).collect()
     ev = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
         .select("user_id", "ts", "event_id", "event_type")
         .collect()
     )
-    us = lambda ts: int(ts.timestamp() * 1_000_000)  # noqa: E731
+
+    def us(ts):
+        # the session timezone is pinned UTC, so collected naive
+        # datetimes are UTC wall clocks; timegm keeps the replay
+        # host-timezone-independent and all-integer (a naive
+        # .timestamp() would shift by the host's UTC offset)
+        return calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
     by_user: dict[int, list] = {}
     for r in ev:
         if r["event_type"] in ("click", "purchase"):
@@ -71,6 +79,17 @@ def _sims(spark):
     for d in range(e.shape[1]):
         acc += e[:, d : d + 1] * e[:, d][None, :]
     return ids, acc / (norms[:, None] * norms[None, :])
+
+
+def test_hard_negatives_ceiling_is_the_dedup_bar():
+    """The operator's contract is 'the same corpus-wide near-dup bar
+    the dedup family uses' — pin the literal to the source constant
+    so a retune of either fails loudly (the modules can't share it
+    at module level without an import cycle)."""
+    from go_integ_spark.operators.dedup import EMB_COS_THRESHOLD
+    from go_integ_spark.operators.similarity import HARD_NEG_DUP_CEILING
+
+    assert HARD_NEG_DUP_CEILING == EMB_COS_THRESHOLD
 
 
 def test_hard_negatives_matches_numpy_reference(spark):
