@@ -1688,12 +1688,16 @@ def int_cosine_gate_pairs_in_groups(
     the int64 envelope holds for ANY input magnitude; the gate
     ``dot >= 0 AND den^2*dot^2 >= num^2*na2*nb2`` is exact integer
     arithmetic, so Spark/numpy/DuckDB agree bit-for-bit regardless of
-    each engine's float reduction order. The kernel ASSERTS the
-    quantized values are inside the envelope — a wrong mult fails
-    loudly instead of silently wrapping int64 (the bug the first
-    fixed-scale cut had on the 10x smoke corpus). Zero-quantized
-    vectors (na2 == 0) never pair. ``max_group`` mirrors the
-    ``LSH_MAX_BUCKET`` mega-group skip."""
+    each engine's float reduction order. The kernel RAISES (a real
+    raise, not an assert ``python -O`` would strip) when the
+    quantized values or the dim-dependent product bound leave the
+    int64 envelope — a wrong mult or an over-wide vector fails loudly
+    instead of silently wrapping int64 (the bug the first fixed-scale
+    cut had on the 10x smoke corpus; at qmax=2048 the bound caps dim
+    at ~144, so 64-dim corpora have 2x headroom but a 256-dim caller
+    must pass a smaller qmax). Zero-quantized vectors (na2 == 0)
+    never pair. ``max_group`` mirrors the ``LSH_MAX_BUCKET``
+    mega-group skip."""
     import numpy as np
     import pandas as pd
 
@@ -1711,11 +1715,22 @@ def int_cosine_gate_pairs_in_groups(
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         e = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["e"]])
         q = np.floor(e * mult + 0.5).astype(np.int64)
-        assert np.abs(q).max(initial=0) <= qmax + 1, (
-            "gate quantization outside the int64-safe envelope: "
-            f"max|q| = {np.abs(q).max()} > {qmax + 1}; mult must be "
-            "derived from the corpus max|x|"
-        )
+        if np.abs(q).max(initial=0) > qmax + 1:
+            raise ValueError(
+                "gate quantization outside the int64-safe envelope: "
+                f"max|q| = {np.abs(q).max()} > {qmax + 1}; mult must "
+                "be derived from the corpus max|x|"
+            )
+        # dim-dependent product bound: every int64 product below is
+        # <= max(num2, den2) * D^2 for D = dim*(qmax+1)^2
+        d_bound = e.shape[1] * (qmax + 1) ** 2
+        if max(num2, den2) * d_bound * d_bound > 2**63 - 1:
+            raise ValueError(
+                f"dim {e.shape[1]} at qmax {qmax} overflows int64: "
+                f"max(num,den)^2*(dim*(qmax+1)^2)^2 = "
+                f"{max(num2, den2) * d_bound * d_bound:.3e}"
+                " > 2^63; pass a smaller qmax"
+            )
         dot = q @ q.T  # exact int64 Gram matrix
         n2 = np.diag(dot)
         ok = (
@@ -1739,30 +1754,46 @@ def int_cosine_gate_pairs_in_groups(
     )
 
 
-def gate_quant_mult(emb: DataFrame, qmax: int = SEMDEDUP_GATE_QMAX) -> float:
+def gate_quant_mult(
+    emb: DataFrame | None = None,
+    qmax: int = SEMDEDUP_GATE_QMAX,
+    *,
+    amax: float | None = None,
+) -> float:
     """The corpus-adaptive quantization multiplier ``qmax / max|x|``
     for the int64 tau gate. max|x| is an exact order-free aggregate
     over the parquet doubles and the division is one
-    correctly-rounded IEEE op, so DuckDB's scalar-subquery twin
-    (``_GATE_MULT_SQL``) derives the bit-identical multiplier. The
-    1e-30 floor keeps an all-zero corpus from dividing by zero (every
-    vector then quantizes to zero and the na2 > 0 guard drops all
-    pairs — same verdict on both engines)."""
-    (amax,) = emb.agg(
-        F.max(
-            F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-            .cast("double")
-        ).alias("amax")
-    ).collect()
-    return qmax / max(float(amax["amax"]), 1e-30)
+    correctly-rounded IEEE op, so DuckDB's CTE twin
+    (:func:`gate_mult_cte`) derives the bit-identical multiplier.
+    The 1e-30 floor keeps an all-zero OR empty corpus from dividing
+    by zero/None (every vector then quantizes to zero and the
+    na2 > 0 guard drops all pairs — same verdict on both engines).
+    Pass ``amax`` when the caller already aggregated it (SemDeDup
+    folds it into its existing k-sizing scan so the preamble stays
+    one job)."""
+    if amax is None:
+        (row,) = emb.agg(
+            F.max(
+                F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+                .cast("double")
+            ).alias("amax")
+        ).collect()
+        amax = row["amax"]
+    return qmax / max(float(amax or 0.0), 1e-30)
 
 
-# DuckDB twin of gate_quant_mult: same exact max, same single
-# division. Interpolate with .format(qmax=...).
-_GATE_MULT_SQL = (
-    "(SELECT {qmax} / greatest(max(list_max(list_transform(e, x -> abs(x)))),"
-    " 1e-30) FROM v)"
-)
+def gate_mult_cte(qmax: int = SEMDEDUP_GATE_QMAX) -> str:
+    """DuckDB twin of :func:`gate_quant_mult` as a 1-row CTE ``gm``
+    (a cross-join column, because DuckDB lambdas capture outer
+    columns but not subqueries) — the ONE SQL spelling every
+    int-gate oracle shares."""
+    return f""", gm AS (
+    -- corpus-adaptive multiplier: exact order-free max + ONE
+    -- correctly-rounded division == gate_quant_mult bit-for-bit
+    SELECT {qmax}.0 / greatest(
+        max(list_max(list_transform(e, x -> abs(x)))), 1e-30) AS m
+    FROM v
+)"""
 
 
 def _semdedup_oracle() -> str:
@@ -1800,13 +1831,7 @@ WITH v AS (
     )
     num2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
     den2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
-    tail = f""", gm AS (
-    -- corpus-adaptive multiplier: exact order-free max + ONE
-    -- correctly-rounded division == gate_quant_mult bit-for-bit
-    SELECT {SEMDEDUP_GATE_QMAX}.0 / greatest(
-        max(list_max(list_transform(e, x -> abs(x)))), 1e-30) AS m
-    FROM v
-), gn AS (
+    tail = gate_mult_cte() + f""", gn AS (
     -- int64 tau-gate basis: quantize once, norms exact (gm rides in
     -- as a 1-row cross join: DuckDB lambdas capture outer columns
     -- but not subqueries)
@@ -1895,7 +1920,16 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    k = max(1, math.ceil(math.sqrt(emb.count())))
+    # ONE preamble scan serves both the sqrt(N) codebook sizing and
+    # the gate multiplier's corpus max|x|
+    (pre,) = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+            .cast("double")
+        ).alias("amax"),
+    ).collect()
+    k = max(1, math.ceil(math.sqrt(pre["n"])))
     qv = _kmeans_u_quantize(emb)
     cents = kmeans_update_u(kmeans_assign_u(qv, first_k_centroids_u(qv, k)))
     # assigned feeds the pair grouping, BOTH loser-join sides, and the
@@ -1913,7 +1947,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         SEMDEDUP_TAU_NUM,
         SEMDEDUP_TAU_DEN,
-        gate_quant_mult(emb),
+        gate_quant_mult(amax=pre["amax"]),
         max_group=SEMDEDUP_MAX_CLUSTER,
     )
     d = assigned.select("vec_id", "dist2_u")

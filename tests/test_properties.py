@@ -496,8 +496,9 @@ def test_ewma_weights_bound_and_constant_fixpoint(vals):
 # --- int64 cosine tau gate (round 7) ----------------------------------
 #
 # The SemDeDup pair gate: den^2*dot^2 >= num^2*na2*nb2 over vectors
-# quantized at SEMDEDUP_GATE_SCALE. Two properties fuzzed here, no
-# Spark needed (the kernel math is plain numpy):
+# quantized by the corpus-adaptive multiplier
+# SEMDEDUP_GATE_QMAX / max|x| (gate_quant_mult). Two properties
+# fuzzed here, no Spark needed (the kernel math is plain numpy):
 #  1. the numpy int64 path equals a pure-Python unbounded-int replay
 #     (catches silent int64 overflow — numpy wraps, Python cannot);
 #  2. the integer gate decides cos(qa, qb) >= num/den EXACTLY (the

@@ -89,8 +89,9 @@ def test_semdedup_matches_numpy_reference(spark):
     # Python ints here, so this reference is overflow-free by
     # construction and independent of the numpy kernel's int64 path);
     # the multiplier replays gate_quant_mult's exact arithmetic
-    m = SEMDEDUP_GATE_QMAX / max(float(np.abs(e).max()), 1e-30)
-    qg = np.floor(e * m + 0.5).astype(np.int64)
+    # (named mult: the per-cluster loop below reuses `m` for indices)
+    mult = SEMDEDUP_GATE_QMAX / max(float(np.abs(e).max()), 1e-30)
+    qg = np.floor(e * mult + 0.5).astype(np.int64)
     num2 = SEMDEDUP_TAU_NUM * SEMDEDUP_TAU_NUM
     den2 = SEMDEDUP_TAU_DEN * SEMDEDUP_TAU_DEN
     n2 = [int((qg[i] * qg[i]).sum()) for i in range(n)]

@@ -31,10 +31,12 @@ def test_asof_tolerance_matches_python_replay(spark):
     )
 
     def us(ts):
-        # the session timezone is pinned UTC, so collected naive
-        # datetimes are UTC wall clocks; timegm keeps the replay
-        # host-timezone-independent and all-integer (a naive
-        # .timestamp() would shift by the host's UTC offset)
+        # events.ts collects as TIMESTAMP_NTZ, whose PySpark collect
+        # path (TimestampNTZType.fromInternal) is UTC-fixed
+        # regardless of host OR session timezone — so timegm is the
+        # exact all-integer inverse. NB: an LTZ (TimestampType)
+        # column collects in HOST-local wall clock and would need
+        # .astimezone, not this.
         return calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
     by_user: dict[int, list] = {}
     for r in ev:
