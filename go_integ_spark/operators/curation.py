@@ -48,6 +48,26 @@ from go_integ_spark.operators.dedup import (
 from go_integ_spark.registry import register
 from go_integ_spark.tables import load_table
 
+# Single-slot persisted-frame caches (the _cached_doc_sets pattern,
+# dedup.py): re-invoking an operator in one long session was
+# re-persisting a fresh frame each call and never unpersisting the
+# previous one, pinning executor storage memory for the session
+# lifetime (r7 review). One live handle per slot, keyed by the input
+# plan's semantic hash — same corpus reuses it, a new corpus evicts.
+_slot_caches: dict[str, tuple[int, DataFrame]] = {}
+
+
+def _cached_persist(slot: str, key_df: DataFrame, build) -> DataFrame:
+    key = key_df.semanticHash()
+    cached = _slot_caches.get(slot)
+    if cached is not None:
+        if cached[0] == key:
+            return cached[1]
+        cached[1].unpersist()
+    frame = build().persist()
+    _slot_caches[slot] = (key, frame)
+    return frame
+
 # Per-language sampling rate (percent): downsample the dominant
 # language, keep the tail — the standard re-balancing move for
 # multilingual training corpora.
@@ -295,7 +315,7 @@ WITH toks AS (
            CAST(floor((sum(nt) OVER (
                PARTITION BY lang, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) - nt) / {PACK_BUDGET}) AS INT) AS bin_id
+           ) - nt) / {PACK_BUDGET}) AS BIGINT) AS bin_id
     FROM toks
 )
 SELECT lang, shard, bin_id,
@@ -333,7 +353,10 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = toks.withColumn(
         "bin_id",
-        F.floor((F.sum("nt").over(w) - F.col("nt")) / PACK_BUDGET).cast("int"),
+        # bigint: an int bin_id wraps once one (lang, shard)
+        # partition passes PACK_BUDGET * 2^31 cumulative tokens
+        # (~5.5e11 — the 100TB class this plans for; r7 review)
+        F.floor((F.sum("nt").over(w) - F.col("nt")) / PACK_BUDGET).cast("bigint"),
     )
     return packed.groupBy("lang", "shard", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1007,11 +1030,12 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
     ).cast("bigint")
     # docs feeds the collected (lang, tok) aggregate AND both kept
-    # branches of the returned union -> persist so the corpus
-    # tokenization runs once, not three times.
-    docs = load_table(spark, sf_dir, "documents").select(
+    # branches of the returned union -> persist (single-slot cache)
+    # so the corpus tokenization runs once, not three times.
+    base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", tok.alias("tok")
-    ).persist()
+    )
+    docs = _cached_persist("budget_docs", base, lambda: base)
     groups = (
         docs.groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tok").alias("sum_tok"))
@@ -1281,9 +1305,10 @@ WITH per_lang AS (
 SELECT lang, n_docs, n_tokens,
        round(n_tokens::DOUBLE / t_tot, 6) AS token_share,
        round(s_u::DOUBLE / s_tot, 6) AS sample_p,
-       round((s_u * t_tot)::DOUBLE / (s_tot * n_tokens), 6) AS up_weight,
-       round(({TEMP_TOKEN_BUDGET} * s_u)::DOUBLE / (s_tot * n_tokens), 4)
-           AS epochs
+       round((s_u::DOUBLE * t_tot::DOUBLE)
+             / (s_tot::DOUBLE * n_tokens::DOUBLE), 6) AS up_weight,
+       round(({TEMP_TOKEN_BUDGET}.0 * s_u::DOUBLE)
+             / (s_tot::DOUBLE * n_tokens::DOUBLE), 4) AS epochs
 FROM tot
 """,
 )
@@ -1296,13 +1321,14 @@ def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Engine-exactness: tokens_l^alpha is irrational, so the kernel
     quantizes ONCE — s_u = floor(sqrt(n)*1e6 + 0.5), bit-identical
-    across engines because IEEE sqrt is correctly rounded — and every
-    downstream ratio is a division of exact int64 PRODUCTS (order-free
-    integer sums, no float accumulation to diverge). Validity
-    envelope: s_u carries the 1e6 scale, so s_u * t_tot hits int64
-    max near T^1.5 * 1e6 = 9.2e18, i.e. ~4e8 total tokens — past
-    that, compute the products in decimal(38,0) (or drop TEMP_SCALE
-    to 1e3); the gate-scale int64 form keeps the oracle portable.
+    across engines because IEEE sqrt is correctly rounded. The cross
+    products (s_u*t_tot etc.) are computed in DOUBLE on both engines:
+    each OPERAND is an exact int64 that converts exactly while below
+    2^53, so the product is ONE correctly-rounded IEEE op — identical
+    everywhere — and the envelope extends to ~9e15 total tokens
+    (int64 products would wrap silently past ~4e8 tokens, the
+    round-7 review's finding; at gate scale the double products are
+    below 2^53 and therefore still exact).
 
     Scale shape: one corpus aggregation shuffle to per-language token
     counts; the temperature math is a window over the tiny per-language
@@ -1328,11 +1354,13 @@ def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.round(s_u.cast("double") / stot, 6).alias("sample_p"),
         F.round(
-            (s_u * ttot).cast("double") / (stot * F.col("n_tokens")), 6
+            (s_u.cast("double") * ttot.cast("double"))
+            / (stot.cast("double") * F.col("n_tokens").cast("double")),
+            6,
         ).alias("up_weight"),
         F.round(
-            (F.lit(TEMP_TOKEN_BUDGET) * s_u).cast("double")
-            / (stot * F.col("n_tokens")),
+            (F.lit(float(TEMP_TOKEN_BUDGET)) * s_u.cast("double"))
+            / (stot.cast("double") * F.col("n_tokens").cast("double")),
             4,
         ).alias("epochs"),
     )
@@ -1367,13 +1395,15 @@ WITH m AS (
 )
 SELECT n, n11, n10, n01, n00,
        round((n11 + n00)::DOUBLE / nullif(n, 0), 6) AS po,
-       round(((n11 + n10) * (n11 + n01)
-              + (n01 + n00) * (n10 + n00))::DOUBLE / nullif(n * n, 0), 6)
-           AS pe,
-       round((n * (n11 + n00)
-              - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))::DOUBLE
-             / nullif(n * n
-                - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)), 0),
+       round(((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+              + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE)
+             / nullif(n::DOUBLE * n::DOUBLE, 0), 6) AS pe,
+       round((n::DOUBLE * (n11 + n00)::DOUBLE
+              - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                 + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE))
+             / nullif(n::DOUBLE * n::DOUBLE
+                - ((n11 + n10)::DOUBLE * (n11 + n01)::DOUBLE
+                   + (n01 + n00)::DOUBLE * (n10 + n00)::DOUBLE), 0),
              6) AS kappa
 FROM t
 """,
@@ -1385,11 +1415,12 @@ def curation_annotation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
     2x2 contingency table. Labeler A gates on word count, labeler B
     on distinct-word count.
 
-    Engine-exactness: the table cells are exact integer counts and
-    kappa = (n*agree - sum_marginal_products) / (n^2 -
-    sum_marginal_products) is a single division of exact int64
-    operands — no float accumulates, so the 6dp rounding is
-    bit-identical across engines.
+    Engine-exactness: the table cells are exact integer counts;
+    kappa's marginal products are DOUBLE products of those exact
+    counts (one correctly-rounded IEEE op each — identical across
+    engines, exact while cells stay below 2^53 — where int64 products
+    wrapped silently past ~3e9 docs), so the 6dp rounding is
+    bit-identical across engines at any corpus size.
 
     Scale shape: labels are row-local projections, so the whole query
     is ONE map-side-combined aggregation to a single row — no
@@ -1411,7 +1442,13 @@ def curation_annotation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
         cell(~a & ~b).alias("n00"),
     )
     n, n11, n10, n01, n00 = [F.col(c) for c in ("n", "n11", "n10", "n01", "n00")]
-    smp = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    # The marginal products are computed in DOUBLE (each cell is an
+    # exact int64 that converts exactly below 2^53, each product one
+    # correctly-rounded IEEE op — engine-identical): int64 products
+    # wrapped silently past n ~ 3e9 docs (round-7 review); at gate
+    # scale the doubles are below 2^53, so values are unchanged.
+    d = lambda c: c.cast("double")  # noqa: E731
+    smp = d(n11 + n10) * d(n11 + n01) + d(n01 + n00) * d(n10 + n00)
     # NULL guards: an empty corpus zeroes n, and a corpus where one
     # cell holds every document makes pe = 1 (kappa mathematically
     # undefined) — under ANSI an unguarded division would throw
@@ -1427,12 +1464,12 @@ def curation_annotation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("po"),
         F.round(
-            smp.cast("double") / F.nullif((n * n).cast("double"), F.lit(0.0)),
+            smp / F.nullif(d(n) * d(n), F.lit(0.0)),
             6,
         ).alias("pe"),
         F.round(
-            (n * (n11 + n00) - smp).cast("double")
-            / F.nullif((n * n - smp).cast("double"), F.lit(0.0)),
+            (d(n) * d(n11 + n00) - smp)
+            / F.nullif(d(n) * d(n) - smp, F.lit(0.0)),
             6,
         ).alias("kappa"),
     )
@@ -1534,12 +1571,11 @@ MIRROR_DUP_THRESHOLD = 4  # cross-source near-dup pairs incident
 
 def _mirror_blocklist_oracle() -> str:
     from go_integ_spark.operators.dedup import (
-        _JACCARD_ORACLE,
+        _JACCARD_PREFIX,
         JACCARD_THRESHOLD,
     )
 
-    prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
-    return f"""{prefix}), jp AS (
+    return f"""{_JACCARD_PREFIX}, jp AS (
     SELECT doc_a, doc_b
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
@@ -1741,7 +1777,7 @@ SELECT split,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_grams) AS BIGINT) AS n_grams,
        CAST(sum(n_hit) AS BIGINT) AS n_hit,
-       CAST((sum(n_hit) * 10000) // sum(n_grams) AS BIGINT) AS leak_bp,
+       CAST((sum(n_hit)::HUGEINT * 10000) // sum(n_grams) AS BIGINT) AS leak_bp,
        CAST(count(*) FILTER (n_hit * 2 >= n_grams) AS BIGINT)
            AS n_docs_majority_leaked
 FROM per_doc
@@ -1799,7 +1835,10 @@ def curation_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_grams").cast("bigint").alias("n_grams"),
         F.sum("n_hit").cast("bigint").alias("n_hit"),
-        F.expr("cast(sum(n_hit) * 10000 div sum(n_grams) as bigint)").alias(
+        F.expr(
+            "cast(cast(sum(n_hit) as decimal(38,0)) * 10000"
+            " div sum(n_grams) as bigint)"
+        ).alias(
             "leak_bp"
         ),
         F.sum(
@@ -1823,8 +1862,12 @@ WITH toks AS (
 ), nt AS (
     SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM totals
 ), terms AS (
+    -- HUGEINT cross products: BIGINT c_sw*n_tot would overflow (and
+    -- DuckDB would throw) once N_s*N passes ~9.2e18 — far below the
+    -- 100TB-class corpora this monitors (r7 review); the int128
+    -- products stay exact to ~1e16 total tokens
     SELECT c.source, c.word, c.c_sw, t.c_w, s.n_s, nt.n_tot,
-           c.c_sw * nt.n_tot - t.c_w * s.n_s AS diff
+           c.c_sw::HUGEINT * nt.n_tot - t.c_w::HUGEINT * s.n_s AS diff
     FROM cells c
     JOIN totals t USING (word)
     JOIN ns s USING (source)
@@ -1841,11 +1884,13 @@ WITH toks AS (
 SELECT a.source,
        CAST(min(a.n_s) AS BIGINT) AS n_tokens,
        CAST(count(*) AS BIGINT) AS n_vocab,
-       CAST((sum(abs(a.diff)) + (min(a.n_tot) - sum(a.c_w)) * min(a.n_s))
-            * 10000 // (2 * min(a.n_s) * min(a.n_tot)) AS BIGINT) AS tv_bp,
+       CAST((sum(abs(a.diff)) + (min(a.n_tot)::HUGEINT - sum(a.c_w))
+                * min(a.n_s))
+            * 10000 // (2 * min(a.n_s)::HUGEINT * min(a.n_tot)) AS BIGINT)
+           AS tv_bp,
        min(tp.word) AS top_over_word,
-       CAST(min(tp.diff) * 10000 // (min(a.n_s) * min(a.n_tot)) AS BIGINT)
-           AS top_over_bp
+       CAST(min(tp.diff) * 10000 // (min(a.n_s)::HUGEINT * min(a.n_tot))
+            AS BIGINT) AS top_over_bp
 FROM terms a JOIN top tp ON tp.source = a.source
 GROUP BY a.source
 """
@@ -1870,11 +1915,12 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses the engine boundary. Words absent from a source
     contribute c_w*N_s each; their total is (N - sum_present(c_w))
     * N_s, folded in closed form so the plan never materializes the
-    source x vocabulary complement. int64 envelope: terms are
-    bounded by N_s*N and the bp numerator by 2*N_s*N*10^4, so
-    N_s*N < 4.6e14 must hold (~a 10^9-token corpus with 10^5-token
-    sources); past that the two sums switch to decimal(38,0) on
-    both engines.
+    source x vocabulary complement. The cross products are
+    decimal(38,0) on the Spark side and HUGEINT in the oracle (the
+    r7 review showed int64 terms wrap near a 10^9-token corpus —
+    far below the scale this monitors): exact to ~1e16 total
+    tokens, with the bp quotients back in int64 via exact integer
+    division.
 
     Scale shape: tokens collapse to (source, word) cells in one
     map-side-combined exchange; word totals re-aggregate the CELLS
@@ -1887,12 +1933,16 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
     # cells feeds the term join AND both total re-aggregations;
-    # persist so the token-stream exchange runs once, not three
-    # times (Catalyst does not share subplans across DataFrame
-    # references).
-    cells = toks.groupBy("source", "word").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_sw")
-    ).persist()
+    # persist (single-slot cache) so the token-stream exchange runs
+    # once, not three times (Catalyst does not share subplans across
+    # DataFrame references).
+    cells = _cached_persist(
+        "divergence_cells",
+        docs,
+        lambda: toks.groupBy("source", "word").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_sw")
+        ),
+    )
     totals = cells.groupBy("word").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
     ns = cells.groupBy("source").agg(F.sum("c_sw").cast("bigint").alias("n_s"))
     nt = totals.agg(F.sum("c_w").cast("bigint").alias("n_tot"))
@@ -1900,8 +1950,14 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(totals, "word")
         .join(F.broadcast(ns), "source")
         .crossJoin(F.broadcast(nt))
+        # decimal(38,0) cross products (DuckDB twin: HUGEINT): int64
+        # would wrap once N_s*N passes ~9.2e18, far below the
+        # 100TB-class corpora this monitors (r7 review); exact to
+        # ~1e16 total tokens
         .withColumn(
-            "diff", F.col("c_sw") * F.col("n_tot") - F.col("c_w") * F.col("n_s")
+            "diff",
+            F.col("c_sw").cast("decimal(38,0)") * F.col("n_tot")
+            - F.col("c_w").cast("decimal(38,0)") * F.col("n_s"),
         )
     )
     agg = terms.groupBy("source").agg(
@@ -1919,14 +1975,17 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_s").alias("n_tokens"),
         "n_vocab",
+        # decimal(38,0) numerators/divisors; the quotient is bp-sized
+        # so Spark's exact decimal `div` + bigint cast is lossless
         F.expr(
-            "cast((abs_sum + (n_tot - present_cw) * n_s) * 10000"
-            " div (2 * n_s * n_tot) as bigint)"
+            "cast((abs_sum + cast(n_tot - present_cw as decimal(38,0)) * n_s)"
+            " * 10000 div (2 * cast(n_s as decimal(38,0)) * n_tot) as bigint)"
         ).alias("tv_bp"),
         F.col("top.word").alias("top_over_word"),
-        F.expr("cast(top.diff * 10000 div (n_s * n_tot) as bigint)").alias(
-            "top_over_bp"
-        ),
+        F.expr(
+            "cast(top.diff * 10000"
+            " div (cast(n_s as decimal(38,0)) * n_tot) as bigint)"
+        ).alias("top_over_bp"),
     )
 
 
@@ -1966,7 +2025,7 @@ SELECT source,
        CAST(sum(n_dup) AS BIGINT) AS n_dup_paras,
        CAST(sum(toks) AS BIGINT) AS n_tokens,
        CAST(sum(dup_toks) AS BIGINT) AS n_dup_tokens,
-       CAST(sum(dup_toks) * 10000 // sum(toks) AS BIGINT) AS dup_token_bp
+       CAST(sum(dup_toks)::HUGEINT * 10000 // sum(toks) AS BIGINT) AS dup_token_bp
 FROM d GROUP BY source
 """
 
@@ -1993,7 +2052,13 @@ def curation_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source rollups carry counters. Paragraph text never crosses a
     shuffle; per-paragraph token lengths tile the document exactly,
     so n_tokens equals the corpus token count and the bp loss is
-    directly comparable across sources.
+    directly comparable across sources. Envelope: the
+    first-occurrence ranking is a row_number (IntegerType) over each
+    paragraph hash's occurrences, so a SINGLE paragraph duplicated
+    more than 2^31 times (a cookie banner on a ~1e10-doc crawl)
+    overflows the rank — past that, replace the window with a
+    groupBy(ph).min(struct(doc_id, para_id)) + join, which has no
+    per-hash counter (same verdict, one extra shuffle).
     """
     from go_integ_spark.functions.hashing import h60
     from go_integ_spark.operators.dedup import PARA_TOKENS
@@ -2039,9 +2104,13 @@ def curation_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_dup").cast("bigint").alias("n_dup_paras"),
         F.sum("toks").cast("bigint").alias("n_tokens"),
         F.sum("dup_toks").cast("bigint").alias("n_dup_tokens"),
-        F.expr("cast(sum(dup_toks) * 10000 div sum(toks) as bigint)").alias(
-            "dup_token_bp"
-        ),
+        # decimal numerator: sum(dup_toks)*10000 wraps int64 once one
+        # source carries ~9.2e14 duplicate tokens (r7 review) — the
+        # mirror-heavy sources this table exists to price
+        F.expr(
+            "cast(cast(sum(dup_toks) as decimal(38,0)) * 10000"
+            " div sum(toks) as bigint)"
+        ).alias("dup_token_bp"),
     )
 
 
@@ -2071,8 +2140,11 @@ WITH p AS (
 SELECT p.lang, p.source, p.n_docs, p.bytes,
        CAST((p.bytes + {SINK_TARGET_FILE_BYTES - 1})
             // {SINK_TARGET_FILE_BYTES} AS BIGINT) AS n_files,
-       CAST(p.bytes * 10000 // t.total_bytes AS BIGINT) AS share_bp,
-       p.bytes * t.n_parts > {SINK_HOT_FACTOR} * t.total_bytes AS hot
+       CAST(p.bytes::HUGEINT * 10000 // t.total_bytes AS BIGINT) AS share_bp,
+       -- HUGEINT: bytes*n_parts wraps int64 right around the 100TB
+       -- class this plans for, flipping hot=false for exactly the
+       -- hottest partitions (r7 review)
+       p.bytes::HUGEINT * t.n_parts > {SINK_HOT_FACTOR}::HUGEINT * t.total_bytes AS hot
 FROM p CROSS JOIN tot t
 """,
 )
@@ -2091,7 +2163,8 @@ def sink_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combined aggregation over the corpus
     scan (counts and byte sums only — text never moves), then
     a 1-row total via CROSS JOIN broadcast; output is bounded by the
-    partition-key cardinality. All arithmetic is exact int64.
+    partition-key cardinality. All arithmetic is exact integer
+    (decimal(38,0)/HUGEINT where products pass int64).
     """
     docs = load_table(spark, sf_dir, "documents")
     p = docs.groupBy("lang", "source").agg(
@@ -2111,10 +2184,16 @@ def sink_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast((bytes + {SINK_TARGET_FILE_BYTES - 1})"
             f" div {SINK_TARGET_FILE_BYTES} as bigint)"
         ).alias("n_files"),
-        F.expr("cast(bytes * 10000 div total_bytes as bigint)").alias("share_bp"),
+        F.expr(
+            "cast(cast(bytes as decimal(38,0)) * 10000"
+            " div total_bytes as bigint)"
+        ).alias("share_bp"),
+        # decimal products (oracle twin: HUGEINT): int64 bytes*n_parts
+        # wraps right around the 100TB class this plans for, flipping
+        # hot=false for exactly the hottest partitions (r7 review)
         (
-            F.col("bytes") * F.col("n_parts")
-            > F.lit(SINK_HOT_FACTOR) * F.col("total_bytes")
+            F.col("bytes").cast("decimal(38,0)") * F.col("n_parts")
+            > F.lit(SINK_HOT_FACTOR) * F.col("total_bytes").cast("decimal(38,0)")
         ).alias("hot"),
     )
 

@@ -70,7 +70,14 @@ SEP = "\x1f"
 # generate_series in expression context yields a LIST; unnest expands
 # it with the carried doc_id.
 _SHINGLE_EXPR = " || chr(31) || ".join(f"w[i + {j}]" for j in range(SHINGLE_K))
-_JACCARD_ORACLE = f"""
+
+# The shared CTE prefix (shingling -> per-doc sizes -> pair
+# intersection counts) as a NAMED constant: four oracles (pagerank,
+# triangles, degree distribution, mirror blocklist) previously
+# re-derived it by string-slicing _JACCARD_ORACLE on its final
+# "SELECT doc_a" — a format-coupled surgery any rewording of the
+# Jaccard oracle would silently break (r7 review).
+_JACCARD_PREFIX = f"""
 WITH words AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), pos AS (
@@ -85,7 +92,9 @@ WITH words AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-)
+)"""
+
+_JACCARD_ORACLE = f"""{_JACCARD_PREFIX}
 SELECT doc_a, doc_b,
        round(c / (sa.n + sb.n - c), 4) AS jaccard
 FROM inter
@@ -1382,8 +1391,11 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     but its group holds only ids (no payload), and partial map-side
     aggregation does not apply to ranking — if a corpus is known to
     have mega-paragraph skew, cap with the same two-phase min trick
-    as ``salted_join``. The final per-doc rollup shuffles on doc_id,
-    uniform by construction.
+    as ``salted_join``. Rank envelope: row_number's IntegerType
+    counter caps a single hash's multiplicity at 2^31 (~1e10-doc
+    crawls with viral banners exceed it); the groupBy-min + join
+    spelling removes the cap at the cost of one extra shuffle. The
+    final per-doc rollup shuffles on doc_id, uniform by construction.
     """
     from pyspark.sql import Window
 
@@ -2015,8 +2027,7 @@ def _pagerank_oracle() -> str:
     """Unrolled fixed-point PageRank oracle: the shared exact-Jaccard
     pair CTEs, source-edge aggregation, then PAGERANK_ITERS chained
     rank CTEs with integer arithmetic identical to the Spark loop."""
-    prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
-    head = f"""{prefix}), jp AS (
+    head = f"""{_JACCARD_PREFIX}, jp AS (
     SELECT doc_a, doc_b
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
@@ -2189,8 +2200,7 @@ def _jp_cte() -> str:
     """The shared exact-Jaccard pair CTEs closed as a ``jp`` pair
     table — the SQL spelling of the near-duplicate edge set every
     graph query builds on."""
-    prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
-    return f"""{prefix}), jp AS (
+    return f"""{_JACCARD_PREFIX}, jp AS (
     SELECT doc_a, doc_b
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
@@ -2378,8 +2388,7 @@ SWEEP_THRESHOLDS_BP = [3000, 4000, 5000, 6000, 7000, 8000, 9000]
 
 def _threshold_sweep_oracle() -> str:
     ts = ", ".join(str(t) for t in SWEEP_THRESHOLDS_BP)
-    prefix = _JACCARD_ORACLE.split("SELECT doc_a")[0].rstrip().rstrip(")")
-    return f"""{prefix}), th AS (
+    return f"""{_JACCARD_PREFIX}, th AS (
     SELECT unnest([{ts}]) AS threshold_bp
 ), hit AS (
     SELECT th.threshold_bp, i.doc_a, i.doc_b
