@@ -112,18 +112,31 @@ QUALIFY row_number() OVER (
 def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK keep-latest (CDC/SCD compaction): one row per key, newest
     wins. The MERGE-emulation pattern from the guide (anti-join +
-    union + window) collapses to a single row_number when the full
-    history is present. One shuffle on the key; at 100 TB feed this
-    from a PK-bucketed table so even that shuffle disappears.
+    union + window) collapses to one max_by aggregation when the full
+    history is present: argmax by (ts, event_id) per key. One shuffle
+    on the key; at 100 TB feed this from a PK-bucketed table so even
+    that shuffle disappears.
+
+    max_by, NOT row_number (rewritten round 7): a rank window cannot
+    map-side combine — every version of a key crosses the exchange —
+    and Spark's row_number state is a 32-bit int, so one hot key with
+    >2^31 versions breaks it (ANSI throws; legacy wraps back through
+    rn==1 and emits a SECOND "latest" row, silently violating the PK
+    invariant). The aggregate form combines partially on the map side
+    (only per-partition winners shuffle) and has no counter at all.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_id", "ts", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("r")
     )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts", F.round("value", 4).alias("value"))
+    return latest.select(
+        "user_id",
+        F.col("r.event_id").alias("event_id"),
+        F.col("r.ts").alias("ts"),
+        F.round("r.value", 4).alias("value"),
     )
 
 
@@ -1481,7 +1494,10 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
        CAST(sum(bloom_pos) AS BIGINT) AS n_bloom_positive,
        CAST(sum(is_member) AS BIGINT) AS n_true_members,
        CAST(sum(bloom_pos) - sum(is_member) AS BIGINT) AS n_false_positive,
-       CAST((sum(bloom_pos) - sum(is_member)) * 10000
+       -- HUGEINT: the bp numerator wraps BIGINT past ~9.2e14 false
+       -- positives; DuckDB's HUGEINT sums kept going while Spark's
+       -- int64 wrapped — a silent cross-engine divergence class
+       CAST((sum(bloom_pos)::HUGEINT - sum(is_member)) * 10000
             // greatest(count(*) - sum(is_member), 1) AS BIGINT) AS fpr_bp
 FROM flags
 """,
@@ -1567,8 +1583,11 @@ def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bloom_positive") - F.col("n_true_members")).alias(
                 "n_false_positive"
             ),
+            # decimal numerator (oracle twin: HUGEINT) — int64 wraps
+            # past ~9.2e14 false positives
             F.expr(
-                "cast((n_bloom_positive - n_true_members) * 10000"
+                "cast(cast(n_bloom_positive - n_true_members as"
+                " decimal(38,0)) * 10000"
                 " div greatest(n_probes - n_true_members, 1) as bigint)"
             ).alias("fpr_bp"),
         )

@@ -339,11 +339,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
     )
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    # df per word + corpus size in one pass: count distinct docs per
-    # word, then a total-docs column via a size-1 window-free trick —
-    # sum over a second grouping is corpus-wide, so attach it with a
-    # scalar subquery-style cross join of a 1-row aggregate (AQE
-    # broadcasts a single row; no extra count() job on the driver).
+    # The corpus size is its OWN 1-row aggregate branch cross-joined
+    # in (broadcast; no driver-side count() round trip) — it cannot
+    # ride the df aggregation because documents with zero words never
+    # reach the word table. On parquet the branch is a
+    # metadata-served count; on a filtered/non-columnar source it is
+    # a real second scan, the cost of exact n_docs.
     df_ = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
     n_docs_df = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     scored = tf.join(df_, "word").crossJoin(n_docs_df).select(
@@ -1440,7 +1441,7 @@ WITH docs AS (
                * (CAST(h.tf AS DOUBLE) * ({BM25_K1} + 1.0))
                / (CAST(h.tf AS DOUBLE)
                   + {BM25_K1} * (1.0 - {BM25_B}
-                                 + {BM25_B} * (CAST(h.dl * t.nd AS DOUBLE)
+                                 + {BM25_B} * (CAST(h.dl AS DOUBLE) * CAST(t.nd AS DOUBLE)
                                                / CAST(t.sdl AS DOUBLE)))),
                4) + 0.0 AS bm25
     FROM hit h JOIN df f USING (term) CROSS JOIN tot t
@@ -1534,7 +1535,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0)
         - F.lit(BM25_B)
         + F.lit(BM25_B)
-        * ((F.col("dl") * F.col("nd")).cast("double") / F.col("sdl").cast("double"))
+        # per-operand double cast: the int64 product dl*nd wraps once
+        # n_docs * doc_len passes 2^63 (one 9M-token doc at 1e12 docs)
+        * (
+            F.col("dl").cast("double")
+            * F.col("nd").cast("double")
+            / F.col("sdl").cast("double")
+        )
     )
     scored = (
         hit.join(F.broadcast(df_), "term")
@@ -1551,11 +1558,17 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25"),
         )
     )
-    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= BM25_TOP_N)
-        .select("term", "doc_id", "bm25", F.col("rn").cast("int").alias("rank"))
+    # salted_topk (not a plain 5-partition window): each fixed term
+    # would otherwise sort its ENTIRE hit set in one task — the
+    # fixed-cardinality-partition trap text_heavy_hitters documents —
+    # and row_number's int32 counter caps a term at 2^31 hits
+    from go_integ_spark.operators.similarity import salted_topk
+
+    out = salted_topk(
+        scored, "term", [F.desc("bm25"), F.asc("doc_id")], BM25_TOP_N
+    )
+    return out.select(
+        "term", "doc_id", "bm25", F.col("rn").cast("int").alias("rank")
     )
 
 
@@ -2026,7 +2039,9 @@ WITH seg AS (
     SELECT array_to_string(ws, ' ') AS phrase, ws, len(ws) AS nw
     FROM occ WHERE len(ws) BETWEEN 1 AND {RAKE_MAX_LEN}
 ), wstat AS (
-    SELECT w, (CAST(sum(nw) AS BIGINT) * 10000) // count(*) AS score_bp
+    -- HUGEINT path: deg(w)*10000 wraps BIGINT once a word's corpus
+    -- degree passes ~9.2e14 (Zipf head of a ~1e15-token corpus)
+    SELECT w, CAST(sum(nw)::HUGEINT * 10000 // count(*) AS BIGINT) AS score_bp
     FROM (SELECT unnest(ws) AS w, nw FROM cand)
     GROUP BY w
 ), pocc AS (
@@ -2071,9 +2086,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(F.explode("ws").alias("w"), "nw")
         .groupBy("w")
         .agg(
-            F.expr("cast(sum(nw) as bigint) * 10000 div count(*)").alias(
-                "score_bp"
-            )
+            # decimal numerator (oracle twin: HUGEINT): deg(w)*10000
+            # wraps int64 once a word's corpus degree passes ~9.2e14
+            F.expr(
+                "cast(cast(sum(nw) as decimal(38,0)) * 10000"
+                " div count(*) as bigint)"
+            ).alias("score_bp")
         )
     )
     pocc = cand.groupBy("phrase").agg(
@@ -2146,12 +2164,18 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     is min(doc_id), its decile is the first doc's decile, and every
     cumulative is a running sum over the 10-row decile frame.
 
-    Scale shape: the deterministic ntile is a single-axis rank (at
-    100 TB the two-pass histogram-threshold split replaces it, as in
-    curation_holdout_split's hash split); first occurrences are ONE
-    vocabulary-scaled min aggregation over the token stream; the join
-    back to deciles ships (word-first doc_id) pairs; everything after
-    operates on a 10-row frame.
+    Scale shape: the deterministic ntile is the SMALL-CORPUS form —
+    an unpartitioned rank funnels every doc header through one task
+    and Spark's ntile counter is a 32-bit int (hard cap ~2.1e9 docs;
+    single-task memory binds well before that, ~1e9). At 100 TB
+    replace it with the two-pass split: aggregate a doc_id histogram,
+    take the 9 decile boundary ids from it, and assign deciles with a
+    row-local comparison against the broadcast boundaries (the
+    curation_holdout_split hash-split pattern) — the cumulative
+    semantics are unchanged because deciles stay doc_id-ordered.
+    First occurrences are ONE vocabulary-scaled min aggregation over
+    the token stream; the join back to deciles ships (word-first
+    doc_id) pairs; everything after operates on a 10-row frame.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = docs.withColumn("ws", F.split("text", " ")).withColumn(
