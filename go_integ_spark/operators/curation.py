@@ -48,25 +48,7 @@ from go_integ_spark.operators.dedup import (
 from go_integ_spark.registry import register
 from go_integ_spark.tables import load_table
 
-# Single-slot persisted-frame caches (the _cached_doc_sets pattern,
-# dedup.py): re-invoking an operator in one long session was
-# re-persisting a fresh frame each call and never unpersisting the
-# previous one, pinning executor storage memory for the session
-# lifetime (r7 review). One live handle per slot, keyed by the input
-# plan's semantic hash — same corpus reuses it, a new corpus evicts.
-_slot_caches: dict[str, tuple[int, DataFrame]] = {}
-
-
-def _cached_persist(slot: str, key_df: DataFrame, build) -> DataFrame:
-    key = key_df.semanticHash()
-    cached = _slot_caches.get(slot)
-    if cached is not None:
-        if cached[0] == key:
-            return cached[1]
-        cached[1].unpersist()
-    frame = build().persist()
-    _slot_caches[slot] = (key, frame)
-    return frame
+from go_integ_spark.functions.cache import cached_persist as _cached_persist
 
 # Per-language sampling rate (percent): downsample the dominant
 # language, keep the tail — the standard re-balancing move for

@@ -478,8 +478,16 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves again. Exact percentile keeps the oracle value-level; the
     100 TB swap is percentile_approx, identical plan shape.
     """
+    from go_integ_spark.functions.cache import cached_persist
+
     ev = load_table(spark, sf_dir, "events")
-    hourly = hourly_type_counts(ev)
+    # hourly feeds the median subtree, the MAD subtree AND the final
+    # flag join — three lineage references, each of which would
+    # re-run the corpus scan + rollup without a persist (r7 review:
+    # 3x redundant scan; the rollup itself is hours x types — tiny)
+    hourly = cached_persist(
+        "anomaly_hourly", ev, lambda: hourly_type_counts(ev)
+    )
     out = hourly.join(F.broadcast(mad_thresholds(hourly)), "event_type")
     return flag_mad_anomalies(out)
 
@@ -592,7 +600,9 @@ WITH f AS (
     FROM f GROUP BY 1
 )
 SELECT f.event_type,
-       (f.cents * d.n_type > d.type_cents) AS above_avg,
+       -- HUGEINT: the per-row product wraps BIGINT once one event's
+       -- cents exceed 2^63/n_type (~$460k at 2e11 rows/type)
+       (f.cents::HUGEINT * d.n_type > d.type_cents) AS above_avg,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(f.cents) AS BIGINT) AS sum_cents
 FROM f JOIN dim d ON d.event_type = f.event_type
@@ -633,8 +643,13 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(fact, dim, on=["event_type"], num_salts=SKEW_SALTS)
     return (
+        # decimal product (oracle twin: HUGEINT) — int64 wraps once
+        # one event's cents pass 2^63/n_type (~$460k at 2e11
+        # rows/type); value is unvalidated app data (r7 review)
         joined.withColumn(
-            "above_avg", F.col("cents") * F.col("n_type") > F.col("type_cents")
+            "above_avg",
+            F.col("cents").cast("decimal(38,0)") * F.col("n_type")
+            > F.col("type_cents").cast("decimal(38,0)"),
         )
         .groupBy("event_type", "above_avg")
         .agg(
@@ -782,7 +797,7 @@ SELECT user_id,
            AS n_purchases,
        CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
            AS span_sec,
-       CAST((count(*) * 100 * 86400000000)
+       CAST((count(*)::HUGEINT * 100 * 86400000000)
             // greatest(epoch_us(max(ts)) - epoch_us(min(ts)), 1) AS BIGINT)
            AS events_per_day_centi
 FROM events
@@ -810,8 +825,11 @@ def events_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_purchases"),
         (span_us / F.lit(1000000)).cast("bigint").alias("span_sec"),
+        # decimal numerator (oracle twin: HUGEINT): the int64 product
+        # count*100*86400e6 wraps at ~1.07M events per user — exactly
+        # the bot keys events_bot_gap_regularity hunts (r7 review)
         F.expr(
-            "cast(count(1) * 100 * 86400000000 div "
+            "cast(cast(count(1) as decimal(38,0)) * 100 * 86400000000 div "
             "greatest(unix_micros(max(ts)) - unix_micros(min(ts)), 1) "
             "as bigint)"
         ).alias("events_per_day_centi"),

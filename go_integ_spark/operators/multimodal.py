@@ -163,7 +163,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "byte_len",
             F.round(F.element_at("feature", 1), 6).alias("f0"),
         )
-        .orderBy("doc_id")
+        # no orderBy: the gate comparator is order-insensitive and a
+        # global sort of the decoded corpus is a range-partition
+        # shuffle bought for nothing (r7 review)
     )
 
 
@@ -698,10 +700,13 @@ def multimodal_phash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash pass and one counter shuffle, then the 9-probe expansion and
     the neighborhood join run over the tiny broadcast table.
     """
+    from go_integ_spark.functions.cache import cached_persist
+
     hashed = phash_hashes(spark, sf_dir)
-    c = hashed.groupBy("media_type", "phash").agg(
+    c_base = hashed.groupBy("media_type", "phash").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    ).persist()
+    )
+    c = cached_persist("phash_counts", c_base, lambda: c_base)
     tot = c.groupBy("media_type").agg(F.sum("n").cast("bigint").alias("total"))
     probes = c.select(
         "media_type",

@@ -421,9 +421,14 @@ def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters.
     """
     # spend feeds the driver-side cuts collect, the counts/offsets
-    # subtree, AND the probe side of the final join -> persist so the
+    # subtree, AND the probe side of the final join -> persist
+    # (single-slot cache: a bare persist leaked one copy per
+    # invocation for the session lifetime, r7 review) so the
     # customer-orders join + aggregation runs once, not three times.
-    spend = _segment_spend(spark, sf_dir).persist()
+    from go_integ_spark.functions.cache import cached_persist
+
+    spend_base = _segment_spend(spark, sf_dir)
+    spend = cached_persist("quartiles_spend", spend_base, lambda: spend_base)
 
     # Pass 1: per-segment approximate spend quantiles -> fixed cut
     # points collected to the driver (segments × slices values, tiny).
@@ -432,7 +437,14 @@ def window_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row's slice (a sampled repartitionByRange could, across jobs).
     # Floor of 2 slices: at shuffle_partitions=1 the probs list would
     # be empty and percentile_approx returns NULL cuts.
-    n_slices = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    # some platforms set shuffle.partitions to the string "auto"
+    # (AQE-managed) — fall back to a fixed slice count there
+    try:
+        n_slices = max(
+            2, int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        )
+    except ValueError:
+        n_slices = 32
     probs = [i / n_slices for i in range(1, n_slices)]
     cut_rows = (
         spend.groupBy("c_mktsegment")
@@ -924,29 +936,39 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data, no interpolation, so the result is a RAW data value and
     cross-engine comparison is byte-exact by construction).
 
-    The cumulative window uses the default RANGE frame, so rows tied
-    on price share one cumulative weight in both engines — the pick
-    cannot depend on tie order. Scale shape: one sort per group for
-    the running sum (the exact-median cost class); at 100 TB the
-    two-pass bucketed quantile (agg_percentiles' approach) is the
-    cheaper stand-in, and this operator is the exact-verification
-    companion.
+    Scale shape (rewritten round 7): the corpus FIRST collapses to
+    (flag, price) cells — one map-side-combined aggregation, the only
+    shuffle that sees lineitem rows — and the cumulative/total
+    windows run over the PRICE DOMAIN per flag (each price appears
+    once per flag after the cells, so the old RANGE-frame tie
+    handling is vacuous and ROWS==RANGE). The previous form windowed
+    the raw rows partitioned by l_returnflag's THREE fixed values,
+    funneling a third of the corpus through one sort task — the
+    fixed-cardinality trap the module's other windows were already
+    rewritten around. Cell cardinality is bounded by the price
+    domain, not the row count, so the per-flag sort stays small at
+    any SF.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("price"),
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
+    cells = li.groupBy("l_returnflag", "price").agg(
+        F.sum("qty").alias("w_cell"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cell"),
+    )
     cum = Window.partitionBy("l_returnflag").orderBy("price")
     tot = Window.partitionBy("l_returnflag")
-    w = li.select(
+    w = cells.select(
         "l_returnflag",
         "price",
-        F.sum("qty").over(cum).alias("cumw"),
-        F.sum("qty").over(tot).alias("totw"),
+        "n_cell",
+        F.sum("w_cell").over(cum).alias("cumw"),
+        F.sum("w_cell").over(tot).alias("totw"),
     )
     return w.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_cell").cast("bigint").alias("n_rows"),
         F.first("totw").cast("bigint").alias("total_qty"),
         F.min(
             F.when(F.lit(2) * F.col("cumw") >= F.col("totw"), F.col("price"))

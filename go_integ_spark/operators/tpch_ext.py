@@ -284,11 +284,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # revenue feeds the scalar-max branch AND the final join; persist
     # so lineitem is scanned/shuffled once, as the docstring promises.
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_disc_price()), 2).alias("total_revenue"))
-        .persist()
+    from go_integ_spark.functions.cache import cached_persist
+
+    rev_base = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(_disc_price()), 2).alias("total_revenue")
     )
+    revenue = cached_persist("q15_revenue", rev_base, lambda: rev_base)
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = load_table(spark, sf_dir, "supplier")
     return (
@@ -502,8 +503,8 @@ WITH pv AS (
 )
 SELECT l_partkey AS p_key, cents / 100.0 AS part_value
 FROM pv
-WHERE cents * (SELECT CAST(count(*) AS BIGINT) FROM pv)
-      > 2 * (SELECT CAST(sum(cents) AS BIGINT) FROM pv)
+WHERE cents::HUGEINT * (SELECT CAST(count(*) AS BIGINT) FROM pv)
+      > 2 * (SELECT sum(cents)::HUGEINT FROM pv)
 """,
 )
 def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,16 +540,22 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(_disc_price() * 100).cast("bigint")).alias("cents")
         )
-        .persist()
     )
+    from go_integ_spark.functions.cache import cached_persist
+
+    pv = cached_persist("q11_pv", pv, lambda frame=pv: frame)
     thresh = pv.agg(
         F.sum("cents").alias("total_cents"),
         F.count(F.lit(1)).alias("n_parts"),
     )
     return (
+        # decimal products (oracle twin: HUGEINT): revenue skew can
+        # push one part's cents past 2^63/n_parts, silently flipping
+        # the HAVING in int64 while DuckDB errors (r7 review)
         pv.join(
             F.broadcast(thresh),
-            F.col("cents") * F.col("n_parts") > 2 * F.col("total_cents"),
+            F.col("cents").cast("decimal(38,0)") * F.col("n_parts")
+            > 2 * F.col("total_cents").cast("decimal(38,0)"),
         )
         .select(
             F.col("l_partkey").alias("p_key"),

@@ -624,16 +624,26 @@ def test_epoch_schedule_single_corpus_pass(registry, spark):
 
 def test_single_shuffle_aggregation_family(registry, spark):
     # Each of these reduces the corpus through exactly ONE exchange:
-    # lifetime/holdout are map-side-combined aggregations; the
-    # weighted median's window and group share a partitioning; scene
+    # lifetime/holdout are map-side-combined aggregations; scene
     # cuts' lag window and per-video aggregate share doc_id.
     for name in (
         "events_user_lifetime",
         "curation_holdout_split",
-        "agg_weighted_median",
         "multimodal_scene_cuts",
     ):
         assert shuffle_count(_df(registry, spark, name)) == 1, name
+
+
+def test_weighted_median_windows_over_cells_not_corpus(registry, spark):
+    # The r7 rewrite: corpus rows cross ONE map-side-combined exchange
+    # into (flag, price) cells; only the domain-scale cell frame
+    # re-shuffles for the cumulative window. The old single-exchange
+    # form windowed raw rows partitioned by l_returnflag's THREE
+    # values — a third of the corpus sorted in one task.
+    df = _df(registry, spark, "agg_weighted_median")
+    plan = executed_plan(df)
+    assert shuffle_count(df) == 2
+    assert "partial_sum" in plan or "partial_" in plan  # map-side combine
 
 
 def test_rake_topn_is_take_ordered(registry, spark):
