@@ -329,6 +329,30 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-label pair-enumeration cap for the blocking-key join, same
+# trade as LSH_MAX_BUCKET / SEMDEDUP_MAX_CLUSTER: 4096 members is
+# ~8.4M pairs in one task (seconds of fold-cosine work); beyond it a
+# single hot label would own the stage's tail. Largest gate-corpus
+# label: 200 members (sf0.1).
+THRESHOLD_JOIN_MAX_LABEL = 4096
+
+
+def cap_hot_groups(df: DataFrame, key_col: str, cap: int) -> DataFrame:
+    """Drop every row whose ``key_col`` group exceeds ``cap`` members.
+
+    One tiny aggregate (map-side partial: the shuffle carries one row
+    per distinct key) and a broadcast semi-join back — the input
+    frame itself is NOT re-shuffled, so the cap costs one small stage,
+    not an extra exchange of the data."""
+    kept = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= cap)
+        .select(key_col)
+    )
+    return df.join(F.broadcast(kept), key_col, "semi")
+
+
 @register(
     "similarity_threshold_join",
     tags=("similarity", "join", "vector"),
@@ -347,9 +371,23 @@ def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns the cross join into a partitioned join — the blocking-key
     pattern: at scale the blocking key (label / LSH bucket / IVF
     cell) bounds each task's pair enumeration.
+
+    Hot-key cap (``THRESHOLD_JOIN_MAX_LABEL``): a pathologically hot
+    blocking key degenerates to O(n^2) inside one task, the same skew
+    bomb ``LSH_MAX_BUCKET`` (operators/dedup.py) and
+    ``SEMDEDUP_MAX_CLUSTER`` bound — labels above the cap are dropped
+    before the pair join (documented precision-1.0 / recall-epsilon
+    trade). At every gate corpus the largest label is 200 members
+    (sf0.1), 20x under the cap, so the exact-pair oracle contract is
+    untouched; past the cap the right tool is the LSH / IVF-cell
+    blocking the dedup family provides.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    v = with_norm(emb.select("vec_id", "label", "embedding"))
+    v = cap_hot_groups(
+        with_norm(emb.select("vec_id", "label", "embedding")),
+        "label",
+        THRESHOLD_JOIN_MAX_LABEL,
+    )
     a = v.alias("a")
     b = v.alias("b")
     sim = cosine_sim_pd("a.e", "a.e_norm", "b.e", "b.e_norm")

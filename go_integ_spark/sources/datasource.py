@@ -155,6 +155,48 @@ class _StridedOffsetPaginator(OffsetLimitPaginator):
         )
 
 
+def _warmup_transport(req):
+    """Canned empty page: the warmup read stops after one request per
+    partition (module-level so it pickles to executors — a __main__
+    function does not unpickle in pyspark.daemon workers)."""
+    from go_integ_spark.sources.http import HttpResponse
+
+    return HttpResponse(
+        status=200,
+        headers={"content-type": "application/json"},
+        body=b'{"records": []}',
+    )
+
+
+def _warmup_paginator():
+    return OffsetLimitPaginator(offset_param="start", limit_param="num", page_size=500)
+
+
+def warmup_datasource(spark, num_partitions: int = 8) -> None:
+    """One empty N-partition Python DataSource read: spins up the
+    DataSource planning + worker path so its one-time cost (~3 s
+    measured at sf0.1: cold 5.4 s vs warm 2.1 s for the same read) is
+    not billed to whichever connector query runs first — the same
+    treatment bench.py gives the pandas-UDF worker pool."""
+    from go_integ_spark.schema.stream import StreamSchema
+
+    warm_stream = HttpStream(
+        schema=StreamSchema.from_ddl("warm", "id bigint"),
+        path="/warm",
+        record_path="records",
+        paginator=_warmup_paginator,
+    )
+    df, _ = stream_dataframe(
+        spark,
+        warm_stream,
+        {"url": "http://warmup.invalid"},
+        None,
+        transport=_warmup_transport,
+        num_partitions=num_partitions,
+    )
+    df.write.format("noop").mode("overwrite").save()
+
+
 def stream_dataframe(spark, stream: HttpStream, config: dict, state, transport=None, num_partitions: int = 1):
     """Register + read an HttpStream as a DataFrame via the Python
     DataSource. Returns (df, new_state) — new_state computed from the

@@ -1,20 +1,23 @@
-"""sf1-scale smoke for the two skew-sensitive scale paths.
+"""Scale smoke for the skew- and envelope-sensitive scale paths.
 
 The sf0.1 gate corpus (5k docs / 2k vectors) is too small to observe
-LSH bucket skew or IVF cell balance, so this script generates a 10x
-corpus (50k docs / 20k vectors, deterministic seed, with injected
-near-dup clusters AND a heavy 16-word boilerplate paragraph to
-pressure both the LSH ``max_bucket`` cap and the paragraph-dedup hot
-hash key), runs ``dedup_minhash_lsh``, ``ann_ivf_topk``,
-``ann_ivfpq_topk``, ``dedup_paragraph``, ``embedding_knn_graph``,
-and ``text_bpe_vocab``
-against it, and reports per-stage shuffle volume and task-time skew
-from the Spark UI REST API. The pass criterion (recorded in
-STATUS.md) is no task over 10x the median task time in any shuffle
-stage of the LSH bucket pipeline.
+LSH bucket skew, IVF cell balance or fixed-point envelope pressure,
+so this script generates a scaled corpus (deterministic seed, with
+injected near-dup clusters AND a heavy 16-word boilerplate paragraph
+to pressure both the LSH ``max_bucket`` cap and the paragraph-dedup
+hot hash key), runs the flagship dedup/similarity/curation/text
+queries against it, and reports per-stage shuffle volume and
+task-time skew from the Spark UI REST API. The pass criteria
+(recorded in STATUS.md): no task over 10x the median task time in
+any shuffle stage, and the cross-engine float-gate margins
+(tests/test_round7_ops.py pins) hold on the scaled corpus too — the
+r7 int64-overflow bug was only caught because the 10x corpus had 30x
+the magnitude; envelope/margin failure classes SCALE WITH DATA.
 
-Usage: python scripts/smoke_scale.py   (~2 min on local[32])
-Data lands in .smoke_sf1/ (gitignored); delete to regenerate.
+``SMOKE_SCALE`` (default 10) multiplies the gate corpus: 10 -> 50k
+docs / 20k vectors (~2 min on local[32]); 100 -> 500k docs / 200k
+vectors (~15-30 min) — the VERDICT r7 item-8 design-point check.
+Data lands in .smoke_x{scale}/ (gitignored); delete to regenerate.
 """
 
 from __future__ import annotations
@@ -27,10 +30,13 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = 50_000
-N_VECS = 20_000
-DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        ".smoke_sf1")
+SCALE = int(os.environ.get("SMOKE_SCALE", "10"))
+N_DOCS = 5_000 * SCALE
+N_VECS = 2_000 * SCALE
+DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".smoke_sf1" if SCALE == 10 else f".smoke_x{SCALE}",
+)
 
 VOCAB = (
     "batch part spark line column order small sort fast value scan hash slow "
@@ -132,9 +138,57 @@ def stage_report(ui: str) -> list[dict]:
     return out
 
 
+def check_float_margins() -> dict:
+    """The tests/test_round7_ops.py cross-engine margin pins, applied
+    to the scaled corpus: every float-gated / float-ordered decision
+    in the similarity family must sit far from its boundary HERE too,
+    or the operators' oracle contract would not survive this scale.
+    Thresholds mirror the test constants."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from go_integ_spark.operators.similarity import (
+        HARD_NEG_DUP_CEILING,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    t = pq.read_table(
+        f"{DATA_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    e = np.stack([np.asarray(x, dtype=np.float64) for x in t["embedding"].to_pylist()])
+    order = np.argsort(ids)
+    e = e[order]
+    u = e / np.sqrt((e * e).sum(axis=1))[:, None]
+    sims = u[:N_QUERIES] @ u.T
+    mask = np.ones_like(sims, dtype=bool)
+    mask[np.arange(N_QUERIES), np.arange(N_QUERIES)] = False
+    gate = float(np.abs(sims[mask] - HARD_NEG_DUP_CEILING).min())
+    adjacency = np.inf
+    for q in range(N_QUERIES):
+        s = sims[q][mask[q]]
+        below = np.sort(s[s < HARD_NEG_DUP_CEILING])[::-1][: TOP_K + 1]
+        top = np.sort(s)[::-1][: TOP_K + 1]
+        for seq in (below, top):
+            if len(seq) > 1:
+                adjacency = min(adjacency, float(np.abs(np.diff(seq)).min()))
+    assert gate > 1e-4, (
+        f"hard-negatives gate margin {gate:.2e} at scale {SCALE}x — "
+        f"inside the cross-engine drift pin"
+    )
+    assert adjacency > 1e-7, (
+        f"rank-adjacency margin {adjacency:.2e} at scale {SCALE}x"
+    )
+    return {"gate_margin": gate, "rank_adjacency_margin": adjacency}
+
+
 def main() -> None:
     if not os.path.exists(f"{DATA_DIR}/documents.parquet"):
         generate()
+
+    margins = check_float_margins()
+    print(f"float-gate margins at {SCALE}x: {margins}")
 
     from go_integ_spark.registry import load_all
     from go_integ_spark.session import get_spark

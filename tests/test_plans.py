@@ -825,8 +825,24 @@ def test_probe_recall_curve_single_enumeration(registry, spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert count_op(df, "BroadcastHashJoin") >= 1  # probes x assigned
-    # The kernel count must NOT scale with |IVF_PROBE_CURVE| (4
-    # points): exactly five Arrow stages exist regardless — corpus
-    # cell assignment, query probe list, probe-set scoring, and the
-    # brute-force truth arm's norm + scoring kernels.
-    assert plan.count("ArrowEvalPython") == 5
+    # The kernel count must NOT scale with |IVF_PROBE_CURVE|: the
+    # property under test is independence from the curve length (a
+    # per-point re-scan would multiply the Arrow scoring stages), so
+    # compare against a rebuild with a ONE-point curve instead of
+    # pinning the exact operator count (which shifts with Spark
+    # versions / AQE / kernel refactors — ADVICE r7).
+    from go_integ_spark.operators import similarity as S
+
+    full_curve_kernels = plan.count("ArrowEvalPython")
+    orig = S.IVF_PROBE_CURVE
+    S.IVF_PROBE_CURVE = (S.IVF_NPROBE,)
+    try:
+        one_point = _df(registry, spark, "similarity_ivf_probe_recall")
+        one_point_kernels = executed_plan(one_point).count("ArrowEvalPython")
+    finally:
+        S.IVF_PROBE_CURVE = orig
+    assert full_curve_kernels == one_point_kernels, (
+        f"Arrow kernel count scales with the probe curve: "
+        f"{full_curve_kernels} at {len(orig)} points vs "
+        f"{one_point_kernels} at 1"
+    )
