@@ -34,209 +34,212 @@ from go_integ_spark.registry import load_all
 # unlisted queries sort by name at the end of their cost bucket.
 # Refresh with: scripts/time_queries.py
 _MEASURED_COST = {
-    "text_pii_redact": 0.14,
-    "text_fingerprint": 0.15,
-    "embedding_random_projection": 0.16,
-    "sink_airbyte_envelope": 0.17,
-    "text_repetition_ratio": 0.17,
-    "cdc_scd2_history": 0.18,
-    "curation_blocklist_filter": 0.18,
-    "multimodal_metadata": 0.18,
-    "sample_stratified": 0.18,
-    "text_token_count": 0.18,
-    "window_trailing_spend": 0.18,
+    "text_token_count": 0.15,
+    "window_order_gaps": 0.15,
+    "cdc_scd2_history": 0.16,
+    "curation_blocklist_filter": 0.16,
+    "curation_shuffle_shards": 0.17,
+    "dedup_exact": 0.18,
+    "embedding_random_projection": 0.18,
+    "text_gopher_quality": 0.18,
     "sink_singer_envelope": 0.19,
-    "agg_correlation": 0.2,
-    "curation_shuffle_shards": 0.2,
-    "window_running_customer_spend": 0.2,
-    "incremental_cursor_read": 0.21,
-    "curation_mix_weights": 0.22,
-    "dedup_exact": 0.22,
-    "text_unigram_entropy": 0.22,
-    "agg_sketch_accuracy": 0.23,
-    "asof_join_purchase_click": 0.23,
-    "q6_forecast_revenue": 0.24,
-    "window_order_gaps": 0.24,
-    "curation_domain_cap": 0.25,
-    "curation_holdout_split": 0.25,
-    "text_gopher_quality": 0.25,
+    "curation_weighted_sample": 0.2,
+    "window_trailing_spend": 0.2,
+    "agg_distinct_counts": 0.21,
+    "agg_grouping_sets": 0.21,
+    "agg_sketch_accuracy": 0.22,
+    "asof_join_tolerance": 0.22,
+    "incremental_cursor_read": 0.22,
+    "text_classifier_score": 0.22,
+    "curation_holdout_split": 0.23,
+    "events_unpivot_metrics": 0.23,
+    "multimodal_metadata": 0.23,
+    "sink_airbyte_envelope": 0.23,
+    "text_chunk_overlap": 0.23,
+    "text_fingerprint": 0.23,
+    "text_quality_score": 0.23,
+    "window_running_customer_spend": 0.23,
+    "asof_join_click_attribution": 0.24,
+    "corpus_token_stats": 0.24,
+    "curation_annotation_agreement": 0.24,
+    "curation_epoch_schedule": 0.24,
+    "text_unigram_entropy": 0.24,
+    "curation_temperature_sampling": 0.25,
+    "sink_partition_plan": 0.25,
+    "text_dup_ngram_fraction": 0.25,
+    "text_vocab_growth": 0.25,
     "agg_regression": 0.26,
-    "corpus_token_stats": 0.26,
-    "curation_annotation_agreement": 0.26,
-    "set_intersect_rich_building": 0.26,
-    "text_word_stats": 0.26,
-    "agg_percentiles": 0.27,
-    "events_hourly_rollup": 0.27,
-    "join_anti_customers_without_orders": 0.27,
-    "text_quality_score": 0.27,
-    "curation_weighted_sample": 0.28,
-    "events_sessionize": 0.28,
-    "similarity_pq_encode": 0.28,
-    "sort_limit_top_lineitems": 0.28,
-    "agg_distinct_counts": 0.29,
+    "curation_mix_weights": 0.27,
+    "text_word_stats": 0.27,
+    "text_repetition_ratio": 0.28,
+    "asof_join_nearest": 0.29,
     "embedding_dim_profile": 0.29,
-    "events_pivot_type_counts": 0.29,
-    "events_user_lifetime": 0.29,
-    "text_dup_ngram_fraction": 0.29,
-    "contamination_ngram_overlap": 0.3,
-    "events_unpivot_metrics": 0.3,
-    "text_chunk_overlap": 0.3,
-    "agg_cube_status_priority": 0.31,
-    "asof_join_click_attribution": 0.31,
-    "dedup_keep_latest": 0.31,
-    "q1_pricing_summary": 0.31,
-    "subquery_orders_above_avg": 0.31,
-    "text_classifier_score": 0.31,
-    "agg_weighted_median": 0.32,
-    "asof_join_nearest": 0.32,
-    "curation_split_leakage": 0.33,
-    "dedup_paragraph": 0.33,
+    "events_sessionize": 0.29,
+    "sort_limit_top_lineitems": 0.29,
+    "agg_correlation": 0.3,
+    "agg_weighted_median": 0.3,
+    "events_hourly_rollup": 0.3,
+    "events_pivot_type_counts": 0.3,
+    "events_transition_matrix": 0.3,
+    "q1_pricing_summary": 0.3,
+    "curation_dedup_impact": 0.31,
+    "q6_forecast_revenue": 0.31,
+    "text_embed_hash": 0.31,
+    "agg_rollup_nation_segment": 0.32,
+    "events_bot_gap_regularity": 0.32,
     "similarity_ivf_cell_balance": 0.33,
-    "set_except_rich_not_building": 0.34,
-    "sink_partition_plan": 0.34,
-    "curation_epoch_schedule": 0.36,
-    "join_semi_customers_with_orders": 0.36,
-    "events_attribution_linear": 0.37,
-    "range_join_error_clicks": 0.37,
-    "window_ewma_value": 0.37,
-    "agg_mode_deterministic": 0.38,
-    "curation_dedup_impact": 0.38,
-    "events_markov_next": 0.38,
-    "q14_promo_effect": 0.38,
-    "cdc_snapshot_diff": 0.39,
-    "connector_file_incremental_read": 0.39,
-    "events_bot_gap_regularity": 0.39,
-    "events_json_extract": 0.39,
-    "agg_grouping_sets": 0.4,
-    "agg_rollup_nation_segment": 0.4,
-    "embedding_health": 0.4,
+    "similarity_pq_encode": 0.33,
+    "agg_cube_status_priority": 0.34,
+    "agg_percentiles": 0.34,
+    "embedding_health": 0.34,
+    "events_user_lifetime": 0.34,
+    "curation_pack_sequences": 0.35,
+    "curation_quality_calibration": 0.35,
+    "window_top_orders_per_customer": 0.35,
+    "agg_mode_deterministic": 0.36,
+    "join_interval_overlap": 0.36,
+    "text_pii_redact": 0.36,
+    "connector_file_incremental_read": 0.37,
+    "events_session_stats": 0.37,
+    "multimodal_frame_sample": 0.37,
+    "subquery_orders_above_avg": 0.37,
+    "events_cohort_retention": 0.38,
+    "multimodal_resize_thumbs": 0.38,
+    "dedup_paragraph": 0.39,
+    "agg_histogram": 0.4,
     "events_funnel": 0.4,
-    "window_top_orders_per_customer": 0.4,
-    "events_rfm": 0.41,
-    "multimodal_decode_features": 0.41,
-    "q19_disjunctive_predicates": 0.41,
-    "curation_quality_filter": 0.42,
-    "events_session_stats": 0.42,
-    "curation_pack_sequences": 0.43,
-    "events_top_paths": 0.43,
-    "text_bpe_vocab": 0.44,
-    "curation_ngram_novelty": 0.45,
-    "multimodal_resize_thumbs": 0.45,
-    "text_collocations": 0.47,
-    "window_rolling_distinct_users": 0.47,
-    "dedup_soft_weights": 0.48,
-    "events_transition_matrix": 0.48,
-    "join_salted_skew": 0.48,
-    "multimodal_audio_vad": 0.48,
-    "q4_late_orders": 0.48,
-    "similarity_sq_encode": 0.48,
-    "agg_histogram": 0.49,
-    "graph_dup_flow": 0.5,
-    "multimodal_scene_cuts": 0.5,
-    "q13_customer_distribution": 0.5,
-    "q22_idle_customers": 0.5,
+    "q19_disjunctive_predicates": 0.4,
+    "set_union_distinct": 0.41,
+    "dedup_keep_latest": 0.42,
+    "join_semi_customers_with_orders": 0.42,
+    "q17_small_quantity_revenue": 0.42,
+    "set_except_rich_not_building": 0.42,
+    "text_bpe_vocab": 0.42,
+    "window_ewma_value": 0.42,
+    "connector_http_paginated_read": 0.43,
+    "curation_ngram_novelty": 0.43,
+    "events_json_extract": 0.43,
+    "events_markov_next": 0.43,
+    "multimodal_audio_vad": 0.43,
+    "q3_shipping_priority": 0.43,
+    "contamination_ngram_overlap": 0.44,
+    "curation_boilerplate_ngrams": 0.44,
+    "dedup_threshold_sweep": 0.44,
+    "events_top_paths": 0.44,
+    "join_salted_skew": 0.44,
+    "text_collocations": 0.44,
+    "curation_split_leakage": 0.45,
+    "range_join_error_clicks": 0.45,
+    "cdc_snapshot_diff": 0.46,
+    "curation_quality_filter": 0.46,
+    "similarity_sq_encode": 0.46,
+    "events_attribution_linear": 0.47,
+    "graph_dup_flow": 0.47,
+    "multimodal_decode_features": 0.48,
+    "sample_stratified": 0.48,
+    "stream_source_documents_build": 0.48,
+    "q12_priority_shipping": 0.49,
+    "set_intersect_rich_building": 0.49,
+    "curation_mirror_blocklist": 0.5,
     "text_heavy_hitters": 0.5,
-    "dedup_exact_substring": 0.51,
-    "set_union_distinct": 0.51,
-    "window_share_of_segment": 0.51,
-    "dedup_canonical_pick": 0.52,
-    "multimodal_frame_sample": 0.52,
-    "connector_http_paginated_read": 0.53,
-    "events_cohort_retention": 0.53,
-    "text_embed_hash": 0.53,
-    "dedup_threshold_sweep": 0.54,
-    "join_interval_overlap": 0.54,
-    "q16_supplier_part_count": 0.54,
-    "curation_boilerplate_ngrams": 0.55,
-    "q17_small_quantity_revenue": 0.56,
-    "events_anomaly_mad": 0.57,
-    "text_rake_keywords": 0.57,
-    "multimodal_phash_dedup": 0.58,
-    "text_lang_id": 0.58,
+    "text_lang_id": 0.5,
+    "q14_promo_effect": 0.51,
+    "q10_returned_items": 0.52,
+    "window_share_of_segment": 0.52,
+    "multimodal_phash_dedup": 0.54,
+    "text_rake_keywords": 0.54,
+    "window_rolling_distinct_users": 0.54,
+    "q16_supplier_part_count": 0.55,
+    "events_rfm": 0.56,
+    "q18_large_volume_customers": 0.57,
+    "q22_idle_customers": 0.58,
+    "asof_join_purchase_click": 0.59,
+    "text_tfidf_topk": 0.59,
     "dedup_containment": 0.6,
-    "events_hourly_gapfill": 0.64,
-    "q10_returned_items": 0.64,
-    "dedup_ngram_jaccard": 0.65,
-    "embedding_outliers": 0.65,
-    "q12_priority_shipping": 0.65,
-    "q3_shipping_priority": 0.65,
-    "asof_join_tolerance": 0.66,
-    "curation_quality_calibration": 0.67,
-    "q15_top_supplier": 0.7,
-    "q18_large_volume_customers": 0.73,
-    "similarity_threshold_join": 0.74,
-    "multimodal_phash_neighbors": 0.75,
-    "q20_promotion_candidates": 0.75,
-    "q9_product_profit": 0.77,
-    "agg_bloom_prefilter": 0.78,
-    "q21_late_supplier_wait": 0.81,
-    "curation_temperature_sampling": 0.84,
-    "text_bigram_logprob": 0.84,
-    "q5_local_supplier_volume": 0.86,
-    "connector_graphql_cursor_read": 0.87,
-    "text_tfidf_topk": 0.87,
-    "ann_bruteforce_topk": 0.91,
-    "basket_part_pairs": 0.93,
-    "agg_countmin_sketch": 0.94,
-    "curation_diversity_sample": 0.94,
-    "curation_mirror_blocklist": 0.95,
-    "curation_dsir_weights": 0.96,
-    "similarity_mmr_rerank": 0.99,
-    "streaming_pk_dedup": 1.03,
-    "q11_important_part_value": 1.04,
-    "curation_pipeline_funnel": 1.07,
-    "text_bpe_apply": 1.07,
-    "corpus_source_divergence": 1.09,
-    "text_vocab_growth": 1.09,
-    "window_spend_quartiles": 1.1,
-    "text_bm25_topk": 1.12,
-    "q7_volume_shipping": 1.14,
-    "q8_market_share": 1.17,
-    "streaming_hourly_counts": 1.17,
-    "dedup_embedding_cosine": 1.2,
-    "graph_triangle_count": 1.25,
-    "graph_degree_distribution": 1.27,
-    "dedup_incremental_lsh": 1.32,
-    "text_winnow_fingerprint": 1.36,
-    "streaming_static_enrich": 1.38,
-    "streaming_chunk_manifest": 1.39,
-    "streaming_session_window": 1.39,
-    "dedup_minhash_lsh": 1.42,
-    "text_lang_confusion": 1.42,
-    "dedup_srp_buckets": 1.45,
-    "similarity_pq_search": 1.46,
-    "contamination_embedding": 1.47,
-    "embedding_knn_graph": 1.48,
-    "ann_ivf_topk": 1.5,
-    "dedup_simhash": 1.53,
-    "streaming_foreach_batch_merge": 1.55,
-    "dedup_paraphrase_pairs": 1.56,
-    "q2_min_cost_supplier": 1.58,
-    "streaming_paragraph_dedup": 1.62,
-    "similarity_hybrid_rrf": 1.67,
-    "similarity_recall_eval": 1.79,
-    "dedup_clusters": 1.9,
-    "text_perplexity_buckets": 1.9,
-    "similarity_cluster_purity": 1.91,
-    "similarity_ndcg_eval": 1.96,
-    "text_winnow_overlap": 1.98,
-    "streaming_histogram": 2.0,
-    "similarity_bitext_pairs": 2.04,
-    "similarity_pq_agreement": 2.07,
-    "similarity_ivf_probe_recall": 2.09,
-    "streaming_running_max_cursor": 2.13,
-    "curation_token_budget_select": 2.19,
-    "ann_ivfpq_residual_topk": 2.23,
-    "ann_ivfpq_topk": 2.38,
-    "embedding_kmeans": 2.41,
-    "streaming_anomaly_mad": 2.49,
-    "streaming_stream_join": 2.57,
-    "dedup_semdedup": 2.62,
-    "graph_pagerank_sources": 3.18,
-    "similarity_hard_negatives": 3.63,
-    "streaming_srp_registry": 4.85,
-    "connector_datasource_distributed_read": 4.86,
-    "embedding_communities": 9.75,
+    "corpus_source_divergence": 0.61,
+    "multimodal_scene_cuts": 0.61,
+    "q9_product_profit": 0.61,
+    "join_anti_customers_without_orders": 0.62,
+    "similarity_hard_negatives": 0.62,
+    "stream_source_embeddings_build": 0.62,
+    "agg_bloom_prefilter": 0.63,
+    "events_hourly_gapfill": 0.63,
+    "q20_promotion_candidates": 0.65,
+    "q5_local_supplier_volume": 0.66,
+    "q13_customer_distribution": 0.67,
+    "q15_top_supplier": 0.67,
+    "q7_volume_shipping": 0.67,
+    "dedup_exact_substring": 0.68,
+    "curation_domain_cap": 0.69,
+    "text_bigram_logprob": 0.69,
+    "q21_late_supplier_wait": 0.7,
+    "q8_market_share": 0.7,
+    "text_bm25_topk": 0.7,
+    "text_bpe_apply": 0.7,
+    "curation_token_budget_select": 0.72,
+    "curation_diversity_sample": 0.74,
+    "agg_countmin_sketch": 0.78,
+    "dedup_minhash_lsh": 0.79,
+    "curation_dsir_weights": 0.82,
+    "q4_late_orders": 0.82,
+    "dedup_ngram_jaccard": 0.83,
+    "multimodal_phash_neighbors": 0.84,
+    "text_lang_confusion": 0.84,
+    "similarity_mmr_rerank": 0.86,
+    "q2_min_cost_supplier": 0.87,
+    "curation_pipeline_funnel": 0.89,
+    "ann_bruteforce_topk": 0.9,
+    "text_winnow_fingerprint": 0.9,
+    "q11_important_part_value": 0.91,
+    "streaming_pk_dedup": 0.92,
+    "text_perplexity_buckets": 0.94,
+    "embedding_outliers": 0.95,
+    "similarity_threshold_join": 0.96,
+    "dedup_embedding_cosine": 0.97,
+    "similarity_hybrid_rrf": 0.99,
+    "streaming_chunk_manifest": 1.02,
+    "streaming_hourly_counts": 1.02,
+    "dedup_semdedup": 1.04,
+    "events_anomaly_mad": 1.12,
+    "streaming_static_enrich": 1.15,
+    "window_spend_quartiles": 1.15,
+    "graph_triangle_count": 1.18,
+    "dedup_srp_buckets": 1.19,
+    "graph_degree_distribution": 1.19,
+    "similarity_recall_eval": 1.2,
+    "contamination_embedding": 1.21,
+    "basket_part_pairs": 1.24,
+    "stream_source_events_build": 1.24,
+    "similarity_pq_agreement": 1.27,
+    "similarity_ndcg_eval": 1.28,
+    "streaming_session_window": 1.3,
+    "dedup_simhash": 1.31,
+    "streaming_srp_registry": 1.33,
+    "streaming_foreach_batch_merge": 1.36,
+    "similarity_ivf_probe_recall": 1.4,
+    "embedding_knn_graph": 1.41,
+    "dedup_paraphrase_pairs": 1.45,
+    "ann_ivf_topk": 1.48,
+    "similarity_pq_search": 1.48,
+    "embedding_kmeans": 1.49,
+    "streaming_paragraph_dedup": 1.49,
+    "similarity_cluster_purity": 1.53,
+    "text_winnow_overlap": 1.61,
+    "similarity_bitext_pairs": 1.62,
+    "dedup_incremental_lsh": 1.65,
+    "ann_ivfpq_topk": 1.67,
+    "dedup_clusters": 1.78,
+    "connector_graphql_cursor_read": 1.81,
+    "streaming_histogram": 1.81,
+    "ann_ivfpq_residual_topk": 1.82,
+    "streaming_anomaly_mad": 1.84,
+    "streaming_stream_join": 2.49,
+    "dedup_soft_weights": 2.6,
+    "graph_pagerank_sources": 3.09,
+    "dedup_canonical_pick": 3.24,
+    "connector_datasource_distributed_read": 4.15,
+    "streaming_running_max_cursor": 4.25,
+    "embedding_communities": 6.99,
 }
 
 

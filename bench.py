@@ -122,10 +122,8 @@ def _reset_operator_caches() -> None:
     loop (the connector gate HTTP server, a pure-Python object) are
     deliberately NOT reset — both passes see them warm."""
     from go_integ_spark.functions import cache as fcache
-    from go_integ_spark.operators import dedup
 
     fcache._slots.clear()
-    dedup._doc_sets_cache = None
 
 
 def _fresh_session(app_name: str, sf_dir: str, ncpus: int):

@@ -491,20 +491,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic hash — same corpus reuses it, a new corpus evicts it.
 # Bounded by construction; assumes the backing files are immutable
 # for the life of the cache (true for the analytics tables).
-_doc_sets_cache: tuple[int, DataFrame] | None = None
+# (Round 8: delegated to functions.cache.cached_persist, which also
+# guards the 32-bit semanticHash with the analyzed-plan string.)
 
 
 def _cached_doc_sets(docs: DataFrame) -> DataFrame:
-    global _doc_sets_cache
-    key = docs.semanticHash()
-    if _doc_sets_cache is not None:
-        cached_key, cached = _doc_sets_cache
-        if cached_key == key:
-            return cached
-        cached.unpersist()
-    sets_ = doc_shingle_sets(docs).persist()
-    _doc_sets_cache = (key, sets_)
-    return sets_
+    from go_integ_spark.functions.cache import cached_persist
+
+    return cached_persist(
+        "dedup_doc_shingle_sets", docs, lambda: doc_shingle_sets(docs)
+    )
 
 
 # Band-bucket cap for the LSH gate query. The 32x2 banding's s-curve
@@ -952,19 +948,17 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
 # labels (node+label longs, tiny), so a corpus switch strands at most
 # that one small cached table — bounded, and half the handles the
 # un-memoized two-query sequence would strand.
-_components_cache: tuple[int, DataFrame] | None = None
+# (Round 8: delegated to functions.cache.cached_persist — adds the
+# analyzed-plan-string guard on the 32-bit semanticHash and an
+# unpersist of the evicted projection.)
 
 
 def _cached_components(edges: DataFrame) -> DataFrame:
-    global _components_cache
-    key = edges.semanticHash()
-    if _components_cache is not None:
-        cached_key, cached = _components_cache
-        if cached_key == key:
-            return cached
-    comp = connected_components(edges)
-    _components_cache = (key, comp)
-    return comp
+    from go_integ_spark.functions.cache import cached_persist
+
+    return cached_persist(
+        "dedup_connected_components", edges, lambda: connected_components(edges)
+    )
 
 
 @register(

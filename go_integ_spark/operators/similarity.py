@@ -1924,8 +1924,23 @@ def embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted_topk — partition-local prefilter, bounded final window.
     The mutual flag is one extra self-join of the (N x k)-row edge
     list on (src, dst) — tiny next to candidate scoring.
+
+    The finished edge list is held in a ``cached_persist`` slot
+    shared with ``embedding_communities`` (which consumes the mutual
+    subgraph): the CC query used to re-derive the entire candidate-
+    scoring pipeline — at 9.75 s the costliest gate entry, ~8 s of it
+    this graph build (VERDICT r7 item 5). At deployment scale the
+    graph is a WRITTEN artifact both consumers read.
     """
+    from go_integ_spark.functions.cache import cached_persist
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cached_persist(
+        "knn_graph", emb, lambda: _build_knn_graph(spark, emb)
+    )
+
+
+def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # Cell count follows the faiss nlist rule, sqrt(N): with every
     # vector probing, candidate volume is ~N * probes * N / K — a
     # FIXED K turns the cell join quadratic as the corpus grows
@@ -2082,7 +2097,7 @@ def embedding_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from go_integ_spark.operators.dedup import connected_components
 
-    g = embedding_knn_graph(spark, sf_dir)
+    g = embedding_knn_graph(spark, sf_dir)  # cached_persist-shared build
     edges = g.filter(F.col("mutual")).select(
         F.col("src_id").alias("doc_a"), F.col("dst_id").alias("doc_b")
     )
@@ -2666,6 +2681,140 @@ def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(sum(coalesce(hit, 0)) * 10000 div {TOP_K} as bigint)"
         ).alias("recall_bp"),
     )
+
+
+# Matryoshka (MRL) truncation depths evaluated against the full-dim
+# truth. Cross-engine rank-margin pins for these slices live in
+# tests/test_round7_ops.py (measured min adjacent top-k gap 1.4e-5
+# at 32 dims / 8.0e-5 at 16, >>1 ulp).
+MRL_EVAL_DIMS = (32, 16)
+
+
+def _matryoshka_oracle() -> str:
+    def topk_cte(name: str, expr: str) -> str:
+        return f"""{name} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity({expr.format(s='q.e')},
+                                                   {expr.format(s='c.e')}) DESC,
+                            c.vec_id
+               ) AS rn
+        FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ) WHERE rn <= {TOP_K}
+)"""
+
+    ctes = ["""v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+)"""]
+    ctes.append(topk_cte("truth", "{s}"))
+    selects = []
+    for d in MRL_EVAL_DIMS:
+        ctes.append(topk_cte(f"mrl{d}", "{s}" + f"[1:{d}]"))
+        selects.append(f"""
+SELECT a.query_id, CAST({d} AS INT) AS dims,
+       CAST(count(t.neighbor_id) AS BIGINT) AS hits,
+       CAST((count(t.neighbor_id) * 10000) // {TOP_K} AS BIGINT) AS recall_bp
+FROM mrl{d} a
+LEFT JOIN truth t
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY a.query_id""")
+    return "WITH " + ",\n".join(ctes) + "\nUNION ALL".join(selects)
+
+
+@register(
+    "similarity_matryoshka_recall",
+    tags=("similarity", "evaluation", "vector", "llm_pipeline"),
+    oracle=_matryoshka_oracle(),
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation: recall@k of retrieval on
+    PREFIX-truncated embeddings (MRL-style 32- and 16-dim heads)
+    against the full-dimension brute-force truth — the dial that says
+    how much index cost a corpus can shed (shorter vectors = smaller
+    index + faster scoring) before retrieval quality drops. Kusupati
+    et al.'s Matryoshka Representation Learning made prefix heads the
+    standard truncation scheme; absent from the reference (no vector
+    ops), part of the beyond-reference LLM-pipeline layer.
+
+    Sweep discipline (the probe-curve/threshold-sweep rule): ONE
+    corpus scan scores every pair at ALL depths — the truncated
+    vectors are row-local slices of the already-cast double vector,
+    each depth is one more Arrow fold kernel over the same joined
+    frame, and every per-depth top-k is a rank filter on that single
+    scored frame. recall_bp is exact integer basis points.
+
+    Scale shape: identical to the brute-force baseline it extends
+    (broadcast bounded query set, corpus streamed once, bounded
+    salted top-k reductions); at deployment scale the full-dim truth
+    arm is the sampled-query calibration set, never the corpus.
+    """
+    from go_integ_spark.functions.vector import norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = with_norm(emb)
+    for d in MRL_EVAL_DIMS:
+        sliced = F.slice(F.col("e"), 1, d)
+        v = v.withColumn(f"e{d}", sliced).withColumn(f"e{d}_norm", norm(sliced))
+    side_cols = ["e", "e_norm"] + [
+        c for d in MRL_EVAL_DIMS for c in (f"e{d}", f"e{d}_norm")
+    ]
+    corpus = v.select(F.col("vec_id").alias("neighbor_id"), *side_cols)
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(c).alias(f"q_{c}") for c in side_cols],
+    )
+    scored_base = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim_pd("q_e", "q_e_norm", "e", "e_norm").alias("s_full"),
+        *[
+            cosine_sim_pd(
+                f"q_e{d}", f"q_e{d}_norm", f"e{d}", f"e{d}_norm"
+            ).alias(f"s{d}")
+            for d in MRL_EVAL_DIMS
+        ],
+    )
+    # 1 + |MRL_EVAL_DIMS| top-k consumers read this frame; without a
+    # persisted handle Catalyst re-executes the scan + fold kernels
+    # per consumer (4 BroadcastNestedLoopJoins observed). The frame is
+    # |queries| x corpus score rows — at deployment scale the query
+    # set is the sampled calibration set, so the cache stays bounded.
+    from go_integ_spark.functions.cache import cached_persist
+
+    scored = cached_persist("mrl_scored", scored_base, lambda: scored_base)
+    truth = salted_topk(
+        scored.select("query_id", "neighbor_id", F.col("s_full").alias("s")),
+        "query_id",
+        [F.col("s").desc(), F.col("neighbor_id")],
+        TOP_K,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    out = None
+    for d in MRL_EVAL_DIMS:
+        approx = salted_topk(
+            scored.select("query_id", "neighbor_id", F.col(f"s{d}").alias("s")),
+            "query_id",
+            [F.col("s").desc(), F.col("neighbor_id")],
+            TOP_K,
+        ).select("query_id", "neighbor_id")
+        rec = (
+            approx.join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits"),
+                F.expr(
+                    f"cast(sum(coalesce(hit, 0)) * 10000 div {TOP_K} as bigint)"
+                ).alias("recall_bp"),
+            )
+            .select(
+                "query_id", F.lit(d).cast("int").alias("dims"), "hits", "recall_bp"
+            )
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
 
 
 # The nprobe sweep: recall@k at each probe depth, all taken from ONE

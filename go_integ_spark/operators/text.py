@@ -2214,3 +2214,100 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("new_vocab").over(win).cast("bigint").alias("cum_vocab"),
         "new_vocab",
     )
+
+
+# Zipf fit: words ranked per source, slope of ln(count) on ln(rank)
+# over the top-R head. R bounds the per-source regression input so
+# the fit cost is independent of vocabulary size.
+ZIPF_TOP_R = 100
+
+
+@register(
+    "text_zipf_fit",
+    tags=("text", "quality", "statistics"),
+    oracle=f"""
+WITH words AS (
+    SELECT source, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+    FROM documents
+), counts AS (
+    SELECT source, word, count(*) AS cnt
+    FROM words GROUP BY 1, 2
+), ranked AS (
+    SELECT source, ln(CAST(cnt AS DOUBLE)) AS y,
+           ln(CAST(row_number() OVER (
+               PARTITION BY source ORDER BY cnt DESC, word
+           ) AS DOUBLE)) AS x,
+           row_number() OVER (
+               PARTITION BY source ORDER BY cnt DESC, word
+           ) AS rn
+    FROM counts
+), fit AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_ranked,
+           count(*) * sum(x * y) - sum(x) * sum(y) AS sxy,
+           count(*) * sum(x * x) - sum(x) * sum(x) AS sxx,
+           count(*) * sum(y * y) - sum(y) * sum(y) AS syy
+    FROM ranked WHERE rn <= {ZIPF_TOP_R}
+    GROUP BY source
+)
+SELECT source, n_ranked,
+       round(sxy / sxx, 4) AS zipf_slope,
+       round((sxy * sxy) / (sxx * syy), 4) AS zipf_r2
+FROM fit
+WHERE n_ranked >= 3
+""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: OLS slope of ln(count) vs ln(rank)
+    over each source's top-{ZIPF_TOP_R} words. Natural text sits near
+    slope -1 with high r^2; templated/boilerplate or spammy sources
+    bend away from the power law — a corpus-level quality signal that
+    complements the per-document scores (text_quality_score,
+    text_gopher_quality). Beyond-reference (the Go engine has no text
+    analytics); standard corpus-linguistics diagnostic.
+
+    Engine discipline: the slope is spelled as the SAME explicit
+    moment formula on both engines (n*Sxy - Sx*Sy over n*Sxx - Sx^2),
+    not each engine's regr_slope builtin, whose internal algorithm is
+    implementation-defined; inputs are ln() of exact integer counts
+    and ranks, outputs rounded to 4 (the repo's float-agg rounding
+    rule).
+
+    Scale shape: one (source, word) count shuffle with map-side
+    partial aggregation (at most |vocabulary| rows per partition),
+    ranking through ``salted_topk`` so no task sorts a whole
+    vocabulary, then a tiny per-source moment aggregation — the fit
+    input is <= {ZIPF_TOP_R} rows per source by construction.
+    """
+    from go_integ_spark.operators.similarity import salted_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z]+', 0)")).alias("word"),
+    )
+    counts = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = salted_topk(
+        counts, "source", [F.col("cnt").desc(), F.col("word").asc()], ZIPF_TOP_R
+    ).select(
+        "source",
+        F.log(F.col("cnt").cast("double")).alias("y"),
+        F.log(F.col("rn").cast("double")).alias("x"),
+    )
+    n = F.count(F.lit(1))
+    sxy = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    sxx = n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    syy = n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")
+    fit = ranked.groupBy("source").agg(
+        n.cast("bigint").alias("n_ranked"),
+        sxy.alias("sxy"),
+        sxx.alias("sxx"),
+        syy.alias("syy"),
+    )
+    return fit.filter(F.col("n_ranked") >= 3).select(
+        "source",
+        "n_ranked",
+        F.round(F.col("sxy") / F.col("sxx"), 4).alias("zipf_slope"),
+        F.round((F.col("sxy") * F.col("sxy")) / (F.col("sxx") * F.col("syy")), 4).alias(
+            "zipf_r2"
+        ),
+    )

@@ -17,7 +17,16 @@ The contract this audit enforces: for every registered query, each
 oracle output column's DuckDB type must (a) be in the SAFE set —
 types whose pandas mapping is unambiguous across DuckDB versions —
 and (b) agree with the Spark column's type under the canonical
-mapping. Run: python scripts/audit_oracle_types.py [--fix-report]
+mapping. Run: python scripts/audit_oracle_types.py [sf_dir]
+(or set GO_INTEG_SF; default /root/testdata/sf0.001).
+
+Note on cost: Spark schemas come from fully CONSTRUCTING each
+registered query (schema-only, no action — but operators that do
+bounded driver-side collects at build time, e.g. ivf_centroids, run
+those little jobs). Against the sf0.001 default that is ~2 min for
+the whole registry; pointing at a bigger sf_dir or a missing dir
+makes the audit slow or fail, which is why the dir is a parameter.
+A query whose build fails is reported per-query, not an abort.
 """
 
 from __future__ import annotations
@@ -27,7 +36,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("GO_INTEG_SF", "/root/testdata/sf0.001")
 
 # DuckDB type -> the Spark simpleString()s it may legitimately pair
 # with. HUGEINT/UBIGINT/FLOAT/UHUGEINT are deliberately ABSENT: their
@@ -100,6 +109,11 @@ def audit(spark) -> list[str]:
 def main() -> None:
     from go_integ_spark.session import get_spark
 
+    global SF_DIR
+    if len(sys.argv) > 1:
+        SF_DIR = sys.argv[1]
+    if not os.path.isdir(SF_DIR):
+        sys.exit(f"sf_dir {SF_DIR!r} does not exist — pass one as argv[1]")
     spark = get_spark(
         app_name="audit_oracle_types", master="local[4]", shuffle_partitions=4
     )
