@@ -76,6 +76,13 @@ def generate() -> None:
             base[int(rng.randint(0, len(base)))] = VOCAB[int(rng.randint(0, len(VOCAB)))]
             words = base
         texts.append(" ".join(words))
+    # Multiple row groups, or every Spark scan of this corpus is ONE
+    # real task: pyarrow's default row_group_size (1Mi rows) puts the
+    # whole table in a single row group, and Spark's split planning
+    # can't parallelize inside one — the first 100x run reported
+    # 244.8x task skew that was ENTIRELY this layout artifact (12
+    # splits, 11 empty). Real 100 TB corpora are thousands of files;
+    # ~50-60 row groups models that honestly.
     docs = pa.table(
         {
             "doc_id": pa.array(range(N_DOCS), pa.int64()),
@@ -85,7 +92,8 @@ def generate() -> None:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(docs, f"{DATA_DIR}/documents.parquet")
+    pq.write_table(docs, f"{DATA_DIR}/documents.parquet",
+                   row_group_size=max(4096, N_DOCS // 56))
 
     centers = rng.normal(0, 5.0, size=(10, 64))
     emb = centers[np.arange(N_VECS) % 10] + rng.normal(0, 1.0, size=(N_VECS, 64))
@@ -99,7 +107,8 @@ def generate() -> None:
             "label": pa.array([i % 10 for i in range(N_VECS)], pa.int32()),
         }
     )
-    pq.write_table(vecs, f"{DATA_DIR}/embeddings.parquet")
+    pq.write_table(vecs, f"{DATA_DIR}/embeddings.parquet",
+                   row_group_size=max(4096, N_VECS // 56))
     print(f"generated {N_DOCS} docs / {N_VECS} vectors in {DATA_DIR}")
 
 
