@@ -208,6 +208,7 @@ _MEASURED_COST = {
     "graph_degree_distribution": 1.19,
     "similarity_recall_eval": 1.2,
     "contamination_embedding": 1.21,
+    "text_zipf_fit": 1.21,
     "basket_part_pairs": 1.24,
     "stream_source_events_build": 1.24,
     "similarity_pq_agreement": 1.27,
@@ -239,6 +240,7 @@ _MEASURED_COST = {
     "dedup_canonical_pick": 3.24,
     "connector_datasource_distributed_read": 4.15,
     "streaming_running_max_cursor": 4.25,
+    "similarity_matryoshka_recall": 5.66,
     "embedding_communities": 6.99,
 }
 
