@@ -573,12 +573,23 @@ def _orders_gate_server(sf_dir: str) -> int:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     rows = pq.read_table(f"{sf_dir}/orders.parquet", columns=cols).to_pylist()
 
+    # Serve pre-serialized page bodies: with 8 executor strides
+    # hitting the ThreadingHTTPServer concurrently, per-request
+    # json.dumps of 500-row slices contends on the driver's GIL and
+    # the bench line ends up measuring the TOY SERVER, not the client
+    # extract path being benchmarked. Cache keyed by (start, num);
+    # bounded by page count.
+    page_cache: dict[tuple[int, int], bytes] = {}
+
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
             q = parse_qs(urlparse(self.path).query)
             start = int(q.get("start", ["0"])[0])
             num = int(q.get("num", ["1000"])[0])
-            body = _json.dumps({"records": rows[start : start + num]}).encode()
+            body = page_cache.get((start, num))
+            if body is None:
+                body = _json.dumps({"records": rows[start : start + num]}).encode()
+                page_cache[(start, num)] = body
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.end_headers()

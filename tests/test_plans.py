@@ -846,3 +846,17 @@ def test_probe_recall_curve_single_enumeration(registry, spark):
         f"{full_curve_kernels} at {len(orig)} points vs "
         f"{one_point_kernels} at 1"
     )
+
+
+def test_threshold_join_cap_adds_no_data_exchange(registry, spark):
+    """The round-8 hot-label cap must stay a small-side construct: the
+    kept-labels filter reaches the data via BROADCAST (semi) joins,
+    never a new shuffle of the vector frame — otherwise the cap would
+    cost an extra wide exchange of the corpus at 100 TB."""
+    df = _df(registry, spark, "similarity_threshold_join")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    # both the cap's semi-join and the label pair join broadcast;
+    # the only shuffle is the cap's tiny per-label count aggregate.
+    assert count_op(df, "BroadcastHashJoin") >= 2
+    assert shuffle_count(df) <= 2
