@@ -114,6 +114,24 @@ def _cpu_calibration_parallel() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def classify_run(
+    totals: list[float],
+    jvms_start: list[int],
+    jvms_mid: list[int],
+    jvms_end: list[int],
+) -> bool:
+    """The contended verdict, pure so tests can pin it: evidence of a
+    sharing tenant DURING the measurement — foreign JVMs at any
+    checkpoint, or two back-to-back cold passes disagreeing >25%
+    (BASELINE.md rule). A high start load ALONE is not contention: it
+    triggers the second pass, and if both cold passes then agree the
+    number is reproducible and the start load was stale decay."""
+    disagree = (
+        len(totals) == 2 and abs(totals[0] - totals[1]) / min(totals) > 0.25
+    )
+    return bool(jvms_start or jvms_mid or jvms_end) or disagree
+
+
 def _reset_operator_caches() -> None:
     """Drop every per-process memoized DataFrame handle before the
     session restart: the handles point into the JVM being stopped,
@@ -238,7 +256,6 @@ def main() -> None:
     totals = [round(sum(timings.values()), 4)]
     jvms_mid = _foreign_jvms()
 
-    disagree = False
     if start_flagged or jvms_mid:
         # Auto second pass (BASELINE.md two-run rule): fresh JVM +
         # cleared per-operator caches so both passes are the same
@@ -256,19 +273,13 @@ def main() -> None:
         spark = _fresh_session("go_integ_spark_bench_p2", sf_dir, ncpus)
         timings2 = _run_pass(spark, registry, bench_queries, sf_dir)
         totals.append(round(sum(timings2.values()), 4))
-        disagree = abs(totals[0] - totals[1]) / min(totals) > 0.25
         if totals[1] < totals[0]:
             timings = timings2
 
     total = min(totals)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     jvms_end = _foreign_jvms()
-    # Contended = evidence of a sharing tenant DURING the measurement
-    # (foreign JVMs at any checkpoint, or back-to-back passes
-    # disagreeing >25%). A high load1 at start alone triggers the
-    # second pass, not the flag: if both cold passes then agree, the
-    # number is reproducible and the start load was stale decay.
-    contended = bool(jvms_start or jvms_mid or jvms_end) or disagree
+    contended = classify_run(totals, jvms_start, jvms_mid, jvms_end)
     if contended:
         print(
             f"# CONTENDED RUN: foreign JVMs start={jvms_start} "
