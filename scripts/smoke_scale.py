@@ -257,6 +257,20 @@ def main() -> None:
         # 0.45 ceiling).
         "similarity_ivf_probe_recall",
         "similarity_hard_negatives",
+        # round-8: the truncated-dimension recall sweep — one corpus
+        # scan must feed all depths (the scored frame is a
+        # cached_persist slot; a per-depth re-scan would triple the
+        # broadcast-join volume), and the per-depth salted top-k
+        # reductions must stay bounded at 200k vectors.
+        "similarity_matryoshka_recall",
+        # round-8: Zipf fit — the (source, word) count shuffle and
+        # the salted top-100 ranking under the injected boilerplate's
+        # inflated token mass (one source's vocabulary is hot).
+        "text_zipf_fit",
+        # the packing window partitions by (lang, shard) — the plan
+        # pin asserts the shape, this asserts the runtime at 500k
+        # docs (a lang-only window would sort 125k rows in one task).
+        "curation_pack_sequences",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()

@@ -43,6 +43,20 @@ def main() -> None:
         t0 = time.time()
         builder(spark, sf_dir)
         times[f"stream_source_{table}_build"] = round(time.time() - t0, 2)
+    # Same treatment for the two cached_persist artifacts many
+    # queries share (the bench's billing-split precedent): the
+    # shingle-set cache and the verified LSH pair frame — otherwise
+    # whichever consumer happens to run first absorbs the build and
+    # its cost-map line overstates by the whole pipeline.
+    from go_integ_spark.operators.dedup import _cached_doc_sets, dedup_minhash_lsh
+    from go_integ_spark.tables import load_table
+
+    t0 = time.time()
+    _cached_doc_sets(load_table(spark, sf_dir, "documents")).count()
+    times["dedup_shingle_cache_build"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    dedup_minhash_lsh(spark, sf_dir).count()
+    times["dedup_lsh_pairs_build"] = round(time.time() - t0, 2)
     for name, fn in entry.queries().items():
         t0 = time.time()
         try:
