@@ -29,16 +29,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-# slot -> (semanticHash, analyzed-plan string, persisted frame).
-# semanticHash is 32-bit, so two different corpora CAN collide; the
-# analyzed plan string (which embeds the input file paths) is the
-# verifying discriminator — a collision rebuilds instead of silently
-# serving the wrong corpus's frame.
-_slots: dict[str, tuple[int, str, DataFrame]] = {}
+# slot -> (semanticHash, source-path tuple, persisted frame).
+# semanticHash is 32-bit and canonicalized (stable across expression
+# IDs), so two different corpora CAN collide; the sorted source-path
+# list is the verifying discriminator — a collision rebuilds instead
+# of silently serving the wrong corpus's frame.
+#
+# Two rejected discriminators, both found broken empirically (r9):
+# - analyzed().toString(): embeds per-read expression IDs (fresh on
+#   every spark.read) and NO file paths — never matches across
+#   invocations, silently defeating every cross-query reuse.
+# - df.inputFiles(): reads the OPTIMIZED plan, and once the built
+#   frame is persisted Spark's CacheManager substitutes
+#   InMemoryRelation into semantically-equal fresh reads, so the
+#   second invocation sees [] — again never matching.
+# The analyzed plan's leaf relations keep their root paths regardless
+# of cache substitution, so that's what we key on.
+_slots: dict[str, tuple[int, tuple[str, ...], DataFrame]] = {}
 
 
-def _plan_key(df: DataFrame) -> str:
-    return df._jdf.queryExecution().analyzed().toString()
+def _plan_key(df: DataFrame) -> tuple[str, ...]:
+    """Sorted root paths of every file-backed leaf in the ANALYZED
+    plan (pre-cache-substitution, no expression IDs). Non-file leaves
+    (LocalRelation, streaming sources) contribute their class name so
+    structurally different in-memory inputs still discriminate."""
+    keys: list[str] = []
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        try:
+            roots = leaf.relation().location().rootPaths()
+            keys.extend(str(roots.apply(j)) for j in range(roots.size()))
+        except Exception:
+            keys.append(leaf.getClass().getName())
+    return tuple(sorted(keys))
 
 
 def cached_persist(

@@ -1,0 +1,86 @@
+"""Round-9 pins: the cached_persist slot must actually HIT across
+separate invocations (ADVICE r8 high: the analyzed-plan-string
+discriminator embedded per-read expression IDs and no file paths, so
+it never matched and every cross-query reuse silently rebuilt)."""
+
+from __future__ import annotations
+
+
+def test_cached_persist_hits_across_invocations(spark):
+    """Two successive calls with freshly-loaded (same-path) key frames
+    must build ONCE — this is the whole point of the cache."""
+    from go_integ_spark.functions import cache as C
+    from go_integ_spark.tables import load_table
+
+    C._slots.pop("_r9_test", None)
+    builds = []
+
+    def make():
+        df = load_table(spark, "/root/testdata/sf0.001", "region")
+        return C.cached_persist("_r9_test", df, lambda: (builds.append(1), df)[1])
+
+    a = make()
+    b = make()  # fresh load_table -> fresh expression IDs; must still hit
+    assert len(builds) == 1, "cached_persist rebuilt on an identical corpus"
+    assert a.count() == b.count()
+    C._slots.pop("_r9_test", None)[2].unpersist()
+
+
+def test_cached_persist_discriminates_paths(spark):
+    """Same schema + same plan STRUCTURE but a different backing path
+    must evict and rebuild — serving sf0.001's frame for sf0.01 would
+    be silent wrong-corpus reuse."""
+    from go_integ_spark.functions import cache as C
+    from go_integ_spark.tables import load_table
+
+    C._slots.pop("_r9_test2", None)
+    builds = []
+
+    def make(sf):
+        df = load_table(spark, f"/root/testdata/{sf}", "region")
+        return C.cached_persist("_r9_test2", df, lambda: (builds.append(sf), df)[1])
+
+    make("sf0.001")
+    make("sf0.01")
+    make("sf0.01")
+    assert builds == ["sf0.001", "sf0.01"]
+    C._slots.pop("_r9_test2", None)[2].unpersist()
+
+
+def test_plan_key_is_path_bearing_and_stable(spark):
+    from go_integ_spark.functions.cache import _plan_key
+    from go_integ_spark.tables import load_table
+
+    k1 = _plan_key(load_table(spark, "/root/testdata/sf0.001", "nation"))
+    k2 = _plan_key(load_table(spark, "/root/testdata/sf0.001", "nation"))
+    k3 = _plan_key(load_table(spark, "/root/testdata/sf0.01", "nation"))
+    assert k1 == k2, "plan key unstable across invocations"
+    assert k1 != k3, "plan key does not discriminate paths"
+    assert any("sf0.001" in f for f in k1)
+
+
+def test_internal_create_dataframe_canary(spark):
+    """VERDICT r8 #5: dedup._checkpoint_fresh_stats silently degrades
+    (falls back to plain localCheckpoint, keeping the stats-squaring
+    originStats) if Spark's private `internalCreateDataFrame` ever
+    disappears. Fail LOUDLY here instead, so the degradation is a red
+    test, not a quiet CC slowdown. Supported alternatives per Spark
+    version if this trips: Spark 4.x still ships it on
+    SparkSession; if removed, rebuild via
+    spark.createDataFrame(ck.rdd, ck.schema) (slower: Python
+    round-trip) or Dataset.ofRows over a LogicalRDD."""
+    assert hasattr(spark._jsparkSession, "internalCreateDataFrame"), (
+        "Spark dropped internalCreateDataFrame: _checkpoint_fresh_stats "
+        "now silently degrades CC planning cost — wire the replacement "
+        "named in this test's docstring"
+    )
+    # and the fast path actually engages end-to-end on a real frame
+    from go_integ_spark.operators.dedup import _checkpoint_fresh_stats
+
+    df = spark.range(10)
+    out = _checkpoint_fresh_stats(df)
+    assert out.count() == 10
+    # the rebuilt plan is a fresh LogicalRDD leaf, not the checkpoint
+    # handle itself (which would mean the fallback branch ran)
+    leaf = out._jdf.queryExecution().analyzed().collectLeaves().apply(0)
+    assert "LogicalRDD" in leaf.getClass().getName()
