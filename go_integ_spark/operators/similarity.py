@@ -2297,6 +2297,124 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 BITEXT_TOP_K = 4  # neighborhood size for the margin denominator
 BITEXT_COS_FLOOR_U = 500  # drop pairs under cos 0.05 before ranking
 BITEXT_MARGIN_MIN_U = 10000  # ratio-margin >= 1.0 (fixed-point 1e4)
+# Candidate generation probes this many of each language's IVF_K
+# cells. ANN mining is approximate by construction: measured at gate
+# scale vs the exhaustive form, pair-set Jaccard is 0.97/0.98
+# (sf0.001/sf0.01) and recall of strong pairs (margin >= 1.1) is
+# ~99%, with every disagreement a borderline-margin argmax flip —
+# pinned with headroom in tests/test_round9_ops.py. Full top-4
+# parity would need nprobe = K (measured: the cos-0.05 floor admits
+# noise-level "neighbors" no clustering co-locates), i.e. no pruning
+# at all. The 12/16 searched fraction is a gate-scale artifact of
+# the fixed-K=16 deterministic codebook over a 500-vector corpus; at
+# real scale K grows to thousands while nprobe stays ~a dozen.
+BITEXT_NPROBE = 12
+
+
+def _bitext_lang_centroids(v: DataFrame) -> DataFrame:
+    """One ``ivf_centroids``-shaped row PER LANGUAGE, in one job: the
+    deterministic md5 hash-pick (similarity.py's fixed-K stand-in for
+    offline k-means), partitioned by lang so every language gets its
+    own O(IVF_K * dim) codebook. The collect behind the caller is
+    O(langs * IVF_K * dim) — bounded by language cardinality, not
+    corpus size."""
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("cid").cast("string")), F.col("cid")
+    )
+    return (
+        v.select(
+            "lang",
+            F.col("vec_id").alias("cid"),
+            F.col("e").alias("ce"),
+            F.col("e_norm").alias("cn"),
+        )
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= IVF_K)
+        .groupBy("lang")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "ce", "cn"))).alias("cents"))
+    )
+
+
+def _bitext_margin_argmax(pf: DataFrame) -> DataFrame:
+    """Margin + argmax over a (src_id, tgt_id, tgt_lang, cos_u)
+    candidate frame: both neighborhood sums are WINDOW aggregates over
+    the one scored pair frame — no self-joins, two exchanges total
+    (by tgt_id, then by (src_id, tgt_lang))."""
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_u").desc(), F.col("src_id")
+    )
+    p_bwd = Window.partitionBy("tgt_id")
+    in_b = F.col("rn_b") <= BITEXT_TOP_K
+    w_fwd = Window.partitionBy("src_id", "tgt_lang").orderBy(
+        F.col("cos_u").desc(), F.col("tgt_id")
+    )
+    p_fwd = Window.partitionBy("src_id", "tgt_lang")
+    in_f = F.col("rn_f") <= BITEXT_TOP_K
+    m = (
+        pf.withColumn("rn_b", F.row_number().over(w_bwd))
+        .withColumn("sum_b", F.sum(F.when(in_b, F.col("cos_u"))).over(p_bwd))
+        .withColumn("k_b", F.count(F.when(in_b, F.lit(1))).over(p_bwd))
+        .withColumn("rn_f", F.row_number().over(w_fwd))
+        .withColumn("sum_f", F.sum(F.when(in_f, F.col("cos_u"))).over(p_fwd))
+        .withColumn("k_f", F.count(F.when(in_f, F.lit(1))).over(p_fwd))
+        .withColumn(
+            "margin_u",
+            F.expr(
+                "(cos_u * 2 * k_f * k_b * 10000)"
+                " div (sum_f * k_b + sum_b * k_f)"
+            ),
+        )
+    )
+    w_best = Window.partitionBy("src_id", "tgt_lang").orderBy(
+        F.col("margin_u").desc(), F.col("cos_u").desc(), F.col("tgt_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w_best))
+        .filter(
+            (F.col("rn") == 1) & (F.col("margin_u") >= BITEXT_MARGIN_MIN_U)
+        )
+        .select("src_id", "tgt_lang", "tgt_id", "cos_u", "margin_u")
+    )
+
+
+def _bitext_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    langs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    return (
+        with_norm(emb.select("vec_id", "embedding"))
+        .join(langs, "vec_id")
+        .select("vec_id", "lang", "e", "e_norm")
+    )
+
+
+def _bitext_pf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exhaustive candidate frame (every en x non-en pair above
+    the cos floor) — broadcast-en crossJoin, NOT registered: at scale
+    the en slice blows the broadcast limit and the fallback is a
+    cartesian product. Kept solely as the parity reference the
+    round-9 tests pin the IVF form against."""
+    v = _bitext_v(spark, sf_dir)
+    src = v.filter(F.col("lang") == "en").select(
+        F.col("vec_id").alias("src_id"),
+        F.col("e").alias("se"),
+        F.col("e_norm").alias("se_norm"),
+    )
+    tgt = v.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("lang").alias("tgt_lang"),
+        F.col("e").alias("te"),
+        F.col("e_norm").alias("te_norm"),
+    )
+    cos_u = F.round(
+        cosine_sim_pd("se", "se_norm", "te", "te_norm") * 10000
+    ).cast("bigint")
+    return (
+        tgt.crossJoin(F.broadcast(src))
+        .select("src_id", "tgt_id", "tgt_lang", cos_u.alias("cos_u"))
+        .filter(F.col("cos_u") >= BITEXT_COS_FLOOR_U)
+    )
 
 
 @register(
@@ -2306,15 +2424,65 @@ BITEXT_MARGIN_MIN_U = 10000  # ratio-margin >= 1.0 (fixed-point 1e4)
 WITH v AS (
     SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS emb
     FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
-), src AS (
-    SELECT vec_id, emb FROM v WHERE lang = 'en'
-), tgt AS (
-    SELECT vec_id, lang, emb FROM v WHERE lang <> 'en'
+), cent AS (
+    SELECT lang, vec_id AS cent_id, emb AS ce FROM (
+        SELECT lang, vec_id, emb, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        ) AS crn
+        FROM v
+    ) WHERE crn <= {IVF_K}
+), assigned AS (
+    SELECT vec_id, lang, cell_id FROM (
+        SELECT v.vec_id, v.lang, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_cosine_similarity(v.emb, c.ce) DESC,
+                            c.cent_id
+               ) AS arn
+        FROM v JOIN cent c ON c.lang = v.lang
+    ) WHERE arn = 1
+), fprobe AS (
+    SELECT src_id, tgt_lang, cell_id FROM (
+        SELECT s.vec_id AS src_id, c.lang AS tgt_lang,
+               c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, c.lang
+                   ORDER BY list_cosine_similarity(s.emb, c.ce) DESC,
+                            c.cent_id
+               ) AS prn
+        FROM v s JOIN cent c ON c.lang <> 'en'
+        WHERE s.lang = 'en'
+    ) WHERE prn <= {BITEXT_NPROBE}
+), bprobe AS (
+    SELECT tgt_id, cell_id FROM (
+        SELECT t.vec_id AS tgt_id, c.cent_id AS cell_id,
+               row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY list_cosine_similarity(t.emb, c.ce) DESC,
+                            c.cent_id
+               ) AS prn
+        FROM v t JOIN cent c ON c.lang = 'en'
+        WHERE t.lang <> 'en'
+    ) WHERE prn <= {BITEXT_NPROBE}
+), cand AS (
+    SELECT DISTINCT src_id, tgt_id, tgt_lang FROM (
+        SELECT p.src_id, a.vec_id AS tgt_id, a.lang AS tgt_lang
+        FROM fprobe p
+        JOIN assigned a ON a.lang = p.tgt_lang AND a.cell_id = p.cell_id
+        UNION ALL
+        SELECT a.vec_id AS src_id, p.tgt_id, t.lang AS tgt_lang
+        FROM bprobe p
+        JOIN assigned a ON a.lang = 'en' AND a.cell_id = p.cell_id
+        JOIN v t ON t.vec_id = p.tgt_id
+    )
 ), p AS (
-    SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, t.lang AS tgt_lang,
+    SELECT c.src_id, c.tgt_id, c.tgt_lang,
            CAST(round(list_cosine_similarity(s.emb, t.emb) * 10000)
                AS BIGINT) AS cos_u
-    FROM src s CROSS JOIN tgt t
+    FROM cand c
+    JOIN v s ON s.vec_id = c.src_id
+    JOIN v t ON t.vec_id = c.tgt_id
 ), pf AS (
     SELECT * FROM p WHERE cos_u >= {BITEXT_COS_FLOOR_U}
 ), fwd AS (
@@ -2369,80 +2537,98 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the k_f/k_b counts cross-multiplied in) so both engines
     agree bit-for-bit.
 
-    Scale shape: mining is blocked BY LANGUAGE PAIR — the en shard
-    here is the broadcast query set streamed against each target
-    language's partition (the bruteforce_scored pattern), and at
-    100 TB each language pair swaps the exhaustive block for that
-    language's IVF index (ann_ivf_topk), which already returns
-    exactly the top-k lists the margin denominators need — the margin
-    computation consumes ANN output unchanged. Both windows rank
-    bounded candidate lists (per source per language, and per
-    target); the final per-(src, lang) argmax is one more window over
-    rows that ANN has already capped at k per query.
+    Scale shape (r9 — this replaced the broadcast-en crossJoin, the
+    registry's last scale-killer): mining is blocked BY LANGUAGE PAIR
+    through the registered IVF machinery. Each language owns a
+    deterministic fixed-K codebook (``_bitext_lang_centroids``, the
+    same md5 hash-pick as ``ann_ivf_topk``); candidate pairs come
+    from cell-probed equi-joins only — forward, every en vector
+    probes its BITEXT_NPROBE nearest cells of EACH target language's
+    index; backward, every target vector probes the en index — so no
+    join in the plan is a
+    BroadcastNestedLoopJoin/cartesian (pinned in tests/test_plans.py)
+    and a source vector touches at most nprobe/K of each language's
+    corpus. The margin windows then rank the bounded candidate lists
+    exactly as before; gate-scale parity with the exhaustive form is
+    pinned quantitatively in tests/test_round9_ops.py against
+    ``_bitext_pf_exhaustive`` (pair Jaccard + strong-pair recall —
+    see the BITEXT_NPROBE note for why identity needs nprobe = K).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    langs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"), "lang"
-    )
-    v = with_norm(emb.select("vec_id", "embedding")).join(langs, "vec_id")
+    v = _bitext_v(spark, sf_dir)
+    # one row per language — bounded by language cardinality
+    crows = {r["lang"]: r for r in _bitext_lang_centroids(v).collect()}
     src = v.filter(F.col("lang") == "en").select(
         F.col("vec_id").alias("src_id"),
         F.col("e").alias("se"),
         F.col("e_norm").alias("se_norm"),
     )
-    tgt = v.filter(F.col("lang") != "en").select(
-        F.col("vec_id").alias("tgt_id"),
-        F.col("lang").alias("tgt_lang"),
-        F.col("e").alias("te"),
-        F.col("e_norm").alias("te_norm"),
-    )
     cos_u = F.round(
         cosine_sim_pd("se", "se_norm", "te", "te_norm") * 10000
     ).cast("bigint")
-    pf = (
-        tgt.crossJoin(F.broadcast(src))
-        .select("src_id", "tgt_id", "tgt_lang", cos_u.alias("cos_u"))
-        .filter(F.col("cos_u") >= BITEXT_COS_FLOOR_U)
+    branches = []
+    # Forward: en probes each target language's cells; candidates are
+    # that language's vectors in the probed cells (equi-join on
+    # cell_id — the corpus side never moves off its cell partitions).
+    for lang in sorted(k for k in crows if k != "en"):
+        tgt_l = (
+            v.filter(F.col("lang") == lang)
+            .withColumn(
+                "cell_id", F.element_at(nearest_cells_pd(crows[lang], 1), 1)
+            )
+            .select(
+                F.col("vec_id").alias("tgt_id"),
+                F.col("e").alias("te"),
+                F.col("e_norm").alias("te_norm"),
+                "cell_id",
+            )
+        )
+        probes = src.withColumn(
+            "cell_id",
+            F.explode(
+                nearest_cells_pd(crows[lang], BITEXT_NPROBE, "se", "se_norm")
+            ),
+        )
+        branches.append(
+            probes.join(tgt_l, "cell_id").select(
+                "src_id",
+                "tgt_id",
+                F.lit(lang).alias("tgt_lang"),
+                cos_u.alias("cos_u"),
+            )
+        )
+    # Backward: every target vector probes the en index's cells.
+    src_cells = src.withColumn(
+        "cell_id", F.element_at(nearest_cells_pd(crows["en"], 1, "se", "se_norm"), 1)
     )
-    # Both neighborhood sums are WINDOW aggregates over the one scored
-    # pair frame — no self-joins, so the Arrow scoring pass runs once
-    # and the whole query is two exchanges: by tgt_id (backward
-    # direction), then by (src_id, tgt_lang), which the forward sums,
-    # the margin, and the final argmax all share.
-    w_bwd = Window.partitionBy("tgt_id").orderBy(
-        F.col("cos_u").desc(), F.col("src_id")
-    )
-    p_bwd = Window.partitionBy("tgt_id")
-    in_b = F.col("rn_b") <= BITEXT_TOP_K
-    w_fwd = Window.partitionBy("src_id", "tgt_lang").orderBy(
-        F.col("cos_u").desc(), F.col("tgt_id")
-    )
-    p_fwd = Window.partitionBy("src_id", "tgt_lang")
-    in_f = F.col("rn_f") <= BITEXT_TOP_K
-    m = (
-        pf.withColumn("rn_b", F.row_number().over(w_bwd))
-        .withColumn("sum_b", F.sum(F.when(in_b, F.col("cos_u"))).over(p_bwd))
-        .withColumn("k_b", F.count(F.when(in_b, F.lit(1))).over(p_bwd))
-        .withColumn("rn_f", F.row_number().over(w_fwd))
-        .withColumn("sum_f", F.sum(F.when(in_f, F.col("cos_u"))).over(p_fwd))
-        .withColumn("k_f", F.count(F.when(in_f, F.lit(1))).over(p_fwd))
+    bprobes = (
+        v.filter(F.col("lang") != "en")
+        .select(
+            F.col("vec_id").alias("tgt_id"),
+            F.col("lang").alias("tgt_lang"),
+            F.col("e").alias("te"),
+            F.col("e_norm").alias("te_norm"),
+        )
         .withColumn(
-            "margin_u",
-            F.expr(
-                "(cos_u * 2 * k_f * k_b * 10000)"
-                " div (sum_f * k_b + sum_b * k_f)"
+            "cell_id",
+            F.explode(
+                nearest_cells_pd(crows["en"], BITEXT_NPROBE, "te", "te_norm")
             ),
         )
     )
-    w_best = Window.partitionBy("src_id", "tgt_lang").orderBy(
-        F.col("margin_u").desc(), F.col("cos_u").desc(), F.col("tgt_id")
-    )
-    return (
-        m.withColumn("rn", F.row_number().over(w_best))
-        .filter(
-            (F.col("rn") == 1) & (F.col("margin_u") >= BITEXT_MARGIN_MIN_U)
+    branches.append(
+        bprobes.join(src_cells, "cell_id").select(
+            "src_id", "tgt_id", "tgt_lang", cos_u.alias("cos_u")
         )
-        .select("src_id", "tgt_lang", "tgt_id", "cos_u", "margin_u")
+    )
+    from functools import reduce
+
+    # cos_u is the same Arrow kernel over the same vectors in every
+    # branch, so overlapping candidates are byte-identical rows and
+    # .distinct() is exact dedup (only ids + one int shuffle here —
+    # the vectors were dropped at the branch selects).
+    cand = reduce(lambda a, b: a.unionByName(b), branches).distinct()
+    return _bitext_margin_argmax(
+        cand.filter(F.col("cos_u") >= BITEXT_COS_FLOOR_U)
     )
 
 

@@ -436,13 +436,20 @@ def test_perplexity_buckets_no_global_sort_and_broadcast_cuts(registry, spark):
     assert count_op(df, "BroadcastHashJoin") >= 1
 
 
-def test_bitext_margins_single_scored_pass(registry, spark):
-    # Both margin denominators are window aggregates over ONE scored
-    # pair frame: exactly two hash exchanges (by tgt_id, then by
-    # (src_id, tgt_lang)) — the self-join formulation would re-run
-    # the Arrow scoring pass per direction and shuffle three times.
+def test_bitext_no_cross_join_and_equi_joins_only(registry, spark):
+    # r9 (VERDICT r8 #1): candidate generation is per-language IVF
+    # cell probing — every join in the plan is an equi-join on
+    # cell_id / vec_id. The old broadcast-en crossJoin (a
+    # BroadcastNestedLoopJoin that degrades to a cartesian product
+    # once the en slice outgrows the broadcast limit) must never
+    # come back. The margin windows still share exchanges over the
+    # ONE deduped candidate frame; the shuffle budget is the 5
+    # branch joins + distinct + two window exchanges.
     df = _df(registry, spark, "similarity_bitext_pairs")
-    assert shuffle_count(df) == 2
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 14
 
 
 def test_bm25_no_token_explode_and_broadcast_df(registry, spark):

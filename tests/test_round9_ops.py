@@ -84,3 +84,46 @@ def test_internal_create_dataframe_canary(spark):
     # handle itself (which would mean the fallback branch ran)
     leaf = out._jdf.queryExecution().analyzed().collectLeaves().apply(0)
     assert "LogicalRDD" in leaf.getClass().getName()
+
+
+# ---------------------------------------------------------------------------
+# Bitext IVF parity (VERDICT r8 #1): the registered miner now generates
+# candidates through per-language IVF cell probing. ANN is approximate
+# by construction — full top-4 parity was measured to need nprobe = K
+# (the cos-0.05 floor admits noise-level "neighbors" no clustering
+# co-locates) — so parity with the retired exhaustive form is pinned
+# QUANTITATIVELY, with headroom under the measured values
+# (jaccard 0.9725/0.9821, strong-pair recall 318/321 and 316/319 at
+# sf0.001/sf0.01, nprobe 12).
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_ivf_parity_with_exhaustive(spark):
+    from go_integ_spark.operators.similarity import (
+        _bitext_margin_argmax,
+        _bitext_pf_exhaustive,
+        similarity_bitext_pairs,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ex = [
+            (r["src_id"], r["tgt_lang"], r["tgt_id"], r["margin_u"])
+            for r in _bitext_margin_argmax(
+                _bitext_pf_exhaustive(spark, sf_dir)
+            ).collect()
+        ]
+        got = {
+            (r["src_id"], r["tgt_lang"], r["tgt_id"])
+            for r in similarity_bitext_pairs(spark, sf_dir).collect()
+        }
+        ex_pairs = {(a, b, c) for a, b, c, _ in ex}
+        jac = len(ex_pairs & got) / len(ex_pairs | got)
+        assert jac >= 0.95, f"{sf_dir}: pair Jaccard {jac:.4f} < 0.95"
+        strong = [(a, b, c) for a, b, c, m in ex if m >= 11000]
+        hit = sum(1 for p in strong if p in got)
+        assert hit / len(strong) >= 0.97, (
+            f"{sf_dir}: strong-pair recall {hit}/{len(strong)}"
+        )
+        # group cardinality stays put: the miner neither explodes nor
+        # collapses the per-(src, lang) output
+        assert abs(len(got) - len(ex_pairs)) <= 0.02 * len(ex_pairs)
