@@ -125,7 +125,11 @@ def classify_run(
     checkpoint, or two back-to-back cold passes disagreeing >25%
     (BASELINE.md rule). A high start load ALONE is not contention: it
     triggers the second pass, and if both cold passes then agree the
-    number is reproducible and the start load was stale decay."""
+    number is reproducible and the start load was stale decay. A
+    non-positive pass total is itself evidence the measurement is
+    broken — treat it as contended rather than dividing by it."""
+    if any(t <= 0 for t in totals):
+        return True
     disagree = (
         len(totals) == 2 and abs(totals[0] - totals[1]) / min(totals) > 0.25
     )
@@ -215,27 +219,21 @@ def _run_pass(spark, registry, bench_queries, sf_dir) -> dict[str, float]:
     return timings
 
 
-def main() -> None:
-    from go_integ_spark.registry import load_all
+# A contended attempt is never good enough for the committed round
+# artifact (VERDICT r8: a flagged 14.2 s was recorded as BENCH_r08's
+# headline and read as a fantasy trend point) — retry the WHOLE
+# measurement up to this many times and keep the first clean one.
+MAX_ATTEMPTS = 3
 
-    ncpus = os.cpu_count() or 1
-    cpu_calib = _cpu_calibration()
-    cpu_calib_par = _cpu_calibration_parallel()
+
+def _one_attempt(registry, bench_queries, sf_dir: str, ncpus: int) -> dict:
+    """One full measurement attempt: pass 1, the conditional fresh-JVM
+    pass 2 (BASELINE.md two-run rule), and the contended verdict.
+    Returns every per-pass per-query timing so the committed JSON is
+    machine-readable trend evidence, not just a headline total."""
     jvms_start = _foreign_jvms()
     load1_start = os.getloadavg()[0]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    registry = load_all()
-    bench_queries = [name for name, spec in registry.items() if spec.bench]
-    # Bill the shared shingle-set build to its natural owner:
-    # dedup_minhash_lsh builds + caches the per-doc shingle sets that
-    # dedup_ngram_jaccard then reuses, so it must run first — otherwise
-    # the jaccard line absorbs the whole one-time build cost.
-    if "dedup_minhash_lsh" in bench_queries and "dedup_ngram_jaccard" in bench_queries:
-        bench_queries.remove("dedup_minhash_lsh")
-        bench_queries.insert(
-            bench_queries.index("dedup_ngram_jaccard"), "dedup_minhash_lsh"
-        )
-
+    _reset_operator_caches()
     spark = _fresh_session("go_integ_spark_bench", sf_dir, ncpus)
 
     # The connector gate server is a ONE-TIME driver-side artifact
@@ -251,9 +249,25 @@ def main() -> None:
         server_start_sec = round(time.perf_counter() - t0, 4)
         print(f"# connector_gate_server_start: {server_start_sec:.3f}s", file=sys.stderr)
 
+    # The docs stream-source parquet write is a ONE-TIME artifact the
+    # streaming headline line reads from; billed to its own line so
+    # the measured line is the streaming run itself (memoized per
+    # process — later passes/attempts see it warm, like the gate
+    # server above).
+    if "streaming_paragraph_dedup" in bench_queries:
+        from go_integ_spark.streaming.queries import _docs_stream_source
+
+        t0 = time.perf_counter()
+        _docs_stream_source(spark, sf_dir)
+        print(
+            f"# stream_source_documents_build: "
+            f"{time.perf_counter() - t0:.3f}s",
+            file=sys.stderr,
+        )
+
     start_flagged = bool(jvms_start) or load1_start > 0.15 * ncpus
-    timings = _run_pass(spark, registry, bench_queries, sf_dir)
-    totals = [round(sum(timings.values()), 4)]
+    pass_queries = [_run_pass(spark, registry, bench_queries, sf_dir)]
+    totals = [round(sum(pass_queries[0].values()), 4)]
     jvms_mid = _foreign_jvms()
 
     if start_flagged or jvms_mid:
@@ -261,7 +275,7 @@ def main() -> None:
         # cleared per-operator caches so both passes are the same
         # cold measurement, then report the faster pass. >25% total
         # disagreement means the host is actively contended — flag
-        # the line either way.
+        # the attempt either way.
         print(
             f"# start flagged (foreign JVMs start={jvms_start} "
             f"mid={jvms_mid}, load1_start {load1_start:.1f} on {ncpus} "
@@ -271,36 +285,18 @@ def main() -> None:
         _reset_operator_caches()
         spark.stop()
         spark = _fresh_session("go_integ_spark_bench_p2", sf_dir, ncpus)
-        timings2 = _run_pass(spark, registry, bench_queries, sf_dir)
-        totals.append(round(sum(timings2.values()), 4))
-        if totals[1] < totals[0]:
-            timings = timings2
+        pass_queries.append(_run_pass(spark, registry, bench_queries, sf_dir))
+        totals.append(round(sum(pass_queries[1].values()), 4))
 
-    total = min(totals)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    jvms_end = _foreign_jvms()
-    contended = classify_run(totals, jvms_start, jvms_mid, jvms_end)
-    if contended:
-        print(
-            f"# CONTENDED RUN: foreign JVMs start={jvms_start} "
-            f"mid={jvms_mid} end={jvms_end}, load1 at start "
-            f"{load1_start:.1f} on {ncpus} cpus, pass totals {totals} — "
-            f"timings unreliable, re-run solo",
-            file=sys.stderr,
-        )
     spark.stop()
-    cpu_calib_end = _cpu_calibration()
-    out = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf),
-        "cpu_calib_sec": cpu_calib,
-        "cpu_calib_par_sec": cpu_calib_par,
-        "cpu_calib_end_sec": cpu_calib_end,
-        "contended": contended,
-        "pass_totals": totals,
+    jvms_end = _foreign_jvms()
+    best = min(range(len(totals)), key=totals.__getitem__)
+    return {
+        "timings": pass_queries[best],
+        "totals": totals,
+        "pass_queries": pass_queries,
+        "contended": classify_run(totals, jvms_start, jvms_mid, jvms_end),
+        "server_start_sec": server_start_sec,
         "contention": {
             "foreign_jvms_start": len(jvms_start),
             "foreign_jvms_mid": len(jvms_mid),
@@ -310,8 +306,75 @@ def main() -> None:
             "cpus": ncpus,
         },
     }
-    if server_start_sec is not None:
-        out["connector_gate_server_start_sec"] = server_start_sec
+
+
+def main() -> None:
+    from go_integ_spark.registry import load_all
+
+    ncpus = os.cpu_count() or 1
+    cpu_calib = _cpu_calibration()
+    cpu_calib_par = _cpu_calibration_parallel()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    bench_queries = [name for name, spec in registry.items() if spec.bench]
+    # Bill the shared shingle-set build to its natural owner:
+    # dedup_minhash_lsh builds + caches the per-doc shingle sets that
+    # dedup_ngram_jaccard then reuses, so it must run first — otherwise
+    # the jaccard line absorbs the whole one-time build cost.
+    if "dedup_minhash_lsh" in bench_queries and "dedup_ngram_jaccard" in bench_queries:
+        bench_queries.remove("dedup_minhash_lsh")
+        bench_queries.insert(
+            bench_queries.index("dedup_ngram_jaccard"), "dedup_minhash_lsh"
+        )
+
+    attempts = []
+    for i in range(MAX_ATTEMPTS):
+        attempt = _one_attempt(registry, bench_queries, sf_dir, ncpus)
+        attempts.append(attempt)
+        if not attempt["contended"]:
+            break
+        print(
+            f"# attempt {i + 1}/{MAX_ATTEMPTS} CONTENDED "
+            f"(pass totals {attempt['totals']}, "
+            f"{attempt['contention']}) — "
+            + ("retrying" if i + 1 < MAX_ATTEMPTS else "giving up"),
+            file=sys.stderr,
+        )
+        time.sleep(5)
+
+    final = attempts[-1]
+    contended = final["contended"]
+    if contended:
+        print(
+            "# ALL ATTEMPTS CONTENDED — this output is NOT a trend "
+            "point (trend_point: false); re-run solo",
+            file=sys.stderr,
+        )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpu_calib_end = _cpu_calibration()
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": min(final["totals"]),
+        "unit": "sec",
+        "queries": final["timings"],
+        "sf": float(sf),
+        "cpu_calib_sec": cpu_calib,
+        "cpu_calib_par_sec": cpu_calib_par,
+        "cpu_calib_end_sec": cpu_calib_end,
+        "contended": contended,
+        # The one bit a trend consumer must check: false means every
+        # retry was contended and "value" is measurement noise.
+        "trend_point": not contended,
+        "attempts": len(attempts),
+        "pass_totals": final["totals"],
+        # Per-pass per-query seconds for every pass of the recorded
+        # attempt — the back-to-back repeat evidence, machine-readable
+        # (VERDICT r8 #2) instead of living only in BASELINE.md prose.
+        "pass_queries": final["pass_queries"],
+        "contention": final["contention"],
+    }
+    if final["server_start_sec"] is not None:
+        out["connector_gate_server_start_sec"] = final["server_start_sec"]
     print(json.dumps(out))
 
 

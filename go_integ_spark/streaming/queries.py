@@ -572,6 +572,11 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_paragraph_dedup",
     tags=("streaming", "dedup", "llm_pipeline"),
     oracle=PARA_HASH_CTE.rstrip() + "\nSELECT DISTINCT ph FROM p",
+    # The streaming family's headline-bench representative (VERDICT
+    # r8 #7): explode-inside-streaming + state-store dedup driven
+    # availableNow. Its one-time docs stream-source parquet write is
+    # billed to its own bench line (stream_source_documents_build).
+    bench=True,
 )
 def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming paragraph-hash dedup — the incremental twin of

@@ -127,3 +127,14 @@ def test_bitext_ivf_parity_with_exhaustive(spark):
         # group cardinality stays put: the miner neither explodes nor
         # collapses the per-(src, lang) output
         assert abs(len(got) - len(ex_pairs)) <= 0.02 * len(ex_pairs)
+
+
+def test_bench_classify_zero_total_guard():
+    """ADVICE r8: a zero/negative pass total must classify as
+    contended, not raise ZeroDivisionError."""
+    import bench
+
+    assert bench.classify_run([0.0], [], [], []) is True
+    assert bench.classify_run([0.0, 20.0], [], [], []) is True
+    assert bench.classify_run([20.0, 0.0], [], [], []) is True
+    assert bench.classify_run([-1.0, 20.0], [], [], []) is True
