@@ -2415,12 +2415,19 @@ def _bitext_lang_centroids(v: DataFrame) -> DataFrame:
     """One ``ivf_centroids``-shaped row PER LANGUAGE, in one job: the
     deterministic md5 hash-pick (similarity.py's fixed-K stand-in for
     offline k-means), partitioned by lang so every language gets its
-    own O(IVF_K * dim) codebook. The collect behind the caller is
-    O(langs * IVF_K * dim) — bounded by language cardinality, not
-    corpus size."""
+    own codebook. Cell count per language = max(IVF_K, floor(sqrt(n)))
+    — the faiss nlist rule ``embedding_knn_graph`` already uses: a
+    fixed K over a growing corpus makes every cell a quadratic bomb
+    (at the 100x smoke, K=16 over 50k vectors/lang = 12.5k-vector
+    cells), while sqrt-scaling keeps per-cell work ~sqrt(n). Below
+    4096 vectors/lang (every gate corpus) this is exactly IVF_K, so
+    gate results are unchanged. The collect behind the caller is
+    O(langs * sqrt(n_lang) * dim) — the codebook, which real IVF
+    deployments also hold."""
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("cid").cast("string")), F.col("cid")
     )
+    wc = Window.partitionBy("lang")
     return (
         v.select(
             "lang",
@@ -2429,7 +2436,11 @@ def _bitext_lang_centroids(v: DataFrame) -> DataFrame:
             F.col("e_norm").alias("cn"),
         )
         .withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") <= IVF_K)
+        .withColumn("n_lang", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("crn")
+            <= F.greatest(F.lit(IVF_K), F.floor(F.sqrt(F.col("n_lang"))))
+        )
         .groupBy("lang")
         .agg(F.array_sort(F.collect_list(F.struct("cid", "ce", "cn"))).alias("cents"))
     )
@@ -2525,13 +2536,17 @@ WITH v AS (
     SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS emb
     FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
 ), cent AS (
+    -- per-language sqrt-scaled cell count (the faiss nlist rule,
+    -- same formula as embedding_knn_graph); = IVF_K at gate scale
     SELECT lang, vec_id AS cent_id, emb AS ce FROM (
         SELECT lang, vec_id, emb, row_number() OVER (
             PARTITION BY lang
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        ) AS crn
+        ) AS crn,
+        count(*) OVER (PARTITION BY lang) AS n_lang
         FROM v
-    ) WHERE crn <= {IVF_K}
+    ) WHERE crn <= greatest({IVF_K},
+                            CAST(floor(sqrt(n_lang)) AS BIGINT))
 ), assigned AS (
     SELECT vec_id, lang, cell_id FROM (
         SELECT v.vec_id, v.lang, c.cent_id AS cell_id,
@@ -2654,6 +2669,10 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_bitext_pf_exhaustive`` (pair Jaccard + strong-pair recall —
     see the BITEXT_NPROBE note for why identity needs nprobe = K).
     """
+    import pandas as pd
+
+    from go_integ_spark.functions.vector import fold_cosine_block
+
     v = _bitext_v(spark, sf_dir)
     # one row per language — bounded by language cardinality
     crows = {r["lang"]: r for r in _bitext_lang_centroids(v).collect()}
@@ -2662,74 +2681,128 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("se"),
         F.col("e_norm").alias("se_norm"),
     )
-    cos_u = F.round(
-        cosine_sim_pd("se", "se_norm", "te", "te_norm") * 10000
-    ).cast("bigint")
-    branches = []
-    # Forward: en probes each target language's cells; candidates are
-    # that language's vectors in the probed cells (equi-join on
-    # cell_id — the corpus side never moves off its cell partitions).
+
+    # Per-cell BLOCK scoring via cogroup (the embedding_knn_graph
+    # shape), not a row-per-pair join: the pair join shipped BOTH
+    # full vectors across the Arrow boundary per candidate pair
+    # (~1 KB x pairs — ~115 GB at the 10x smoke, which is where the
+    # first registered form of this rewrite died); cogrouping moves
+    # each cell's vectors ONCE per block and scores them as a
+    # fold-exact blocked matmul, so every s is bit-identical to the
+    # pair expression and the DuckDB oracle. The in-block prefilter
+    # keeps only s that can round to the cos floor, cutting emitted
+    # rows ~10x before the one distinct exchange.
+    pre_floor = BITEXT_COS_FLOOR_U / 10000.0 - 1e-4
+
+    def _score_block(probe_pdf, member_pdf):
+        cols = ["src_id", "tgt_id", "tgt_lang", "s"]
+        if len(probe_pdf) == 0 or len(member_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series([], dtype="int64"),
+                    "tgt_id": pd.Series([], dtype="int64"),
+                    "tgt_lang": pd.Series([], dtype="object"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        import numpy as np
+
+        sim = fold_cosine_block(
+            probe_pdf["qe"], probe_pdf["qn"], member_pdf["me"], member_pdf["mn"]
+        )
+        pi, mi = np.nonzero(sim >= pre_floor)
+        # forward blocks: probe side is en (src), member side is the
+        # target slice (and carries tgt_lang); backward blocks: probe
+        # side is the target, member side is en (no tgt_lang column).
+        # tgt_lang is PER ROW of the target side — a backward en-cell
+        # block mixes probing targets of every language.
+        q_ids = probe_pdf["qid"].to_numpy()[pi]
+        m_ids = member_pdf["mid"].to_numpy()[mi]
+        fwd = "tgt_lang" in member_pdf.columns
+        lang = (
+            member_pdf["tgt_lang"].to_numpy()[mi]
+            if fwd
+            else probe_pdf["tgt_lang"].to_numpy()[pi]
+        )
+        return pd.DataFrame(
+            {
+                "src_id": q_ids if fwd else m_ids,
+                "tgt_id": m_ids if fwd else q_ids,
+                "tgt_lang": lang,
+                "s": sim[pi, mi],
+            }
+        )[cols]
+
+    out_schema = "src_id long, tgt_id long, tgt_lang string, s double"
+    # Forward: en probes each target language's index; ONE cogroup
+    # over the per-language unions, keyed (tgt_lang, cell_id).
+    fwd_probes = []
+    fwd_members = []
     for lang in sorted(k for k in crows if k != "en"):
-        tgt_l = (
-            v.filter(F.col("lang") == lang)
-            .withColumn(
-                "cell_id", F.element_at(nearest_cells_pd(crows[lang], 1), 1)
-            )
-            .select(
-                F.col("vec_id").alias("tgt_id"),
-                F.col("e").alias("te"),
-                F.col("e_norm").alias("te_norm"),
-                "cell_id",
-            )
-        )
-        probes = src.withColumn(
-            "cell_id",
-            F.explode(
-                nearest_cells_pd(crows[lang], BITEXT_NPROBE, "se", "se_norm")
-            ),
-        )
-        branches.append(
-            probes.join(tgt_l, "cell_id").select(
-                "src_id",
-                "tgt_id",
+        fwd_probes.append(
+            src.select(
+                F.col("src_id").alias("qid"),
+                F.col("se").alias("qe"),
+                F.col("se_norm").alias("qn"),
                 F.lit(lang).alias("tgt_lang"),
-                cos_u.alias("cos_u"),
+                F.explode(
+                    nearest_cells_pd(crows[lang], BITEXT_NPROBE, "se", "se_norm")
+                ).alias("cell_id"),
             )
         )
-    # Backward: every target vector probes the en index's cells.
-    src_cells = src.withColumn(
-        "cell_id", F.element_at(nearest_cells_pd(crows["en"], 1, "se", "se_norm"), 1)
-    )
-    bprobes = (
-        v.filter(F.col("lang") != "en")
-        .select(
-            F.col("vec_id").alias("tgt_id"),
-            F.col("lang").alias("tgt_lang"),
-            F.col("e").alias("te"),
-            F.col("e_norm").alias("te_norm"),
+        fwd_members.append(
+            v.filter(F.col("lang") == lang).select(
+                F.col("vec_id").alias("mid"),
+                F.col("e").alias("me"),
+                F.col("e_norm").alias("mn"),
+                F.col("lang").alias("tgt_lang"),
+                F.element_at(nearest_cells_pd(crows[lang], 1), 1).alias("cell_id"),
+            )
         )
-        .withColumn(
-            "cell_id",
-            F.explode(
-                nearest_cells_pd(crows["en"], BITEXT_NPROBE, "te", "te_norm")
-            ),
-        )
-    )
-    branches.append(
-        bprobes.join(src_cells, "cell_id").select(
-            "src_id", "tgt_id", "tgt_lang", cos_u.alias("cos_u")
-        )
-    )
     from functools import reduce
 
-    # cos_u is the same Arrow kernel over the same vectors in every
-    # branch, so overlapping candidates are byte-identical rows and
-    # .distinct() is exact dedup (only ids + one int shuffle here —
-    # the vectors were dropped at the branch selects).
-    cand = reduce(lambda a, b: a.unionByName(b), branches).distinct()
-    return _bitext_margin_argmax(
-        cand.filter(F.col("cos_u") >= BITEXT_COS_FLOOR_U)
+    union = lambda frames: reduce(lambda a, b: a.unionByName(b), frames)  # noqa: E731
+    fwd = (
+        union(fwd_probes)
+        .groupBy("tgt_lang", "cell_id")
+        .cogroup(union(fwd_members).groupBy("tgt_lang", "cell_id"))
+        .applyInPandas(_score_block, out_schema)
     )
+    # Backward: every target vector probes the en index.
+    bwd_probes = v.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("e_norm").alias("qn"),
+        F.col("lang").alias("tgt_lang"),
+        F.explode(
+            nearest_cells_pd(crows["en"], BITEXT_NPROBE)
+        ).alias("cell_id"),
+    )
+    bwd_members = src.select(
+        F.col("src_id").alias("mid"),
+        F.col("se").alias("me"),
+        F.col("se_norm").alias("mn"),
+        F.element_at(
+            nearest_cells_pd(crows["en"], 1, "se", "se_norm"), 1
+        ).alias("cell_id"),
+    )
+    bwd = (
+        bwd_probes.groupBy("cell_id")
+        .cogroup(bwd_members.groupBy("cell_id"))
+        .applyInPandas(_score_block, out_schema)
+    )
+    # s comes from the same fold kernel over the same vectors in both
+    # directions (per-dim multiply commutes bitwise), so overlapping
+    # candidates are byte-identical rows and .distinct() is exact
+    # dedup; only ids + one int cross the exchange.
+    cos_u = F.round(F.col("s") * 10000).cast("bigint")
+    cand = (
+        fwd.unionByName(bwd)
+        .select("src_id", "tgt_id", "tgt_lang", cos_u.alias("cos_u"))
+        .filter(F.col("cos_u") >= BITEXT_COS_FLOOR_U)
+        .distinct()
+    )
+    return _bitext_margin_argmax(cand)
 
 
 # Scalar quantization (the SQ8 codec of FAISS/Milvus-style stores):

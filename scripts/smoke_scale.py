@@ -207,7 +207,17 @@ def main() -> None:
     ui = "http://localhost:4040"
     reg = load_all()
 
+    # One-time artifacts billed to their own lines (the bench.py
+    # precedent): the docs stream-source write feeding the streaming
+    # smoke line.
     results = {}
+    t0 = time.perf_counter()
+    from go_integ_spark.streaming.queries import _docs_stream_source
+
+    _docs_stream_source(spark, DATA_DIR)
+    results["stream_source_documents_build"] = {
+        "rows": 0, "sec": round(time.perf_counter() - t0, 2),
+    }
     for name in (
         "dedup_minhash_lsh",
         "ann_ivf_topk",
@@ -271,6 +281,34 @@ def main() -> None:
         # pin asserts the shape, this asserts the runtime at 500k
         # docs (a lang-only window would sort 125k rows in one task).
         "curation_pack_sequences",
+        # round-9 additions (VERDICT r8 #6): the un-smoked heavy tail.
+        # The IVF-probed bitext miner replaced the broadcast-en
+        # crossJoin — at this scale the old form would broadcast a
+        # 50k x 64-float slice; the new one is 5 cell equi-joins whose
+        # candidate volume the fixed gate codebook (K=16) still makes
+        # quadratic-ish per cell — at production scale K grows with
+        # the corpus (offline k-means) and this collapses.
+        "similarity_bitext_pairs",
+        # BPE application: 12 chained JVM replaces over 500k docs'
+        # word types — the vocabulary-scaled (not corpus-scaled)
+        # model table must hold at 100x token mass.
+        "text_bpe_apply",
+        # IVF-cell candidate dedup at 200k vectors: the cell cogroup
+        # blocks are the quadratic bound, recall re-asserted by the
+        # brute-force oracle only at gate scale.
+        "dedup_embedding_cosine",
+        # the physically partitioned corpus layout: the one-time
+        # partitionBy write at 200k vectors + the pruned probe scan
+        # (INSET partition filters — the 100 TB read path).
+        "ann_ivf_topk_partitioned",
+        # token-budget selection without a global sort: the driver
+        # walks the (lang, tok) group table, which scales with the
+        # VOCABULARY of token counts, not the corpus.
+        "curation_token_budget_select",
+        # streaming driven availableNow at 100x: explode-in-streaming
+        # + state-store dedup over the 500k-doc paragraph stream (the
+        # one-time stream-source write bills to its own line below).
+        "streaming_paragraph_dedup",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()
