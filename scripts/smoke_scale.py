@@ -293,10 +293,14 @@ def main() -> None:
         # word types — the vocabulary-scaled (not corpus-scaled)
         # model table must hold at 100x token mass.
         "text_bpe_apply",
-        # IVF-cell candidate dedup at 200k vectors: the cell cogroup
-        # blocks are the quadratic bound, recall re-asserted by the
-        # brute-force oracle only at gate scale.
-        "dedup_embedding_cosine",
+        # NOT dedup_embedding_cosine: its probe-coverage rule (probe
+        # = cells/4, forced by the noise-floor 0.45 threshold) makes
+        # total block work ~N^2/4 at ANY cell count — measured 7 min
+        # at 10x, hours at 100x. That is the operator's documented
+        # envelope (production near-dup thresholds >= 0.8 concentrate
+        # neighbors into few cells); the scale-safe embedding-quality
+        # representative here is the linear outlier scan instead.
+        "embedding_outliers",
         # the physically partitioned corpus layout: the one-time
         # partitionBy write at 200k vectors + the pruned probe scan
         # (INSET partition filters — the 100 TB read path).
