@@ -2580,26 +2580,40 @@ WITH v AS (
         FROM v t JOIN cent c ON c.lang = 'en'
         WHERE t.lang <> 'en'
     ) WHERE prn <= {BITEXT_NPROBE}
-), cand AS (
-    SELECT DISTINCT src_id, tgt_id, tgt_lang FROM (
-        SELECT p.src_id, a.vec_id AS tgt_id, a.lang AS tgt_lang
-        FROM fprobe p
-        JOIN assigned a ON a.lang = p.tgt_lang AND a.cell_id = p.cell_id
-        UNION ALL
-        SELECT a.vec_id AS src_id, p.tgt_id, t.lang AS tgt_lang
-        FROM bprobe p
-        JOIN assigned a ON a.lang = 'en' AND a.cell_id = p.cell_id
-        JOIN v t ON t.vec_id = p.tgt_id
-    )
-), p AS (
-    SELECT c.src_id, c.tgt_id, c.tgt_lang,
+), fc AS (
+    SELECT f.src_id, a.vec_id AS tgt_id, a.lang AS tgt_lang,
            CAST(round(list_cosine_similarity(s.emb, t.emb) * 10000)
                AS BIGINT) AS cos_u
-    FROM cand c
-    JOIN v s ON s.vec_id = c.src_id
-    JOIN v t ON t.vec_id = c.tgt_id
+    FROM fprobe f
+    JOIN assigned a ON a.lang = f.tgt_lang AND a.cell_id = f.cell_id
+    JOIN v s ON s.vec_id = f.src_id
+    JOIN v t ON t.vec_id = a.vec_id
+), ftop AS (
+    SELECT src_id, tgt_id, tgt_lang, cos_u FROM (
+        SELECT fc.*, row_number() OVER (
+            PARTITION BY src_id, tgt_lang ORDER BY cos_u DESC, tgt_id
+        ) AS rn
+        FROM fc WHERE cos_u >= {BITEXT_COS_FLOOR_U}
+    ) WHERE rn <= {BITEXT_TOP_K}
+), bc AS (
+    SELECT a.vec_id AS src_id, b.tgt_id, t.lang AS tgt_lang,
+           CAST(round(list_cosine_similarity(s.emb, t.emb) * 10000)
+               AS BIGINT) AS cos_u
+    FROM bprobe b
+    JOIN assigned a ON a.lang = 'en' AND a.cell_id = b.cell_id
+    JOIN v s ON s.vec_id = a.vec_id
+    JOIN v t ON t.vec_id = b.tgt_id
+), btop AS (
+    SELECT src_id, tgt_id, tgt_lang, cos_u FROM (
+        SELECT bc.*, row_number() OVER (
+            PARTITION BY tgt_id ORDER BY cos_u DESC, src_id
+        ) AS rn
+        FROM bc WHERE cos_u >= {BITEXT_COS_FLOOR_U}
+    ) WHERE rn <= {BITEXT_TOP_K}
 ), pf AS (
-    SELECT * FROM p WHERE cos_u >= {BITEXT_COS_FLOOR_U}
+    SELECT DISTINCT src_id, tgt_id, tgt_lang, cos_u FROM (
+        SELECT * FROM ftop UNION ALL SELECT * FROM btop
+    )
 ), fwd AS (
     SELECT src_id, tgt_lang, cos_u,
            row_number() OVER (
@@ -2655,16 +2669,19 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (r9 — this replaced the broadcast-en crossJoin, the
     registry's last scale-killer): mining is blocked BY LANGUAGE PAIR
     through the registered IVF machinery. Each language owns a
-    deterministic fixed-K codebook (``_bitext_lang_centroids``, the
-    same md5 hash-pick as ``ann_ivf_topk``); candidate pairs come
-    from cell-probed equi-joins only — forward, every en vector
-    probes its BITEXT_NPROBE nearest cells of EACH target language's
-    index; backward, every target vector probes the en index — so no
-    join in the plan is a
-    BroadcastNestedLoopJoin/cartesian (pinned in tests/test_plans.py)
-    and a source vector touches at most nprobe/K of each language's
-    corpus. The margin windows then rank the bounded candidate lists
-    exactly as before; gate-scale parity with the exhaustive form is
+    deterministic codebook (``_bitext_lang_centroids`` — the md5
+    hash-pick with the sqrt-scaled cell count ``embedding_knn_graph``
+    uses, = IVF_K at gate scale); forward, every en vector probes its
+    BITEXT_NPROBE nearest cells of EACH target language's index;
+    backward, every target vector probes the en index; candidate
+    pairs are scored per (lang, cell) in COGROUPED blocks — each
+    cell's vectors cross the Arrow boundary once, the block is a
+    fold-exact matmul, and only ids + the scored double leave it (a
+    pair-level join shipped both vectors per candidate and died at
+    the 10x smoke). No BroadcastNestedLoopJoin/cartesian anywhere
+    (pinned in tests/test_plans.py); a source vector touches
+    nprobe/K of each language's corpus. The margin windows then rank
+    the candidate lists exactly as before; gate-scale parity with the exhaustive form is
     pinned quantitatively in tests/test_round9_ops.py against
     ``_bitext_pf_exhaustive`` (pair Jaccard + strong-pair recall —
     see the BITEXT_NPROBE note for why identity needs nprobe = K).
@@ -2689,35 +2706,53 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first registered form of this rewrite died); cogrouping moves
     # each cell's vectors ONCE per block and scores them as a
     # fold-exact blocked matmul, so every s is bit-identical to the
-    # pair expression and the DuckDB oracle. The in-block prefilter
-    # keeps only s that can round to the cos floor, cutting emitted
-    # rows ~10x before the one distinct exchange.
-    pre_floor = BITEXT_COS_FLOOR_U / 10000.0 - 1e-4
-
+    # pair expression and the DuckDB oracle. Each block emits ONLY
+    # its probe rows' block-local top-{BITEXT_TOP_K} above the cos
+    # floor: the margin stage consumes per-direction top-k LISTS
+    # (the Artetxe-Schwenk formulation), so emitting every
+    # above-floor pair — ~540M rows / 30 GB of shuffle at the 100x
+    # smoke, where the 0.05 floor cuts almost nothing on clustered
+    # data — would feed windows that immediately discard all but 4
+    # per group. Block-local top-k then one light global window is
+    # the standard exact distributed top-k.
     def _score_block(probe_pdf, member_pdf):
-        cols = ["src_id", "tgt_id", "tgt_lang", "s"]
+        cols = ["src_id", "tgt_id", "tgt_lang", "cos_u"]
+        empty = pd.DataFrame(
+            {
+                "src_id": pd.Series([], dtype="int64"),
+                "tgt_id": pd.Series([], dtype="int64"),
+                "tgt_lang": pd.Series([], dtype="object"),
+                "cos_u": pd.Series([], dtype="int64"),
+            }
+        )
         if len(probe_pdf) == 0 or len(member_pdf) == 0:
-            return pd.DataFrame(
-                {
-                    "src_id": pd.Series([], dtype="int64"),
-                    "tgt_id": pd.Series([], dtype="int64"),
-                    "tgt_lang": pd.Series([], dtype="object"),
-                    "s": pd.Series([], dtype="float64"),
-                }
-            )
+            return empty
         import numpy as np
 
+        # members sorted by id so a stable argsort on -cos_u yields
+        # exactly the (cos_u DESC, id ASC) order of the oracle
+        member_pdf = member_pdf.sort_values("mid")
         sim = fold_cosine_block(
             probe_pdf["qe"], probe_pdf["qn"], member_pdf["me"], member_pdf["mn"]
         )
-        pi, mi = np.nonzero(sim >= pre_floor)
+        # HALF_UP fixed-point, same value as the JVM/DuckDB round()
+        # (floats this close to a .5 boundary are excluded by the
+        # float-gate margin pins)
+        cu = np.floor(sim * 10000.0 + 0.5).astype(np.int64)
+        cu[sim < 0] = np.int64(-1)  # negatives can't reach the floor
+        order = np.argsort(-cu, axis=1, kind="stable")[:, :BITEXT_TOP_K]
+        rows = np.arange(len(probe_pdf))[:, None]
+        top_cu = cu[rows, order]
+        keep = top_cu >= BITEXT_COS_FLOOR_U
+        pi, ki = np.nonzero(keep)
+        mi = order[pi, ki]
+        q_ids = probe_pdf["qid"].to_numpy()[pi]
+        m_ids = member_pdf["mid"].to_numpy()[mi]
         # forward blocks: probe side is en (src), member side is the
         # target slice (and carries tgt_lang); backward blocks: probe
         # side is the target, member side is en (no tgt_lang column).
         # tgt_lang is PER ROW of the target side — a backward en-cell
         # block mixes probing targets of every language.
-        q_ids = probe_pdf["qid"].to_numpy()[pi]
-        m_ids = member_pdf["mid"].to_numpy()[mi]
         fwd = "tgt_lang" in member_pdf.columns
         lang = (
             member_pdf["tgt_lang"].to_numpy()[mi]
@@ -2729,11 +2764,11 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "src_id": q_ids if fwd else m_ids,
                 "tgt_id": m_ids if fwd else q_ids,
                 "tgt_lang": lang,
-                "s": sim[pi, mi],
+                "cos_u": top_cu[pi, ki],
             }
         )[cols]
 
-    out_schema = "src_id long, tgt_id long, tgt_lang string, s double"
+    out_schema = "src_id long, tgt_id long, tgt_lang string, cos_u long"
     # Forward: en probes each target language's index; ONE cogroup
     # over the per-language unions, keyed (tgt_lang, cell_id).
     fwd_probes = []
@@ -2791,18 +2826,30 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(bwd_members.groupBy("cell_id"))
         .applyInPandas(_score_block, out_schema)
     )
-    # s comes from the same fold kernel over the same vectors in both
-    # directions (per-dim multiply commutes bitwise), so overlapping
-    # candidates are byte-identical rows and .distinct() is exact
-    # dedup; only ids + one int cross the exchange.
-    cos_u = F.round(F.col("s") * 10000).cast("bigint")
-    cand = (
-        fwd.unionByName(bwd)
-        .select("src_id", "tgt_id", "tgt_lang", cos_u.alias("cos_u"))
-        .filter(F.col("cos_u") >= BITEXT_COS_FLOOR_U)
-        .distinct()
+    # Global per-direction top-k over the block survivors (at most
+    # BITEXT_TOP_K * nprobe rows per group reach these windows), then
+    # the margin domain is the union of both directions' lists.
+    # cos_u comes from the same fold kernel + rounding over the same
+    # vectors in both directions (per-dim multiply commutes bitwise),
+    # so overlapping candidates are byte-identical rows and
+    # .distinct() is exact dedup.
+    w_f = Window.partitionBy("src_id", "tgt_lang").orderBy(
+        F.col("cos_u").desc(), F.col("tgt_id")
     )
-    return _bitext_margin_argmax(cand)
+    ftop = (
+        fwd.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= BITEXT_TOP_K)
+        .drop("rn")
+    )
+    w_b = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_u").desc(), F.col("src_id")
+    )
+    btop = (
+        bwd.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= BITEXT_TOP_K)
+        .drop("rn")
+    )
+    return _bitext_margin_argmax(ftop.unionByName(btop).distinct())
 
 
 # Scalar quantization (the SQ8 codec of FAISS/Milvus-style stores):
