@@ -313,6 +313,18 @@ def main() -> None:
         # + state-store dedup over the 500k-doc paragraph stream (the
         # one-time stream-source write bills to its own line below).
         "streaming_paragraph_dedup",
+        # CCNet tertile bucketing: the per-language cumulative
+        # histogram (never a per-language total sort) must hold at
+        # 500k docs — the heaviest text line after BPE.
+        "text_perplexity_buckets",
+        # train/test n-gram contamination: the shingle join between
+        # the split halves under the injected boilerplate's hot
+        # shingles.
+        "contamination_ngram_overlap",
+        # exact-substring dedup: winnowing window hashes + the
+        # first-occurrence ranking under the 25k-doc shared
+        # boilerplate opening (the hot hash key by construction).
+        "dedup_exact_substring",
     ):
         t0 = time.perf_counter()
         n = reg[name].fn(spark, DATA_DIR).count()
