@@ -51,8 +51,13 @@ _slots: dict[str, tuple[int, tuple[str, ...], DataFrame]] = {}
 def _plan_key(df: DataFrame) -> tuple[str, ...]:
     """Sorted root paths of every file-backed leaf in the ANALYZED
     plan (pre-cache-substitution, no expression IDs). Non-file leaves
-    (LocalRelation, streaming sources) contribute their class name so
-    structurally different in-memory inputs still discriminate."""
+    (LocalRelation, streaming sources) contribute only their class
+    name — for those, discrimination rests on semanticHash alone
+    (whose canonicalized plan does include LocalRelation data), i.e.
+    a 32-bit backstop rather than the path check. Every current slot
+    is keyed by a load_table-derived (file-backed) frame; key a slot
+    by an in-memory frame only if a 1-in-4-billion silent collision
+    is acceptable for it."""
     keys: list[str] = []
     leaves = df._jdf.queryExecution().analyzed().collectLeaves()
     for i in range(leaves.size()):

@@ -713,6 +713,21 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     agg_sketch_accuracy) and the explode shape is unchanged — sketch
     state merges across the same shuffle.
     """
+    du, days, contrib = _rolling_du_frames(spark, sf_dir)
+    wau = (
+        contrib.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+def _rolling_du_frames(spark: SparkSession, sf_dir: str):
+    """(du, days, contrib): the contribution-explode frames BOTH
+    rolling-distinct forms build on — one definition, like their
+    shared ``_ROLLING_DU_CTE``, so an edit to the explode/semi-join
+    can never diverge the exact twin from the HLL twin."""
     ev = load_table(spark, sf_dir, "events")
     du = (
         ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
@@ -722,18 +737,10 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     contrib = du.select(
         "user_id",
         F.explode(
-            F.expr(
-                f"sequence(day, date_add(day, {WAU_WINDOW_DAYS - 1}))"
-            )
+            F.expr(f"sequence(day, date_add(day, {WAU_WINDOW_DAYS - 1}))")
         ).alias("day"),
     )
-    wau = (
-        contrib.join(F.broadcast(days), "day", "left_semi")
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").alias("wau"))
-    )
-    dau = du.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
-    return dau.join(wau, "day").select("day", "dau", "wau")
+    return du, days, contrib
 
 
 # Sketch envelope for the HLL rolling-distinct form: HLL++ at
@@ -767,18 +774,7 @@ def window_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     value gate verifies the error bound itself (the
     ``agg_sketch_accuracy`` pattern; a property test additionally
     sweeps the envelope at both gate SFs)."""
-    ev = load_table(spark, sf_dir, "events")
-    du = (
-        ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
-        .distinct()
-    )
-    days = du.select("day").distinct()
-    contrib = du.select(
-        "user_id",
-        F.explode(
-            F.expr(f"sequence(day, date_add(day, {WAU_WINDOW_DAYS - 1}))")
-        ).alias("day"),
-    )
+    du, days, contrib = _rolling_du_frames(spark, sf_dir)
     wau = (
         contrib.join(F.broadcast(days), "day", "left_semi")
         .groupBy("day")

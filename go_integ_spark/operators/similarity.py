@@ -532,12 +532,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# sf_dir -> path of the cell_id-partitioned corpus (one write per
-# process, the _stream_source memo pattern).
-_ANN_PART_DIR: dict[str, str] = {}
+# sf_dir -> (path of the cell_id-partitioned corpus, collected
+# centroid row). One write per process, the _stream_source memo
+# pattern; the centroid row rides along so the query body never
+# re-runs the deterministic selection job it shares with the write.
+_ANN_PART_DIR: dict[str, tuple[str, object]] = {}
 
 
-def _ann_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
+def _ann_partitioned_corpus(spark: SparkSession, sf_dir: str) -> tuple[str, object]:
     """Materialize the embedding corpus PHYSICALLY partitioned by IVF
     cell_id — the 100 TB layout ``ann_ivf_topk``'s docstring
     describes: one directory per cell, so a probe's cell filter
@@ -547,9 +549,9 @@ def _ann_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
     queries return the same rows."""
     import tempfile
 
-    path = _ANN_PART_DIR.get(sf_dir)
-    if path is not None:
-        return path
+    cached = _ANN_PART_DIR.get(sf_dir)
+    if cached is not None:
+        return cached
     v = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     (crow,) = ivf_centroids(v).collect()
     assigned = v.withColumn(
@@ -557,8 +559,8 @@ def _ann_partitioned_corpus(spark: SparkSession, sf_dir: str) -> str:
     ).select("vec_id", "embedding", "cell_id")
     path = tempfile.mkdtemp(prefix="sg_ann_cells_") + "/embeddings_by_cell"
     assigned.write.partitionBy("cell_id").mode("overwrite").parquet(path)
-    _ANN_PART_DIR[sf_dir] = path
-    return path
+    _ANN_PART_DIR[sf_dir] = (path, crow)
+    return _ANN_PART_DIR[sf_dir]
 
 
 @register(
@@ -578,9 +580,9 @@ def ann_ivf_topk_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions_total`` on the scan node. Values are identical to
     ann_ivf_topk (same deterministic assignment, same scoring), so it
     shares the same DuckDB oracle."""
-    corpus = with_norm(spark.read.parquet(_ann_partitioned_corpus(spark, sf_dir)))
+    path, crow = _ann_partitioned_corpus(spark, sf_dir)
+    corpus = with_norm(spark.read.parquet(path))
     v = with_norm(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    (crow,) = ivf_centroids(v).collect()
     probes = (
         v.filter(F.col("vec_id") < N_QUERIES)
         .select(
@@ -2693,6 +2695,16 @@ def similarity_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _bitext_v(spark, sf_dir)
     # one row per language — bounded by language cardinality
     crows = {r["lang"]: r for r in _bitext_lang_centroids(v).collect()}
+    # Degenerate corpora (no en side, or nothing BUT en) mine nothing;
+    # the retired crossJoin form returned empty here too, and the
+    # oracle does — crashing on crows['en'] / an empty union would
+    # turn an empty match into a gate error.
+    if "en" not in crows or len(crows) < 2:
+        return spark.createDataFrame(
+            [],
+            "src_id long, tgt_lang string, tgt_id long, "
+            "cos_u long, margin_u long",
+        )
     src = v.filter(F.col("lang") == "en").select(
         F.col("vec_id").alias("src_id"),
         F.col("e").alias("se"),

@@ -69,21 +69,31 @@ def test_internal_create_dataframe_canary(spark):
     SparkSession; if removed, rebuild via
     spark.createDataFrame(ck.rdd, ck.schema) (slower: Python
     round-trip) or Dataset.ofRows over a LogicalRDD."""
-    assert hasattr(spark._jsparkSession, "internalCreateDataFrame"), (
+    # hasattr is USELESS against py4j (JavaObject.__getattr__ returns
+    # a JavaMember for any name) — ask JVM reflection instead
+    methods = {
+        m.getName() for m in spark._jsparkSession.getClass().getMethods()
+    }
+    assert "internalCreateDataFrame" in methods, (
         "Spark dropped internalCreateDataFrame: _checkpoint_fresh_stats "
         "now silently degrades CC planning cost — wire the replacement "
         "named in this test's docstring"
     )
-    # and the fast path actually engages end-to-end on a real frame
+    # and the fast path actually engages: the rebuilt frame must NOT
+    # carry the checkpoint's originStats (dropping them is the whole
+    # point — a plain localCheckpoint, i.e. the fallback branch,
+    # carries the source's exact sizeInBytes through)
     from go_integ_spark.operators.dedup import _checkpoint_fresh_stats
 
-    df = spark.range(10)
+    df = spark.range(1000)
     out = _checkpoint_fresh_stats(df)
-    assert out.count() == 10
-    # the rebuilt plan is a fresh LogicalRDD leaf, not the checkpoint
-    # handle itself (which would mean the fallback branch ran)
-    leaf = out._jdf.queryExecution().analyzed().collectLeaves().apply(0)
-    assert "LogicalRDD" in leaf.getClass().getName()
+    assert out.count() == 1000
+    s_out = str(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    ck = spark.range(1000).localCheckpoint()
+    s_ck = str(ck._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert s_out != s_ck, (
+        "rebuilt frame carries originStats — the fallback branch ran"
+    )
 
 
 # ---------------------------------------------------------------------------
