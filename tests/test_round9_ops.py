@@ -195,3 +195,29 @@ def test_hll_rolling_distinct_error_bound(spark):
     rel = abs(row["hll"] - row["exact"]) / row["exact"]
     assert rel <= HLL_WAU_ENVELOPE, f"dense-mode rel err {rel:.4f}"
     assert WAU_WINDOW_DAYS == 7
+
+
+def test_bench_process_ancestry_logic():
+    """The subprocess-pass refactor moved foreign-JVM detection to a
+    /proc ancestry walk — pin the pure pieces: descendants of the
+    bench process are never foreign, remembered own pids are never
+    foreign, a cycle-free walk terminates."""
+    import os
+
+    import bench
+
+    me = os.getpid()
+    # synthetic tree: me -> 100 -> 200 (our JVM), 300 orphan (init)
+    ppid_of = {100: me, 200: 100, 300: 1, me: 1}
+    assert bench._is_descendant(200, me, ppid_of)
+    assert bench._is_descendant(100, me, ppid_of)
+    assert not bench._is_descendant(300, me, ppid_of)
+    # a corrupt map with a cycle must terminate, not hang
+    assert not bench._is_descendant(400, me, {400: 500, 500: 400})
+    # the live walk: this test process's own proc entry is consistent
+    ppid_real, javas = bench._proc_snapshot()
+    assert me in ppid_real
+    # every java our session spawned is excluded by ancestry or the
+    # remembered-own set, so _foreign_jvms of (all javas) is empty
+    own = set(javas)
+    assert bench._foreign_jvms(own) == []
