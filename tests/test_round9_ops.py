@@ -221,3 +221,34 @@ def test_bench_process_ancestry_logic():
     # remembered-own set, so _foreign_jvms of (all javas) is empty
     own = set(javas)
     assert bench._foreign_jvms(own) == []
+
+
+def test_bitext_degenerate_corpora_return_empty(spark, tmp_path):
+    """A corpus with no en side (or nothing but en) mines nothing —
+    it must return an empty frame like the oracle, not crash on a
+    missing codebook / an empty branch union."""
+    import numpy as np
+
+    from go_integ_spark.operators.similarity import similarity_bitext_pairs
+
+    rng = np.random.RandomState(3)
+    for case, langs in (("all_en", ["en"] * 8), ("no_en", ["de", "fr"] * 4)):
+        d = tmp_path / case
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}", langs[i], "s", 5) for i in range(8)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        emb = spark.createDataFrame(
+            [
+                (i, rng.normal(0, 1, 8).astype("float32").tolist(), 0)
+                for i in range(8)
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        docs.write.parquet(str(d / "documents.parquet"))
+        emb.write.parquet(str(d / "embeddings.parquet"))
+        out = similarity_bitext_pairs(spark, str(d))
+        assert out.count() == 0, case
+        assert out.columns == [
+            "src_id", "tgt_lang", "tgt_id", "cos_u", "margin_u",
+        ], case
