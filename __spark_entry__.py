@@ -249,6 +249,22 @@ _MEASURED_COST = {
 }
 
 
+# Queries whose IMPLEMENTATION OR ORACLE changed since their last
+# green row: a past green proves the OLD form, so treat them as
+# never-verified and let them lead the sweep. Remove an entry once a
+# committed CORRECTNESS file shows the new form green (its fresh
+# green round then orders it naturally).
+# r9: bitext was rewritten onto per-language IVF directional-top-4
+# lists (new oracle); the threshold join's hot-label cap moved into
+# its oracle contract.
+_FORCE_RECHECK: frozenset[str] = frozenset(
+    {
+        "similarity_bitext_pairs",
+        "similarity_threshold_join",
+    }
+)
+
+
 def _last_green_rounds() -> dict[str, int]:
     """Per query, the highest round whose committed
     ``CORRECTNESS_r*.json`` records a GREEN row: no error, row count
@@ -256,7 +272,9 @@ def _last_green_rounds() -> dict[str, int]:
     (rows-only queries carry ``hash_match: null``). A query whose only
     rows are errors or hash-fails — like ``events_sessionize``'s stale
     r1 traceback or ``similarity_pq_search``'s r4 fail — stays at -1
-    and therefore leads its family in the next sweep.
+    and therefore leads its family in the next sweep. Queries in
+    ``_FORCE_RECHECK`` are dropped from the map (old greens proved a
+    form that no longer exists).
     """
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
@@ -278,6 +296,8 @@ def _last_green_rounds() -> dict[str, int]:
             )
             if green:
                 last[name] = max(last.get(name, -1), rnd)
+    for name in _FORCE_RECHECK:
+        last.pop(name, None)
     return last
 
 
