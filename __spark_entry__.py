@@ -254,15 +254,10 @@ _MEASURED_COST = {
 # never-verified and let them lead the sweep. Remove an entry once a
 # committed CORRECTNESS file shows the new form green (its fresh
 # green round then orders it naturally).
-# r9: bitext was rewritten onto per-language IVF directional-top-4
-# lists (new oracle); the threshold join's hot-label cap moved into
-# its oracle contract.
-_FORCE_RECHECK: frozenset[str] = frozenset(
-    {
-        "similarity_bitext_pairs",
-        "similarity_threshold_join",
-    }
-)
+# r10: emptied — CORRECTNESS_r09 shows both r9 entries
+# (similarity_bitext_pairs, similarity_threshold_join) green ON
+# THEIR NEW FORMS, so their fresh green rounds order them naturally.
+_FORCE_RECHECK: frozenset[str] = frozenset()
 
 
 def _last_green_rounds() -> dict[str, int]:

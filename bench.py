@@ -315,25 +315,53 @@ def _run_pass_subprocess(sf_dir: str) -> tuple[dict, dict, set[int]]:
         [sys.executable, os.path.abspath(__file__), "--one-pass", sf_dir],
         stdout=subprocess.PIPE,
     )
-    own: set[int] = set()
-    while proc.poll() is None:
-        own |= _own_java_descendants()
-        time.sleep(1)
-    out, _ = proc.communicate()
+    out, own = _poll_and_drain(proc)
     if proc.returncode != 0:
         raise RuntimeError(f"measured pass subprocess failed rc={proc.returncode}")
     data = json.loads(out.decode().strip().splitlines()[-1])
     return data["timings"], data["one_time"], own
 
 
-def _one_attempt(sf_dir: str, ncpus: int) -> dict:
+def _poll_and_drain(proc, observe=None, poll_sleep: float = 1.0):
+    """Poll a child while CONCURRENTLY draining its stdout pipe:
+    deferring all reading to communicate() deadlocks once the child's
+    JSON outgrows the ~64KB pipe buffer (the child blocks on write,
+    the parent polls forever). ``observe`` is sampled each poll tick
+    (the own-JVM descendant scan); returns (stdout bytes, the union
+    of all observations)."""
+    import threading
+
+    if observe is None:
+        observe = _own_java_descendants
+    chunks: list[bytes] = []
+    drain = threading.Thread(
+        target=lambda: chunks.append(proc.stdout.read()), daemon=True
+    )
+    drain.start()
+    own: set[int] = set()
+    while proc.poll() is None:
+        own |= observe()
+        time.sleep(poll_sleep)
+    drain.join()
+    proc.stdout.close()
+    proc.wait()
+    return b"".join(chunks), own
+
+
+def _one_attempt(sf_dir: str, ncpus: int, own: set[int] | None = None) -> dict:
     """One full measurement attempt: pass 1, the conditional second
     pass (BASELINE.md two-run rule), and the contended verdict. Each
     pass is its own subprocess, so both are the same cold
     measurement. Returns every pass's per-query timings so the
     committed JSON is machine-readable trend evidence, not just a
-    headline total."""
-    own: set[int] = set()
+    headline total.
+
+    ``own`` carries the observed-own JVM pid set ACROSS attempts
+    (mutated in place): a just-exited pass's JVM reparented to init
+    would otherwise be counted foreign at the next attempt's
+    jvms_start sample and burn all retries on an idle host."""
+    if own is None:
+        own = set()
     jvms_start = _foreign_jvms(own)
     load1_start = os.getloadavg()[0]
     start_flagged = bool(jvms_start) or load1_start > 0.15 * ncpus
@@ -390,8 +418,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     attempts = []
+    own: set[int] = set()
     for i in range(MAX_ATTEMPTS):
-        attempt = _one_attempt(sf_dir, ncpus)
+        attempt = _one_attempt(sf_dir, ncpus, own)
         attempts.append(attempt)
         if not attempt["contended"]:
             break

@@ -557,7 +557,14 @@ def _ann_partitioned_corpus(spark: SparkSession, sf_dir: str) -> tuple[str, obje
     assigned = v.withColumn(
         "cell_id", F.element_at(nearest_cells_pd(crow, 1), 1)
     ).select("vec_id", "embedding", "cell_id")
-    path = tempfile.mkdtemp(prefix="sg_ann_cells_") + "/embeddings_by_cell"
+    root = tempfile.mkdtemp(prefix="sg_ann_cells_")
+    # one corpus copy per process per sf_dir — reclaim it at process
+    # exit instead of leaking a parquet tree into /tmp per run
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = root + "/embeddings_by_cell"
     assigned.write.partitionBy("cell_id").mode("overwrite").parquet(path)
     _ANN_PART_DIR[sf_dir] = (path, crow)
     return _ANN_PART_DIR[sf_dir]
