@@ -741,6 +741,70 @@ GROUP BY d.doc_id
 """
 
 
+def _bigram_scores_arrow(docs: DataFrame, model: dict) -> DataFrame:
+    """Per-doc LM scoring as ONE map-side Arrow pass over the docs
+    scan (r10, VERDICT r9 #2): the fitted {(w1, w2): logp} table
+    rides a broadcast — the CCNet production shape, which ships the
+    KenLM model to every worker and scores locally — so scoring
+    itself shuffles NOTHING. The r9 form shuffled the 21.8M-row
+    per-doc bigram-count frame twice (once to build it, once to fold
+    it); a document's bigrams are row-local, so both shuffles were
+    avoidable. Per doc the kernel replays the contract's exact float
+    sequence: distinct-bigram counts (Counter), (w1, w2)-sorted
+    (Python str order == UTF-8 byte order == the engines' binary
+    collation), one ``k * logp`` product then one add per bigram —
+    bit-identical to the retired ``_bigram_fold_expr`` HOF fold and
+    the oracle's ``list_sum(list(... ORDER BY w1, w2))`` (pinned in
+    tests/test_round10_ops.py). Output is (doc_id, n_bigrams, s);
+    the average and rounding stay JVM-side."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    bc = docs.sparkSession.sparkContext.broadcast(model)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        m = bc.value
+        for pdf in batches:
+            out: list[tuple] = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                ws = text.split(" ")
+                if len(ws) < 2:
+                    continue
+                cnt = Counter(zip(ws, ws[1:]))
+                acc, n = 0.0, 0
+                for key in sorted(cnt):
+                    k = cnt[key]
+                    acc += k * m[key]
+                    n += k
+                out.append((int(did), n, acc))
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "n_bigrams", "s"])
+
+    return docs.mapInPandas(score, "doc_id long, n_bigrams long, s double")
+
+
+def _bigram_fold_expr(d: DataFrame, probs: DataFrame) -> DataFrame:
+    """The retired JVM-HOF fold — kept as the bit-exactness reference
+    the round-10 kernel pin compares against."""
+    return (
+        d.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.expr(
+                "aggregate(array_sort(collect_list("
+                " struct(w1, w2, k * logp AS kl))),"
+                " 0.0D, (acc, x) -> acc + x.kl)"
+            ).alias("s"),
+        )
+    )
+
+
 def bigram_doc_scores(docs: DataFrame) -> DataFrame:
     """The shared scoring pipeline of :func:`text_bigram_logprob`:
     fit the corpus bigram LM and return (doc_id, n_bigrams,
@@ -760,35 +824,30 @@ def bigram_doc_scores(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    d = inst.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("k")
+    # Model fit: total bigram counts straight off the instance stream
+    # (map-side partial agg collapses to the distinct-bigram
+    # vocabulary before the shuffle — identical integers to the
+    # retired per-doc-then-total double aggregation).
+    c2 = inst.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("n2")
     )
-    c2 = d.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     probs = c2.join(c1, "w1").select(
         "w1", "w2", F.log(F.col("n2") / F.col("n1")).alias("logp")
     )
     # The per-doc float sum folds k*logp over the (w1, w2)-SORTED
-    # bigram list — the oracle's list(k*logp ORDER BY w1, w2) folds
-    # the same multiset in the same order, so avg_logp is
-    # bit-identical across engines AND across runs (a plain
-    # F.sum over shuffle-ordered per-instance logp was neither).
-    return (
-        d.join(probs, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").alias("n_bigrams"),
-            F.expr(
-                "aggregate(array_sort(collect_list("
-                " struct(w1, w2, k * logp AS kl))),"
-                " 0.0D, (acc, x) -> acc + x.kl)"
-            ).alias("s"),
-        )
-        .select(
-            "doc_id",
-            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
-            F.round(F.col("s") / F.col("n_bigrams"), 4).alias("avg_logp"),
-        )
+    # distinct-bigram list — the oracle's list(k*logp ORDER BY w1,
+    # w2) folds the same multiset in the same order, so avg_logp is
+    # bit-identical across engines AND across runs. r10: the fold
+    # runs map-side in _bigram_scores_arrow against the broadcast
+    # model (_bigram_fold_expr is the pinned bit-exactness
+    # reference); the model collect is vocabulary-bounded — the
+    # KenLM-held-per-worker shape.
+    model = {(r["w1"], r["w2"]): r["logp"] for r in probs.collect()}
+    return _bigram_scores_arrow(docs.select("doc_id", "text"), model).select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(F.col("s") / F.col("n_bigrams"), 4).alias("avg_logp"),
     )
 
 

@@ -337,16 +337,18 @@ def test_dedup_paragraph_shuffles_hashes_only(registry, spark):
             assert "text" not in line, line
 
 
-def test_bigram_logprob_hash_joins_only(registry, spark):
-    """The LM join-back must stay a hash join on the bigram key (a
-    nested-loop over corpus x model would be quadratic); extraction
-    is map-side, and every aggregation has a partial pass."""
+def test_bigram_logprob_scoring_is_map_side(registry, spark):
+    """r10: scoring is ONE map-side Arrow pass over the docs scan
+    against the broadcast model (the CCNet KenLM-per-worker shape) —
+    the returned plan must carry NO join and NO shuffle at all (the
+    model fit runs as its own collect at build time, with map-side
+    partial aggregation; its corpus-sized per-doc shuffle is gone)."""
     df = _df(registry, spark, "text_bigram_logprob")
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert count_op(df, "SortMergeJoin") + count_op(df, "BroadcastHashJoin") >= 2
-    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Join" not in plan
+    assert shuffle_count(df) == 0
+    assert "MapInPandas" in plan
 
 
 def test_interval_overlap_is_hash_join(registry, spark):

@@ -139,3 +139,111 @@ def test_codebook_broadcast_memoized_per_source_object(spark):
     sim.nearest_cells_pd(crow, 4)
     after = len(sim._CODEBOOK_BC)
     assert mid == before + 1 and after == mid
+
+
+def test_bigram_scoring_kernel_bit_identical_to_expression(spark):
+    """VERDICT r9 #2: the map-side broadcast-model scoring kernel
+    must reproduce the retired JVM-HOF fold BIT-EXACTLY (raw double
+    s, not just the rounded average) — same distinct-bigram counts,
+    same (w1, w2) sort order, same left-fold float sequence — on a
+    real gate corpus."""
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.operators.text import (
+        _bigram_fold_expr,
+        _bigram_scores_arrow,
+    )
+    from go_integ_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    inst = (
+        docs.withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i ->"
+                    " struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    d = inst.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c2 = d.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", F.log(F.col("n2") / F.col("n1")).alias("logp")
+    )
+    model = {(r["w1"], r["w2"]): r["logp"] for r in probs.collect()}
+    kernel = {
+        r["doc_id"]: (r["n_bigrams"], r["s"])
+        for r in _bigram_scores_arrow(docs, model).collect()
+    }
+    expr = {
+        r["doc_id"]: (r["n_bigrams"], r["s"])
+        for r in _bigram_fold_expr(d, probs).collect()
+    }
+    assert set(kernel) == set(expr)
+    diff = {k for k in kernel if kernel[k] != expr[k]}
+    assert not diff, f"{len(diff)} docs disagree, e.g. {sorted(diff)[:3]}"
+
+
+def test_bigram_scoring_kernel_tokenization_edge_cases(spark):
+    """The kernel's Python split must replicate F.split(text, ' ')
+    exactly: consecutive/leading/trailing separators produce empty
+    tokens (which form bigrams), one-token and null docs are absent."""
+    from pyspark.sql import functions as F
+
+    from go_integ_spark.operators.text import (
+        _bigram_fold_expr,
+        _bigram_scores_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a  b"),  # double space -> empty middle token
+            (2, " a b "),  # leading + trailing empties
+            (3, "solo"),  # one token -> no bigrams, absent
+            (4, None),  # null text -> absent
+            (5, "a b a b a"),  # repeated bigrams -> k > 1
+            (6, ""),  # empty -> single empty token, absent
+        ],
+        "doc_id long, text string",
+    )
+    inst = (
+        docs.withColumn("ws", F.split("text", " "))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i ->"
+                    " struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    d = inst.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    c2 = d.groupBy("w1", "w2").agg(F.sum("k").cast("double").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", F.log(F.col("n2") / F.col("n1")).alias("logp")
+    )
+    model = {(r["w1"], r["w2"]): r["logp"] for r in probs.collect()}
+    kernel = {
+        r["doc_id"]: (r["n_bigrams"], r["s"])
+        for r in _bigram_scores_arrow(docs, model).collect()
+    }
+    expr = {
+        r["doc_id"]: (r["n_bigrams"], r["s"])
+        for r in _bigram_fold_expr(d, probs).collect()
+    }
+    assert kernel == expr
+    assert set(kernel) == {1, 2, 5}
