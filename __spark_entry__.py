@@ -232,6 +232,7 @@ _MEASURED_COST = {
     "embedding_knn_graph": 1.47,
     "streaming_paragraph_dedup": 1.47,
     "streaming_srp_registry": 1.47,
+    "dedup_embedding_cosine_strict": 1.5,  # r10: warm 1.28 + collect
     "text_winnow_overlap": 1.5,
     "streaming_running_max_cursor": 1.55,
     "streaming_session_window": 1.62,

@@ -109,7 +109,34 @@ def generate() -> None:
     )
     pq.write_table(vecs, f"{DATA_DIR}/embeddings.parquet",
                    row_group_size=max(4096, N_VECS // 56))
-    print(f"generated {N_DOCS} docs / {N_VECS} vectors in {DATA_DIR}")
+
+    # Sparse near-dup regime (r10, VERDICT r9 #1): the clustered
+    # corpus above makes EVERY within-cluster pair a near-dup, so
+    # any >= 0.8 pair miner's OUTPUT is quadratic there by
+    # construction. Production corpora are the opposite shape —
+    # isotropic bulk (random 64-dim pairs sit at cos ~0, far under
+    # 0.8) with a sparse ~1% planted near-dup population — and that
+    # is the regime dedup_embedding_cosine_strict's 100x line runs
+    # on: output is corpus-LINEAR (one row per planted pair).
+    os.makedirs(f"{DATA_DIR}/sparse", exist_ok=True)
+    sp = rng.normal(0, 1.0, size=(N_VECS, 64))
+    n_pairs = N_VECS // 100
+    for i in range(n_pairs):
+        a, b = 2 * i, 2 * i + 1
+        sp[b] = sp[a] + rng.normal(0, 0.22, size=64)  # cos ~0.93
+    sparse = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [row.astype("float32") for row in sp],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(sparse, f"{DATA_DIR}/sparse/embeddings.parquet",
+                   row_group_size=max(4096, N_VECS // 56))
+    print(f"generated {N_DOCS} docs / {N_VECS} vectors "
+          f"(+ sparse near-dup regime, {n_pairs} planted pairs) in {DATA_DIR}")
 
 
 def stage_report(ui: str) -> list[dict]:
@@ -193,7 +220,9 @@ def check_float_margins() -> dict:
 
 
 def main() -> None:
-    if not os.path.exists(f"{DATA_DIR}/documents.parquet"):
+    if not os.path.exists(f"{DATA_DIR}/documents.parquet") or not os.path.exists(
+        f"{DATA_DIR}/sparse/embeddings.parquet"
+    ):
         generate()
 
     margins = check_float_margins()
@@ -331,6 +360,20 @@ def main() -> None:
         secs = round(time.perf_counter() - t0, 2)
         results[name] = {"rows": n, "sec": secs}
         print(f"\n== {name}: {n} rows in {secs}s ==")
+
+    # The production-shaped strict near-dup miner runs on the sparse
+    # regime (see generate()): output must be corpus-linear — every
+    # planted pair and nothing else at 64-dim isotropic bulk.
+    t0 = time.perf_counter()
+    n = reg["dedup_embedding_cosine_strict"].fn(
+        spark, f"{DATA_DIR}/sparse"
+    ).count()
+    secs = round(time.perf_counter() - t0, 2)
+    results["dedup_embedding_cosine_strict(sparse)"] = {"rows": n, "sec": secs}
+    print(f"\n== dedup_embedding_cosine_strict(sparse): {n} rows in {secs}s ==")
+    assert n >= (N_VECS // 100) * 0.95, (
+        f"strict miner recovered only {n} of ~{N_VECS // 100} planted pairs"
+    )
 
     report = stage_report(ui)
     shuffly = [s for s in report if s["shuffle_write_mb"] or s["shuffle_read_mb"]]
