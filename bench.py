@@ -296,6 +296,14 @@ def _one_pass_child(sf_dir: str) -> None:
         one_time["stream_source_documents_build_sec"] = round(
             time.perf_counter() - t0, 4
         )
+    if "streaming_session_window" in bench_queries:
+        from go_integ_spark.streaming.queries import _events_stream_source
+
+        t0 = time.perf_counter()
+        _events_stream_source(spark, sf_dir)
+        one_time["stream_source_events_build_sec"] = round(
+            time.perf_counter() - t0, 4
+        )
     for k, v in one_time.items():
         print(f"# {k}: {v:.3f}s", file=sys.stderr)
     timings = _run_pass(spark, registry, bench_queries, sf_dir)

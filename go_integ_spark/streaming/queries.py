@@ -174,6 +174,12 @@ def streaming_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_session_window",
     tags=("streaming", "session", "event_time"),
+    # r10 (VERDICT r9 #7): second streaming headline line — the
+    # native session_window + state-store shape, complementing
+    # streaming_paragraph_dedup's explode+dedup shape. Its one-time
+    # events stream-source write bills to its own bench line
+    # (stream_source_events_build_sec).
+    bench=True,
     oracle="""
 WITH gaps AS (
     SELECT user_id, ts,
