@@ -196,6 +196,23 @@ def generate_multilang() -> None:
           f"{len(MULTILANG)} languages in {DATA_DIR}/multilang")
 
 
+
+def _max_stage_id(ui: str) -> int:
+    """Highest stage id the UI has seen — sampled before/after each
+    smoke line so every stage in the report is ATTRIBUTABLE to the
+    query that ran it (r10: the 6.6x worst-skew stage was guessable
+    but not provable before this)."""
+    try:
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages")
+        )
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:
+        return -1
+
+
 def stage_report(ui: str) -> list[dict]:
     """Per completed stage: shuffle bytes + task-time quantiles."""
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
@@ -299,6 +316,18 @@ def main() -> None:
     # precedent): the docs stream-source write feeding the streaming
     # smoke line.
     results = {}
+
+    def timed(name, thunk, extra=None):
+        lo = _max_stage_id(ui) + 1
+        t0 = time.perf_counter()
+        n = thunk()
+        secs = round(time.perf_counter() - t0, 2)
+        results[name] = {"rows": n, "sec": secs,
+                         "stages": [lo, _max_stage_id(ui)]}
+        if extra:
+            results[name].update(extra() if callable(extra) else extra)
+        print(f"\n== {name}: {n} rows in {secs}s ==")
+        return n
     # Named session warmup (r10, VERDICT r9 #5): the ann_ivfpq_topk
     # 100x "variance" (10.6-19.5 s across runs) was never ADC vs LUT
     # — phase-profiled, EVERY phase (centroid collect 5.5->0.45 s,
@@ -307,7 +336,6 @@ def main() -> None:
     # cache. Absorbing that into a billed warmup line makes the
     # measured lines position-independent: two fresh-process runs of
     # the ivfpq line then agree within 2.5% (12.69 / 12.37 s).
-    t0 = time.perf_counter()
     from pyspark.sql import functions as F
 
     from go_integ_spark.tables import load_table
@@ -316,22 +344,23 @@ def main() -> None:
     # resolution in pandas_udf's eval-type inference
     _noop = F.pandas_udf(lambda x: x.astype(float), "double")
 
-    wemb = load_table(spark, DATA_DIR, "embeddings")
-    wemb.select(F.sum(_noop(F.col("vec_id")))).collect()
-    wemb.agg(F.sum(F.size("embedding"))).collect()
-    load_table(spark, DATA_DIR, "documents").agg(
-        F.sum(F.length("text"))
-    ).collect()
-    results["session_warmup"] = {
-        "rows": 0, "sec": round(time.perf_counter() - t0, 2),
-    }
-    t0 = time.perf_counter()
+    def _warm():
+        wemb = load_table(spark, DATA_DIR, "embeddings")
+        wemb.select(F.sum(_noop(F.col("vec_id")))).collect()
+        wemb.agg(F.sum(F.size("embedding"))).collect()
+        load_table(spark, DATA_DIR, "documents").agg(
+            F.sum(F.length("text"))
+        ).collect()
+        return 0
+
+    timed("session_warmup", _warm)
+
     from go_integ_spark.streaming.queries import _docs_stream_source
 
-    _docs_stream_source(spark, DATA_DIR)
-    results["stream_source_documents_build"] = {
-        "rows": 0, "sec": round(time.perf_counter() - t0, 2),
-    }
+    timed(
+        "stream_source_documents_build",
+        lambda: (_docs_stream_source(spark, DATA_DIR), 0)[1],
+    )
     for name in (
         "dedup_minhash_lsh",
         "ann_ivf_topk",
@@ -440,22 +469,17 @@ def main() -> None:
         # boilerplate opening (the hot hash key by construction).
         "dedup_exact_substring",
     ):
-        t0 = time.perf_counter()
-        n = reg[name].fn(spark, DATA_DIR).count()
-        secs = round(time.perf_counter() - t0, 2)
-        results[name] = {"rows": n, "sec": secs}
-        print(f"\n== {name}: {n} rows in {secs}s ==")
+        timed(name, lambda q=name: reg[q].fn(spark, DATA_DIR).count())
 
     # The production-shaped strict near-dup miner runs on the sparse
     # regime (see generate()): output must be corpus-linear — every
     # planted pair and nothing else at 64-dim isotropic bulk.
-    t0 = time.perf_counter()
-    n = reg["dedup_embedding_cosine_strict"].fn(
-        spark, f"{DATA_DIR}/sparse"
-    ).count()
-    secs = round(time.perf_counter() - t0, 2)
-    results["dedup_embedding_cosine_strict(sparse)"] = {"rows": n, "sec": secs}
-    print(f"\n== dedup_embedding_cosine_strict(sparse): {n} rows in {secs}s ==")
+    n = timed(
+        "dedup_embedding_cosine_strict(sparse)",
+        lambda: reg["dedup_embedding_cosine_strict"].fn(
+            spark, f"{DATA_DIR}/sparse"
+        ).count(),
+    )
     assert n >= (N_VECS // 100) * 0.95, (
         f"strict miner recovered only {n} of ~{N_VECS // 100} planted pairs"
     )
@@ -468,14 +492,11 @@ def main() -> None:
     # contribute pairs.
     from go_integ_spark.operators.similarity import similarity_bitext_pairs
 
-    t0 = time.perf_counter()
     ml = similarity_bitext_pairs(spark, f"{DATA_DIR}/multilang")
-    ml_rows = ml.count()
-    secs = round(time.perf_counter() - t0, 2)
+    timed("similarity_bitext_pairs(12lang)", ml.count)
     ml_langs = ml.select("tgt_lang").distinct().count()
-    results["similarity_bitext_pairs(12lang)"] = {"rows": ml_rows, "sec": secs}
-    print(f"\n== similarity_bitext_pairs(12lang): {ml_rows} rows "
-          f"({ml_langs} target languages) in {secs}s ==")
+    results["similarity_bitext_pairs(12lang)"]["target_langs"] = ml_langs
+    print(f"   ({ml_langs} target languages)")
     # the >= 1.0 ratio-margin legitimately blanks a borderline
     # language (10/11 at the 10x regime); broad coverage is the claim
     assert ml_langs >= 9, f"expected pairs in >=9 of 11 target langs, got {ml_langs}"
@@ -483,16 +504,29 @@ def main() -> None:
     report = stage_report(ui)
     shuffly = [s for s in report if s["shuffle_write_mb"] or s["shuffle_read_mb"]]
     worst = max((s["skew"] or 0) for s in shuffly) if shuffly else 0
+
+    def owner(stage_id: int) -> str:
+        for qname, r in results.items():
+            lo, hi = r.get("stages", (1, 0))
+            if lo <= stage_id <= hi:
+                return qname
+        return "?"
+
     for s in shuffly:
         print(
             f"stage {s['stage']:>3} tasks={s['tasks']:>3} "
             f"shufW={s['shuffle_write_mb']:>8}MB shufR={s['shuffle_read_mb']:>8}MB "
             f"task med/max={s['task_med_ms']:.0f}/{s['task_max_ms']:.0f}ms "
-            f"skew={s['skew']} | {s['name']}"
+            f"skew={s['skew']} | {owner(s['stage'])}"
         )
+    worst_stage = max(
+        shuffly, key=lambda s: s["skew"] or 0, default=None
+    ) if shuffly else None
+    worst_owner = owner(worst_stage["stage"]) if worst_stage else "-"
     print(f"\nworst shuffle-stage task skew (max/median): {worst}x "
-          f"({'PASS' if worst < 10 else 'FAIL'} vs the 10x bound)")
-    print(json.dumps({"queries": results, "worst_skew": worst}))
+          f"(in {worst_owner}; {'PASS' if worst < 10 else 'FAIL'} vs the 10x bound)")
+    print(json.dumps({"queries": results, "worst_skew": worst,
+                      "worst_skew_query": worst_owner}))
     spark.stop()
 
 
