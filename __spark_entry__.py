@@ -247,6 +247,8 @@ _MEASURED_COST = {
     "dedup_lsh_pairs_build": 3.33,
     "connector_datasource_distributed_read": 4.08,
     "embedding_communities": 6.48,
+    "er_blocked_fuzzy_parts": 1.51,
+    "events_changepoint_cusum": 3.18,
 }
 
 

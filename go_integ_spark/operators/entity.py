@@ -1,0 +1,129 @@
+"""Entity resolution: blocked fuzzy matching over record names.
+
+The classic record-linkage shape a training-data/metadata pipeline
+needs (the reference framework extracts records; linking the
+near-identical ones is the first downstream cleanup): cheap
+deterministic BLOCKING key -> within-block pairwise edit distance on
+the DISTINCT-name table -> match pairs with record counts.
+
+Spark-first scale design (the dedup_minhash_lsh discipline applied
+to string ER):
+
+- comparisons run on the *distinct-name* table, never the record
+  table: the corpus is touched once by a map-side-combined groupBy,
+  and everything after is vocabulary-sized (at 100 TB the record
+  table is petabytes but the distinct-name table still fits a
+  broadcast);
+- the block key (last name token) bounds the candidate set exactly
+  like an LSH band bucket: the pair join is an equi-join on the
+  block key, one shuffle of name-sized rows, never an all-pairs
+  cross product;
+- `MAX_BLOCK` drops degenerate mega-blocks (a block holding half the
+  vocabulary makes the within-block quadratic explode; production ER
+  re-blocks those on a finer key). The cap is part of the oracle
+  contract (the similarity_threshold_join precedent) so a binding
+  cap can never silently diverge;
+- `levenshtein` runs JVM-side (Catalyst built-in) on both engines.
+
+Nothing here exists in the reference (its framework has zero
+analytics operators, SURVEY.md §2.3); this is a net-new capability
+of the Spark engine, like the join/agg surface in relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_integ_spark.registry import register
+from go_integ_spark.tables import load_table
+
+# Match if edit distance <= MAX_EDIT (tight fuzzy: one-token adjective
+# typos / abbreviations land here; the observed sf0.01 distribution is
+# d=1:8, d=2:16, d>=3:128+ pairs, so 2 keeps matches selective).
+MAX_EDIT = 2
+
+# Blocks holding more than this many DISTINCT names are dropped whole
+# (degenerate blocking key; production re-blocks on a finer key).
+# Non-binding on every gate corpus (8 names/block at sf0.01) — the
+# oracle enforces the same cap so binding is always cross-checked.
+MAX_BLOCK = 1_000
+
+ER_FUZZY_ORACLE = f"""
+WITH names AS (
+    SELECT p_name,
+           split_part(p_name, ' ', 2) AS block_key,
+           CAST(count(*) AS BIGINT) AS n_records
+    FROM part
+    GROUP BY 1, 2
+), blocks AS (
+    SELECT *, count(*) OVER (PARTITION BY block_key) AS block_n
+    FROM names
+), kept AS (
+    SELECT * FROM blocks WHERE block_n <= {MAX_BLOCK}
+)
+SELECT a.block_key,
+       a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+       a.n_records AS records_a,
+       b.n_records AS records_b
+FROM kept a
+JOIN kept b
+  ON a.block_key = b.block_key AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {MAX_EDIT}
+"""
+
+
+@register(
+    "er_blocked_fuzzy_parts",
+    tags=("entity", "join", "fuzzy"),
+    oracle=ER_FUZZY_ORACLE,
+)
+def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity-match pairs over part names.
+
+    Plan: one map-side-combined groupBy collapses records to the
+    distinct-name table (with record counts — the survivorship
+    input); a window over block_key sizes each block for the
+    MAX_BLOCK guard; the candidate join is a self equi-join on
+    block_key with `a.p_name < b.p_name` halving + dedup'ing pairs;
+    `levenshtein` filters JVM-side. No cross join anywhere — the
+    quadratic is bounded per block and the joined relation is
+    vocabulary-sized, not corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(
+        F.col("p_name"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    kept = names.withColumn(
+        "block_n", F.count(F.lit(1)).over(Window.partitionBy("block_key"))
+    ).filter(F.col("block_n") <= MAX_BLOCK)
+
+    a = kept.select(
+        "block_key",
+        F.col("p_name").alias("name_a"),
+        F.col("n_records").alias("records_a"),
+    )
+    b = kept.select(
+        "block_key",
+        F.col("p_name").alias("name_b"),
+        F.col("n_records").alias("records_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= MAX_EDIT)
+        .select(
+            "block_key",
+            "name_a",
+            "name_b",
+            dist.cast("int").alias("edit_dist"),
+            "records_a",
+            "records_b",
+        )
+    )

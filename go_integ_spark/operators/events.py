@@ -1371,3 +1371,163 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("value_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM mean-shift changepoint detection (Page 1954) over the
+# gap-filled hourly series. Everything downstream of the hourly
+# rollup is INTEGER math so both engines produce bit-identical
+# cumulative statistics (float prefix sums would hash-diverge on
+# summation order — the fixed-point discipline events_session_stats
+# uses for value_micro):
+#
+#   H        = hours on the spine (same for every type),
+#   dev_t    = H*n_t - total            (= H*(n_t - mean), exact),
+#   sig_h    = sqrt(H*sum(n^2) - total^2)  (= H*sigma_pop; sqrt is
+#              IEEE-correctly-rounded, so identical across engines),
+#   slack    = floor(sig_h / 2)         (k = sigma/2 allowance),
+#   P_t      = prefix_sum(dev_t - slack),
+#   cusum+_t = P_t - min(P_1..P_t)      (the max(0, ...) recursion
+#              rewritten as prefix-sum minus running minimum — the
+#              standard window-expressible form),
+#   and symmetrically cusum- from Q_t = prefix_sum(dev_t + slack).
+#
+# A shift is flagged when either side exceeds 4*sigma (scaled:
+# floor(4*sig_h)). Reported cusum columns are descaled (/H) and
+# rounded for reading; the FLAG is computed on the raw integers.
+CUSUM_SLACK_DEN = 2  # allowance k = sigma / 2
+CUSUM_H_MULT = 4  # decision threshold h = 4 * sigma
+
+CUSUM_ORACLE = f"""
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo,
+           date_trunc('hour', max(ts)) AS hi
+    FROM events
+), spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+    FROM bounds
+), types AS (
+    SELECT unnest({list(EVENT_TYPES)}) AS event_type
+), counts AS (
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+), hourly AS (
+    SELECT s.hour_start, t.event_type,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.hour_start = s.hour_start AND c.event_type = t.event_type
+), stats AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS h_n,
+           CAST(sum(n) AS BIGINT) AS total,
+           CAST(sum(n * n) AS BIGINT) AS ssq
+    FROM hourly GROUP BY event_type
+), scaled AS (
+    SELECT h.hour_start, h.event_type, h.n, s.h_n,
+           h.n * s.h_n - s.total AS dev,
+           CAST(floor(sqrt(CAST(s.h_n * s.ssq - s.total * s.total AS DOUBLE))
+                      / {CUSUM_SLACK_DEN}) AS BIGINT) AS slack,
+           CAST(floor({CUSUM_H_MULT} *
+                      sqrt(CAST(s.h_n * s.ssq - s.total * s.total AS DOUBLE)))
+                AS BIGINT) AS thresh
+    FROM hourly h JOIN stats s USING (event_type)
+), walks AS (
+    SELECT *,
+           sum(dev - slack) OVER w AS p,
+           sum(dev + slack) OVER w AS q
+    FROM scaled
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), cusum AS (
+    -- the running extremum must include the EMPTY prefix (P_0 = 0):
+    -- max(0, S) clamping is what least/greatest-with-0 encodes
+    SELECT *,
+           p - least(CAST(0 AS BIGINT), min(p) OVER w) AS cpos,
+           greatest(CAST(0 AS BIGINT), max(q) OVER w) - q AS cneg
+    FROM walks
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT hour_start, event_type, n,
+       round(CAST(cpos AS DOUBLE) / h_n, 4) AS cusum_pos,
+       round(CAST(cneg AS DOUBLE) / h_n, 4) AS cusum_neg,
+       (cpos > thresh OR cneg > thresh) AS is_shift
+FROM cusum
+"""
+
+
+@register(
+    "events_changepoint_cusum",
+    tags=("events", "window", "changepoint"),
+    oracle=CUSUM_ORACLE,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM mean-shift detection per event type.
+
+    Plan shape: the corpus is touched exactly twice (bounds, hourly
+    rollup — both map-side combined, the gapfill precedent); the
+    spine frame is hours x types, so the per-type global stats are a
+    tiny aggregate broadcast back, and the two window passes (prefix
+    sums, then running extrema over them) share ONE sort within one
+    Window chain — no extra exchange. At 100 TB the only
+    corpus-sized op is still the first rollup; the CUSUM walk runs
+    over the hours-x-types frame, which a millennium of hourly data
+    keeps under ten million rows. (int64 headroom: dev is
+    hours x peak-hourly-count — at 1e5 hours and 1e9 events/hour the
+    prefix sums reach ~1e19; beyond that, bucket to days or switch
+    the walk columns to DECIMAL(38,0).)
+    """
+    from go_integ_spark.functions.cache import cached_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    # hourly feeds the stats subtree AND the walk join; without a
+    # persist each lineage re-runs the corpus scan + rollup (the
+    # anomaly_hourly precedent — the persisted frame is hours x types)
+    hourly = cached_persist(
+        "cusum_hourly", ev, lambda: events_hourly_gapfill(spark, sf_dir)
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h_n"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ssq"),
+    )
+    var_num = F.col("h_n") * F.col("ssq") - F.col("total") * F.col("total")
+    sig_h = F.sqrt(var_num.cast("double"))
+    scaled = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("dev", F.col("n") * F.col("h_n") - F.col("total"))
+        .withColumn(
+            "slack", F.floor(sig_h / F.lit(CUSUM_SLACK_DEN)).cast("bigint")
+        )
+        .withColumn(
+            "thresh", F.floor(F.lit(CUSUM_H_MULT) * sig_h).cast("bigint")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walks = scaled.withColumn(
+        "p", F.sum(F.col("dev") - F.col("slack")).over(w)
+    ).withColumn("q", F.sum(F.col("dev") + F.col("slack")).over(w))
+    # running extremum over the prefix INCLUDING the empty prefix
+    # (P_0 = 0) — without the 0 clamp the first rows of each side
+    # lose the max(0, .) reflection of Page's recursion
+    zero = F.lit(0).cast("bigint")
+    cusum = walks.withColumn(
+        "cpos", F.col("p") - F.least(zero, F.min("p").over(w))
+    ).withColumn("cneg", F.greatest(zero, F.max("q").over(w)) - F.col("q"))
+    return cusum.select(
+        "hour_start",
+        "event_type",
+        "n",
+        F.round(F.col("cpos").cast("double") / F.col("h_n"), 4).alias("cusum_pos"),
+        F.round(F.col("cneg").cast("double") / F.col("h_n"), 4).alias("cusum_neg"),
+        ((F.col("cpos") > F.col("thresh")) | (F.col("cneg") > F.col("thresh"))).alias(
+            "is_shift"
+        ),
+    )

@@ -54,6 +54,7 @@ def load_all() -> dict[str, QuerySpec]:
         advanced,
         curation,
         dedup,
+        entity,
         events,
         multimodal,
         relational,

@@ -1,0 +1,140 @@
+"""Round-10 session-2 operators: blocked fuzzy entity resolution and
+CUSUM changepoint detection.
+
+Value parity vs DuckDB is covered by the generic registry sweep
+(test_queries_oracle.py); these tests pin the claims the sweep can't
+see — plan shape (no cartesian anywhere near the blocked self-join),
+the MAX_BLOCK guard actually binding, and the window-algebra rewrite
+of the CUSUM recursion being the recursion.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from go_integ_spark.operators import entity
+from go_integ_spark.operators.events import (
+    CUSUM_H_MULT,
+    CUSUM_SLACK_DEN,
+    events_changepoint_cusum,
+    events_hourly_gapfill,
+)
+from go_integ_spark.registry import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestErBlockedFuzzy:
+    def test_no_cartesian_and_pair_contract(self, spark):
+        df = entity.er_blocked_fuzzy_parts(spark, SF)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        rows = df.collect()
+        assert rows, "gate corpus must produce fuzzy matches"
+        for r in rows:
+            # pairs are canonical (a < b), block-local, and within
+            # the edit budget
+            assert r.name_a < r.name_b
+            assert r.name_a.endswith(r.block_key)
+            assert r.name_b.endswith(r.block_key)
+            assert 1 <= r.edit_dist <= entity.MAX_EDIT
+            assert r.records_a >= 1 and r.records_b >= 1
+
+    def test_block_cap_binds(self, spark, monkeypatch):
+        # Every gate block holds ~8 distinct names; a cap of 3 must
+        # drop ALL blocks (the guard is a real filter, not prose).
+        monkeypatch.setattr(entity, "MAX_BLOCK", 3)
+        assert entity.er_blocked_fuzzy_parts(spark, SF).count() == 0
+
+    def test_comparisons_run_on_distinct_names(self, spark):
+        # The join input is the vocabulary-sized distinct-name table:
+        # total candidate comparisons are bounded by
+        # sum(block_size^2), never by record count. 2000 records,
+        # 64 names -> the match table must be far smaller than the
+        # record-pair explosion (~31x31 per matched name pair).
+        df = entity.er_blocked_fuzzy_parts(spark, SF)
+        n_pairs = df.count()
+        from go_integ_spark.tables import load_table
+
+        n_names = (
+            load_table(spark, SF, "part").select("p_name").distinct().count()
+        )
+        assert n_pairs <= n_names * (n_names - 1) // 2
+
+
+class TestCusumChangepoint:
+    def test_window_form_equals_page_recursion(self, spark):
+        """The registered query computes cusum via prefix-sum minus
+        running-extremum; replay Page's max(0, .) recursion in exact
+        integer arithmetic and require bit-equality of the descaled
+        rounded outputs AND the flags."""
+        import math
+        from collections import defaultdict
+
+        hourly = {
+            (r.event_type, r.hour_start): r.n
+            for r in events_hourly_gapfill(spark, SF).collect()
+        }
+        by_type = defaultdict(list)
+        for (et, h), n in hourly.items():
+            by_type[et].append((h, n))
+        expect = {}
+        for et, series in by_type.items():
+            series.sort()
+            hn = len(series)
+            total = sum(n for _, n in series)
+            ssq = sum(n * n for _, n in series)
+            sig_h = math.sqrt(hn * ssq - total * total)
+            slack = math.floor(sig_h / CUSUM_SLACK_DEN)
+            thresh = math.floor(CUSUM_H_MULT * sig_h)
+            sp = sn = 0
+            for h, n in series:
+                dev = n * hn - total
+                sp = max(0, sp + dev - slack)
+                sn = max(0, sn - dev - slack)
+                expect[(et, h)] = (
+                    round(sp / hn, 4),
+                    round(sn / hn, 4),
+                    sp > thresh or sn > thresh,
+                )
+
+        got = events_changepoint_cusum(spark, SF).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            e = expect[(r.event_type, r.hour_start)]
+            assert (r.cusum_pos, r.cusum_neg, r.is_shift) == e, (
+                r.event_type,
+                r.hour_start,
+            )
+
+    def test_integer_walk_no_float_prefix_sums(self, spark):
+        # The walk columns must be exact integers end-to-end: the
+        # analyzed schema of the registered output keeps the flag
+        # boolean and descaled cusum as DoubleType, but the internal
+        # p/q/cpos/cneg math is LongType (a float prefix sum would
+        # hash-diverge between engines on summation order).
+        df = events_changepoint_cusum(spark, SF)
+        kinds = dict(df.dtypes)
+        assert kinds == {
+            "hour_start": "timestamp",
+            "event_type": "string",
+            "n": "bigint",
+            "cusum_pos": "double",
+            "cusum_neg": "double",
+            "is_shift": "boolean",
+        }
+
+    def test_registered_with_oracle_and_family(self):
+        reg = load_all()
+        for name, fam in (
+            ("events_changepoint_cusum", "events"),
+            ("er_blocked_fuzzy_parts", "entity"),
+        ):
+            spec = reg[name]
+            assert spec.oracle is not None
+            assert spec.tags[0] == fam
