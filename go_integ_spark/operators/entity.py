@@ -75,6 +75,51 @@ WHERE levenshtein(a.p_name, b.p_name) <= {MAX_EDIT}
 """
 
 
+def _kept_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-name table with blocking key, record count, a stable
+    long node id (min record key — identical on both engines), and
+    the MAX_BLOCK guard applied."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(
+        F.col("p_name"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.min("p_partkey").cast("bigint").alias("nid"),
+    )
+    return names.withColumn(
+        "block_n", F.count(F.lit(1)).over(Window.partitionBy("block_key"))
+    ).filter(F.col("block_n") <= MAX_BLOCK)
+
+
+def _match_pairs(kept: DataFrame) -> DataFrame:
+    """Within-block fuzzy match pairs over the distinct-name table:
+    equi-join on block_key, `name_a < name_b` canonicalization, JVM
+    levenshtein filter. Carries both display columns and the node
+    ids the clustering stage consumes."""
+    a = kept.select(
+        "block_key",
+        F.col("p_name").alias("name_a"),
+        F.col("n_records").alias("records_a"),
+        F.col("nid").alias("src"),
+    )
+    b = kept.select(
+        "block_key",
+        F.col("p_name").alias("name_b"),
+        F.col("n_records").alias("records_b"),
+        F.col("nid").alias("dst"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= MAX_EDIT)
+        .withColumn("edit_dist", dist.cast("int"))
+    )
+
+
 @register(
     "er_blocked_fuzzy_parts",
     tags=("entity", "join", "fuzzy"),
@@ -92,38 +137,109 @@ def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic is bounded per block and the joined relation is
     vocabulary-sized, not corpus-sized.
     """
+    return _match_pairs(_kept_names(spark, sf_dir)).select(
+        "block_key",
+        "name_a",
+        "name_b",
+        "edit_dist",
+        "records_a",
+        "records_b",
+    )
+
+
+ER_GOLDEN_ORACLE = f"""
+WITH RECURSIVE names AS (
+    SELECT p_name,
+           split_part(p_name, ' ', 2) AS block_key,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(min(p_partkey) AS BIGINT) AS nid
+    FROM part
+    GROUP BY 1, 2
+), blocks AS (
+    SELECT *, count(*) OVER (PARTITION BY block_key) AS block_n
+    FROM names
+), kept AS (
+    SELECT * FROM blocks WHERE block_n <= {MAX_BLOCK}
+), mpairs AS (
+    SELECT a.nid AS src, b.nid AS dst
+    FROM kept a
+    JOIN kept b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {MAX_EDIT}
+), edges AS (
+    SELECT src, dst FROM mpairs
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM mpairs
+), reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+    SELECT src AS nid, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+), member AS (
+    SELECT n.p_name, n.n_records, c.cluster_id
+    FROM kept n JOIN comp c ON n.nid = c.nid
+), ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_records DESC, p_name
+           ) AS rn,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM member
+)
+SELECT cluster_id, p_name AS entity_name, n_records, cluster_size,
+       rn = 1 AS is_golden
+FROM ranked
+"""
+
+
+@register(
+    "er_golden_record",
+    tags=("entity", "graph", "survivorship"),
+    oracle=ER_GOLDEN_ORACLE,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship over the fuzzy-match graph: connected components
+    cluster the matched names (cluster id = smallest member node id),
+    then one window pass elects the golden record per cluster — the
+    name holding the most records, tie-broken lexicographically.
+    The record-linkage counterpart of dedup_canonical_pick: mine
+    pairs -> cluster -> keep one canonical identity.
+
+    Scale shape: the match graph lives on the vocabulary-sized
+    distinct-name table, so the iterative CC (min-label propagation
+    with path halving, dedup.connected_components) runs on a graph
+    orders of magnitude smaller than the record table; the
+    survivorship window partitions by cluster_id, bounded by the
+    largest fuzzy cluster, never the corpus. Matched-name clusters
+    only — unmatched names are already their own golden record and
+    stay on the main table.
+    """
     from pyspark.sql import Window
 
-    part = load_table(spark, sf_dir, "part")
-    names = part.groupBy(
-        F.col("p_name"),
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_records"))
-    kept = names.withColumn(
-        "block_n", F.count(F.lit(1)).over(Window.partitionBy("block_key"))
-    ).filter(F.col("block_n") <= MAX_BLOCK)
+    from go_integ_spark.operators.dedup import connected_components
 
-    a = kept.select(
-        "block_key",
-        F.col("p_name").alias("name_a"),
-        F.col("n_records").alias("records_a"),
+    kept = _kept_names(spark, sf_dir)
+    edges = _match_pairs(kept).select(
+        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
     )
-    b = kept.select(
-        "block_key",
-        F.col("p_name").alias("name_b"),
-        F.col("n_records").alias("records_b"),
+    comp = connected_components(edges).select(
+        F.col("node").alias("nid"), F.col("component").alias("cluster_id")
     )
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return (
-        a.join(b, "block_key")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(dist <= MAX_EDIT)
-        .select(
-            "block_key",
-            "name_a",
-            "name_b",
-            dist.cast("int").alias("edit_dist"),
-            "records_a",
-            "records_b",
-        )
+    member = kept.join(comp, "nid")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_records"), F.asc("p_name")
+    )
+    return member.select(
+        "cluster_id",
+        F.col("p_name").alias("entity_name"),
+        "n_records",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("bigint")
+        .alias("cluster_size"),
+        (F.row_number().over(w) == 1).alias("is_golden"),
     )

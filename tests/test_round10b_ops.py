@@ -67,6 +67,40 @@ class TestErBlockedFuzzy:
         assert n_pairs <= n_names * (n_names - 1) // 2
 
 
+class TestErGoldenRecord:
+    def test_one_golden_per_cluster_and_majority_rule(self, spark):
+        rows = entity.er_golden_record(spark, SF).collect()
+        assert rows
+        from collections import defaultdict
+
+        by_cluster = defaultdict(list)
+        for r in rows:
+            by_cluster[r.cluster_id].append(r)
+        for cid, members in by_cluster.items():
+            golden = [m for m in members if m.is_golden]
+            assert len(golden) == 1, cid
+            g = golden[0]
+            # survivorship: most records, tie-broken lexicographically
+            best = max(members, key=lambda m: (m.n_records, ""))
+            assert g.n_records == best.n_records
+            ties = [m for m in members if m.n_records == g.n_records]
+            assert g.entity_name == min(t.entity_name for t in ties)
+            assert all(m.cluster_size == len(members) for m in members)
+            # cluster id is the smallest member node id, so it can
+            # never exceed any member's own min record key
+            assert cid >= 0
+
+    def test_cluster_members_are_transitively_matched(self, spark):
+        # every matched pair's two names land in the same cluster
+        pairs = entity.er_blocked_fuzzy_parts(spark, SF).collect()
+        cluster_of = {
+            r.entity_name: r.cluster_id
+            for r in entity.er_golden_record(spark, SF).collect()
+        }
+        for p in pairs:
+            assert cluster_of[p.name_a] == cluster_of[p.name_b]
+
+
 class TestCusumChangepoint:
     def test_window_form_equals_page_recursion(self, spark):
         """The registered query computes cusum via prefix-sum minus
