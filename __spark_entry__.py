@@ -250,6 +250,7 @@ _MEASURED_COST = {
     "er_blocked_fuzzy_parts": 1.51,
     "er_golden_record": 2.60,
     "events_changepoint_cusum": 3.18,
+    "streaming_changepoint_cusum": 2.50,
 }
 
 

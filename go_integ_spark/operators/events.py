@@ -1489,6 +1489,14 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = cached_persist(
         "cusum_hourly", ev, lambda: events_hourly_gapfill(spark, sf_dir)
     )
+    return cusum_from_hourly(hourly)
+
+
+def cusum_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The CUSUM walk over a gap-filled (hour_start, event_type, n)
+    frame — shared by the batch operator and the streaming twin (the
+    flag_mad_anomalies precedent): the input frame is hours x types,
+    so everything here is vocabulary-of-time-sized."""
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("h_n"),
         F.sum("n").cast("bigint").alias("total"),
@@ -1530,4 +1538,37 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("cpos") > F.col("thresh")) | (F.col("cneg") > F.col("thresh"))).alias(
             "is_shift"
         ),
+    )
+
+
+def gapfill_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Gap-fill an already-aggregated (hour_start, event_type, n)
+    rollup onto the dense hour x type spine. Bounds come from the
+    rollup itself — min/max observed hour_start equal
+    date_trunc('hour', min/max(ts)) because every event lands in an
+    observed hour — so the corpus is never re-scanned (the streaming
+    twin's rollup arrives from the state store, not a table)."""
+    bounds = counts.agg(
+        F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    types = spark.createDataFrame(
+        [(t,) for t in EVENT_TYPES], schema="event_type string"
+    )
+    return (
+        spine.crossJoin(types)
+        .join(
+            counts.withColumnRenamed("n", "c"),
+            ["hour_start", "event_type"],
+            "left",
+        )
+        .select(
+            "hour_start",
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n"),
+        )
     )

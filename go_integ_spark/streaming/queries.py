@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from go_integ_spark.operators.dedup import PARA_HASH_CTE
-from go_integ_spark.operators.events import ANOMALY_MAD_ORACLE
+from go_integ_spark.operators.events import ANOMALY_MAD_ORACLE, CUSUM_ORACLE
 from go_integ_spark.operators.text import CHUNK_ORACLE
 from go_integ_spark.registry import register
 from go_integ_spark.streaming.pipeline import read_stream
@@ -494,6 +494,34 @@ def streaming_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _streamed_hourly_counts(spark, sf_dir)
     return flag_mad_anomalies(out.join(F.broadcast(thresholds), "event_type"))
+
+
+@register(
+    "streaming_changepoint_cusum",
+    tags=("streaming", "changepoint", "event_time"),
+    oracle=CUSUM_ORACLE,
+)
+def streaming_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift detection with the corpus-sized stage run BY
+    THE STREAMING ENGINE: the hourly rollup arrives through the
+    event-time tumbling window + state store (availableNow, >= 2
+    forced state merges), and the integer CUSUM walk runs on the
+    completed hours x types rollup — the monitoring-pipeline shape
+    where ingestion is incremental and the (tiny) decision statistic
+    recomputes per trigger. Gap-filling takes its bounds from the
+    rollup itself (min/max observed hour == truncated min/max ts),
+    so the batch table is never re-scanned. Driven to completion the
+    result equals the batch operator exactly — it shares
+    events_changepoint_cusum's full value oracle.
+    """
+    from go_integ_spark.operators.events import (
+        cusum_from_hourly,
+        gapfill_counts,
+    )
+
+    counts = _streamed_hourly_counts(spark, sf_dir)
+    hourly = gapfill_counts(spark, counts).persist()
+    return cusum_from_hourly(hourly)
 
 
 def _docs_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object]:

@@ -168,7 +168,24 @@ class TestCusumChangepoint:
         for name, fam in (
             ("events_changepoint_cusum", "events"),
             ("er_blocked_fuzzy_parts", "entity"),
+            ("er_golden_record", "entity"),
+            ("streaming_changepoint_cusum", "streaming"),
         ):
             spec = reg[name]
             assert spec.oracle is not None
             assert spec.tags[0] == fam
+
+    def test_streaming_twin_equals_batch(self, spark):
+        """The streaming rollup driven to completion feeds the same
+        walk, so the two registered queries must agree value-exactly
+        (they share one oracle; this pins the Spark sides against
+        each other without DuckDB in the loop)."""
+        from go_integ_spark.streaming.queries import (
+            streaming_changepoint_cusum,
+        )
+
+        batch = {tuple(r) for r in events_changepoint_cusum(spark, SF).collect()}
+        stream = {
+            tuple(r) for r in streaming_changepoint_cusum(spark, SF).collect()
+        }
+        assert batch == stream
