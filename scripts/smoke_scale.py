@@ -31,6 +31,15 @@ import urllib.request
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALE = int(os.environ.get("SMOKE_SCALE", "10"))
+# Comma-separated allowlist of smoke lines (empty = run everything).
+# The 1000x design probe (5M docs / 2M vectors) runs a TARGETED
+# subset this way — the full matrix at 1000x would spend hours on
+# lines whose scale story the 100x pass already establishes.
+ONLY = frozenset(filter(None, os.environ.get("SMOKE_ONLY", "").split(",")))
+
+
+def _selected(name: str) -> bool:
+    return not ONLY or name in ONLY
 N_DOCS = 5_000 * SCALE
 N_VECS = 2_000 * SCALE
 DATA_DIR = os.path.join(
@@ -135,7 +144,8 @@ def generate() -> None:
     )
     pq.write_table(sparse, f"{DATA_DIR}/sparse/embeddings.parquet",
                    row_group_size=max(4096, N_VECS // 56))
-    generate_multilang()
+    if _selected("similarity_bitext_pairs(12lang)"):
+        generate_multilang()
     print(f"generated {N_DOCS} docs / {N_VECS} vectors "
           f"(+ sparse near-dup regime, {n_pairs} planted pairs) in {DATA_DIR}")
 
@@ -298,7 +308,9 @@ def main() -> None:
         f"{DATA_DIR}/sparse/embeddings.parquet"
     ):
         generate()
-    if not os.path.exists(f"{DATA_DIR}/multilang/embeddings.parquet"):
+    if _selected("similarity_bitext_pairs(12lang)") and not os.path.exists(
+        f"{DATA_DIR}/multilang/embeddings.parquet"
+    ):
         generate_multilang()
 
     margins = check_float_margins()
@@ -355,12 +367,13 @@ def main() -> None:
 
     timed("session_warmup", _warm)
 
-    from go_integ_spark.streaming.queries import _docs_stream_source
+    if _selected("streaming_paragraph_dedup"):
+        from go_integ_spark.streaming.queries import _docs_stream_source
 
-    timed(
-        "stream_source_documents_build",
-        lambda: (_docs_stream_source(spark, DATA_DIR), 0)[1],
-    )
+        timed(
+            "stream_source_documents_build",
+            lambda: (_docs_stream_source(spark, DATA_DIR), 0)[1],
+        )
     for name in (
         "dedup_minhash_lsh",
         "ann_ivf_topk",
@@ -469,20 +482,23 @@ def main() -> None:
         # boilerplate opening (the hot hash key by construction).
         "dedup_exact_substring",
     ):
+        if not _selected(name):
+            continue
         timed(name, lambda q=name: reg[q].fn(spark, DATA_DIR).count())
 
     # The production-shaped strict near-dup miner runs on the sparse
     # regime (see generate()): output must be corpus-linear — every
     # planted pair and nothing else at 64-dim isotropic bulk.
-    n = timed(
-        "dedup_embedding_cosine_strict(sparse)",
-        lambda: reg["dedup_embedding_cosine_strict"].fn(
-            spark, f"{DATA_DIR}/sparse"
-        ).count(),
-    )
-    assert n >= (N_VECS // 100) * 0.95, (
-        f"strict miner recovered only {n} of ~{N_VECS // 100} planted pairs"
-    )
+    if _selected("dedup_embedding_cosine_strict(sparse)"):
+        n = timed(
+            "dedup_embedding_cosine_strict(sparse)",
+            lambda: reg["dedup_embedding_cosine_strict"].fn(
+                spark, f"{DATA_DIR}/sparse"
+            ).count(),
+        )
+        assert n >= (N_VECS // 100) * 0.95, (
+            f"strict miner recovered only {n} of ~{N_VECS // 100} planted pairs"
+        )
 
     # Bitext over the 12-language regime (VERDICT r9 #6): the
     # language-count dimension the 4-lang main corpus never tests —
@@ -490,16 +506,19 @@ def main() -> None:
     # (test_round10_ops pins plan-size independence; here the SKEW
     # and runtime bound are the claim), and every language must
     # contribute pairs.
-    from go_integ_spark.operators.similarity import similarity_bitext_pairs
+    if _selected("similarity_bitext_pairs(12lang)"):
+        from go_integ_spark.operators.similarity import similarity_bitext_pairs
 
-    ml = similarity_bitext_pairs(spark, f"{DATA_DIR}/multilang")
-    timed("similarity_bitext_pairs(12lang)", ml.count)
-    ml_langs = ml.select("tgt_lang").distinct().count()
-    results["similarity_bitext_pairs(12lang)"]["target_langs"] = ml_langs
-    print(f"   ({ml_langs} target languages)")
-    # the >= 1.0 ratio-margin legitimately blanks a borderline
-    # language (10/11 at the 10x regime); broad coverage is the claim
-    assert ml_langs >= 9, f"expected pairs in >=9 of 11 target langs, got {ml_langs}"
+        ml = similarity_bitext_pairs(spark, f"{DATA_DIR}/multilang")
+        timed("similarity_bitext_pairs(12lang)", ml.count)
+        ml_langs = ml.select("tgt_lang").distinct().count()
+        results["similarity_bitext_pairs(12lang)"]["target_langs"] = ml_langs
+        print(f"   ({ml_langs} target languages)")
+        # the >= 1.0 ratio-margin legitimately blanks a borderline
+        # language (10/11 at the 10x regime); broad coverage is the claim
+        assert ml_langs >= 9, (
+            f"expected pairs in >=9 of 11 target langs, got {ml_langs}"
+        )
 
     report = stage_report(ui)
     shuffly = [s for s in report if s["shuffle_write_mb"] or s["shuffle_read_mb"]]
