@@ -248,6 +248,7 @@ _MEASURED_COST = {
     "connector_datasource_distributed_read": 4.08,
     "embedding_communities": 6.48,
     "er_blocked_fuzzy_parts": 1.51,
+    "er_blocking_quality": 1.40,
     "er_golden_record": 2.60,
     "events_changepoint_cusum": 3.18,
     "streaming_changepoint_cusum": 2.50,

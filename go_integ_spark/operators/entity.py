@@ -243,3 +243,93 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cluster_size"),
         (F.row_number().over(w) == 1).alias("is_golden"),
     )
+
+
+ER_BLOCKING_QUALITY_ORACLE = f"""
+WITH names AS (
+    SELECT p_name, split_part(p_name, ' ', 2) AS block_key
+    FROM part GROUP BY 1, 2
+), pairs AS (
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.block_key = b.block_key AS same_block,
+           levenshtein(a.p_name, b.p_name) <= {MAX_EDIT} AS is_match
+    FROM names a JOIN names b ON a.p_name < b.p_name
+)
+SELECT CAST((SELECT count(*) FROM names) AS BIGINT) AS n_names,
+       CAST(count(*) AS BIGINT) AS total_pairs,
+       CAST(sum(CASE WHEN same_block THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+       CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN same_block AND is_match THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_caught,
+       round(1.0 - sum(CASE WHEN same_block THEN 1 ELSE 0 END)
+                   / count(*), 4) AS reduction_ratio,
+       round(CASE WHEN sum(CASE WHEN is_match THEN 1 ELSE 0 END) = 0
+                  THEN 1.0
+                  ELSE sum(CASE WHEN same_block AND is_match
+                           THEN 1 ELSE 0 END)
+                       / sum(CASE WHEN is_match THEN 1 ELSE 0 END)
+             END, 4) AS pair_completeness
+FROM pairs
+"""
+
+
+@register(
+    "er_blocking_quality",
+    tags=("entity", "eval", "quality"),
+    oracle=ER_BLOCKING_QUALITY_ORACLE,
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy eval: reduction ratio (share of all-pairs
+    comparisons the block key eliminates) and pair completeness
+    (share of true fuzzy matches the blocking retains) — the two
+    numbers that decide whether a blocking key is shippable before
+    anyone runs the full linkage.
+
+    The ground truth is the UNBLOCKED all-pairs edit-distance sweep
+    over the distinct-name table — a deliberate bounded cross join,
+    the eval-matrix exception (the ann_bruteforce_topk precedent):
+    it is vocabulary x vocabulary, never record x record, and in
+    production this eval runs on a sampled vocabulary while the
+    production path (er_blocked_fuzzy_parts) stays equi-join-only.
+    """
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(
+        F.col("p_name"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("block_key").alias("block_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("block_key").alias("block_b")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            (F.col("block_a") == F.col("block_b")).alias("same_block"),
+            (
+                F.levenshtein(F.col("name_a"), F.col("name_b")) <= MAX_EDIT
+            ).alias("is_match"),
+        )
+    )
+    n_names = names.count()
+    both = F.sum(
+        F.when(F.col("same_block") & F.col("is_match"), 1).otherwise(0)
+    )
+    n_true = F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+    n_cand = F.sum(F.when(F.col("same_block"), 1).otherwise(0))
+    return pairs.agg(
+        F.lit(n_names).cast("bigint").alias("n_names"),
+        F.count(F.lit(1)).cast("bigint").alias("total_pairs"),
+        n_cand.cast("bigint").alias("n_candidates"),
+        n_true.cast("bigint").alias("n_true"),
+        both.cast("bigint").alias("n_caught"),
+        F.round(F.lit(1.0) - n_cand / F.count(F.lit(1)), 4).alias(
+            "reduction_ratio"
+        ),
+        F.round(
+            F.when(n_true == 0, F.lit(1.0)).otherwise(both / n_true), 4
+        ).alias("pair_completeness"),
+    )

@@ -101,6 +101,27 @@ class TestErGoldenRecord:
             assert cluster_of[p.name_a] == cluster_of[p.name_b]
 
 
+class TestErBlockingQuality:
+    def test_metrics_internally_consistent(self, spark):
+        r = entity.er_blocking_quality(spark, SF).collect()[0]
+        assert r.total_pairs == r.n_names * (r.n_names - 1) // 2
+        assert 0 <= r.n_caught <= r.n_true <= r.total_pairs
+        assert r.n_caught <= r.n_candidates <= r.total_pairs
+        assert r.reduction_ratio == round(
+            1.0 - r.n_candidates / r.total_pairs, 4
+        )
+        assert r.pair_completeness == round(r.n_caught / r.n_true, 4)
+        # last-token blocking must be a real reduction on this corpus
+        assert r.reduction_ratio > 0.5
+
+    def test_completeness_agrees_with_production_path(self, spark):
+        # n_caught counts exactly the pairs the production blocked
+        # path emits (same block key, same edit budget, uncapped on
+        # this corpus)
+        r = entity.er_blocking_quality(spark, SF).collect()[0]
+        assert r.n_caught == entity.er_blocked_fuzzy_parts(spark, SF).count()
+
+
 class TestCusumChangepoint:
     def test_window_form_equals_page_recursion(self, spark):
         """The registered query computes cusum via prefix-sum minus
