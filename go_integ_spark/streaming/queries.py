@@ -15,6 +15,7 @@ once per streaming query.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -50,7 +51,15 @@ def _stream_source(
     if cols:
         df = df.select(*cols)
     path = tempfile.mkdtemp(prefix="sg_stream_gate_") + f"/{table}"
-    df.repartition(8).write.mode("overwrite").parquet(path)
+    # 16 MB row groups: a micro-batch's read parallelism is bounded by
+    # row-group count, not file count — with the 128 MB default, the
+    # 1000x probe's ~92 MB files were ONE row group each, so a
+    # 4-file trigger could never parallelize past 4 tasks (26 of 30
+    # scheduled splits read only footers). Gate-scale files are < 16 MB
+    # and keep their single row group; nothing changes there.
+    df.repartition(8).write.mode("overwrite").option(
+        "parquet.block.size", 16 * 1024 * 1024
+    ).parquet(path)
     _STREAM_SRC[key] = (path, df.schema)
     return _STREAM_SRC[key]
 
@@ -67,7 +76,10 @@ def _events_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object
 # sizes this to state volume — the shard count is frozen into the
 # checkpoint at the first run, so it is a capacity decision, not a
 # tuning knob you can turn later.
-STATE_PARTITIONS = 4
+# SG_STATE_PARTITIONS overrides for scale probes (the 1000x smoke
+# carries 14.7M dedup keys — 4 shards is a gate-scale capacity
+# decision, not a constant of the operator).
+STATE_PARTITIONS = int(os.environ.get("SG_STATE_PARTITIONS", "4"))
 
 
 def _run_to_memory(df: DataFrame, output_mode: str, prefix: str) -> DataFrame:
