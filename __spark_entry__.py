@@ -251,6 +251,7 @@ _MEASURED_COST = {
     "er_blocking_quality": 1.40,
     "er_golden_record": 2.60,
     "events_changepoint_cusum": 3.18,
+    "events_forecast_eval": 1.20,
     "streaming_changepoint_cusum": 2.50,
 }
 

@@ -1572,3 +1572,97 @@ def gapfill_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n"),
         )
     )
+
+
+# Seasonal-naive forecast backtest: the sanity baseline every
+# forecasting pipeline must beat (M-competition practice). Horizon-1
+# walk-forward over the gap-filled hourly series; errors are integer
+# |n_t - n_{t-lag}| so every aggregate is a rational of integers and
+# both engines round the same doubles.
+SEASONAL_LAG_H = 168  # one week of hours
+FORECAST_EVAL_ORACLE = f"""
+WITH bounds AS (
+    SELECT date_trunc('hour', min(ts)) AS lo,
+           date_trunc('hour', max(ts)) AS hi
+    FROM events
+), spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+    FROM bounds
+), types AS (
+    SELECT unnest({list(EVENT_TYPES)}) AS event_type
+), counts AS (
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+), hourly AS (
+    SELECT s.hour_start, t.event_type,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS n
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.hour_start = s.hour_start AND c.event_type = t.event_type
+), lagged AS (
+    SELECT *,
+           lag(n, 1) OVER w AS n_lag1,
+           lag(n, {SEASONAL_LAG_H}) OVER w AS n_lag_season
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       round(avg(CAST(abs(n - n_lag1) AS DOUBLE)), 4) AS mae_naive,
+       round(avg(CAST(abs(n - n_lag_season) AS DOUBLE)), 4) AS mae_snaive,
+       round(sum(CAST(abs(n - n_lag_season) AS DOUBLE))
+             / nullif(sum(CAST(abs(n - n_lag1) AS DOUBLE)), 0), 4)
+           AS mase
+FROM lagged
+WHERE n_lag_season IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_forecast_eval",
+    tags=("events", "window", "forecast"),
+    oracle=FORECAST_EVAL_ORACLE,
+)
+def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the two canonical baselines — naive
+    (last hour) and seasonal-naive (same hour last week) — per event
+    type, with MASE (seasonal MAE over naive MAE) as the skill score.
+    The eval a forecasting deployment runs before trusting any model:
+    a model that can't beat seasonal-naive is noise.
+
+    Plan shape: same discipline as the CUSUM walk — the corpus is
+    touched only by the map-side-combined rollup; lags and error
+    aggregates run on the hours x types frame (one window sort, one
+    tiny groupBy). Both lags come from ONE window pass. Errors are
+    integer |n_t - n_{t-lag}|, so the reported doubles are rationals
+    of integers rounded identically on both engines. Evaluation is
+    restricted to hours where the seasonal predecessor exists (same
+    denominator for both baselines — a fair comparison window).
+    """
+    from go_integ_spark.functions.cache import cached_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = cached_persist(
+        "cusum_hourly", ev, lambda: events_hourly_gapfill(spark, sf_dir)
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_start")
+    lagged = hourly.withColumn("n_lag1", F.lag("n", 1).over(w)).withColumn(
+        "n_lag_season", F.lag("n", SEASONAL_LAG_H).over(w)
+    )
+    err1 = F.abs(F.col("n") - F.col("n_lag1")).cast("double")
+    errs = F.abs(F.col("n") - F.col("n_lag_season")).cast("double")
+    return (
+        lagged.filter(F.col("n_lag_season").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.round(F.avg(err1), 4).alias("mae_naive"),
+            F.round(F.avg(errs), 4).alias("mae_snaive"),
+            F.round(
+                F.sum(errs) / F.nullif(F.sum(err1), F.lit(0.0)), 4
+            ).alias("mase"),
+        )
+    )

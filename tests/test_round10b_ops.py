@@ -16,7 +16,9 @@ from go_integ_spark.operators import entity
 from go_integ_spark.operators.events import (
     CUSUM_H_MULT,
     CUSUM_SLACK_DEN,
+    SEASONAL_LAG_H,
     events_changepoint_cusum,
+    events_forecast_eval,
     events_hourly_gapfill,
 )
 from go_integ_spark.registry import load_all
@@ -120,6 +122,46 @@ class TestErBlockingQuality:
         # this corpus)
         r = entity.er_blocking_quality(spark, SF).collect()[0]
         assert r.n_caught == entity.er_blocked_fuzzy_parts(spark, SF).count()
+
+
+class TestForecastEval:
+    def test_matches_python_walk_forward(self, spark):
+        """Replay the backtest in plain Python over the gap-filled
+        series and require identical rounded metrics — pins the
+        window-lag form against the definitionally-obvious loop."""
+        from collections import defaultdict
+
+        by_type = defaultdict(list)
+        for r in events_hourly_gapfill(spark, SF).collect():
+            by_type[r.event_type].append((r.hour_start, r.n))
+        expect = {}
+        for et, series in by_type.items():
+            series.sort()
+            ns = [n for _, n in series]
+            e1, es = [], []
+            for i in range(SEASONAL_LAG_H, len(ns)):
+                e1.append(abs(ns[i] - ns[i - 1]))
+                es.append(abs(ns[i] - ns[i - SEASONAL_LAG_H]))
+            expect[et] = (
+                len(es),
+                round(sum(e1) / len(e1), 4),
+                round(sum(es) / len(es), 4),
+                round(sum(es) / sum(e1), 4) if sum(e1) else None,
+            )
+        got = events_forecast_eval(spark, SF).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert (r.n_hours, r.mae_naive, r.mae_snaive, r.mase) == expect[
+                r.event_type
+            ], r.event_type
+
+    def test_fair_comparison_window(self, spark):
+        # both baselines are averaged over the SAME hours (those with
+        # a seasonal predecessor), so mase == mae_snaive / mae_naive
+        # up to the two 4-digit roundings feeding the quotient
+        for r in events_forecast_eval(spark, SF).collect():
+            tol = 0.5e-4 * (1 + r.mase) / r.mae_naive + 0.5e-4
+            assert abs(r.mase - r.mae_snaive / r.mae_naive) < tol
 
 
 class TestCusumChangepoint:
