@@ -253,6 +253,7 @@ _MEASURED_COST = {
     "events_changepoint_cusum": 3.18,
     "events_forecast_eval": 1.20,
     "streaming_changepoint_cusum": 2.50,
+    "streaming_phash_registry": 2.40,
 }
 
 

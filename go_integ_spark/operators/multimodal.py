@@ -330,16 +330,13 @@ WITH m AS (
 """
 
 
-def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, media_type, phash): the Arrow-batched stub pHash over
-    every synthesized media payload — the shared front of the
-    perceptual dedup and neighborhood-profile queries. Bit j of the
-    hash is the pure integer predicate ``8 * histogram_bucket_j >
+def phash_of_media(media: DataFrame) -> DataFrame:
+    """(doc_id, media_type, phash) over any (doc_id, media_type,
+    payload) frame — batch or streaming (row-local Arrow kernel, so
+    the micro-batch registry applies the IDENTICAL hash). Bit j of
+    the hash is the pure integer predicate ``8 * histogram_bucket_j >
     n_bytes`` (numpy bincount per payload, no per-byte Python)."""
     import numpy as np
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
 
     def _phash(col):  # pd.Series[bytes] -> pd.Series[int64]
         out = np.zeros(len(col), dtype=np.int64)
@@ -358,6 +355,13 @@ def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select(
         "doc_id", "media_type", phash_udf(F.col("payload")).alias("phash")
     )
+
+
+def phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form: the stub pHash over every synthesized media
+    payload — the shared front of the perceptual dedup and
+    neighborhood-profile queries."""
+    return phash_of_media(synthesize_media(load_table(spark, sf_dir, "documents")))
 
 
 @register(
