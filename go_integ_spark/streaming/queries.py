@@ -569,13 +569,20 @@ def streaming_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     result equals the batch operator exactly — it shares
     events_changepoint_cusum's full value oracle.
     """
+    from go_integ_spark.functions.cache import cached_persist
     from go_integ_spark.operators.events import (
         cusum_from_hourly,
         gapfill_counts,
     )
 
     counts = _streamed_hourly_counts(spark, sf_dir)
-    hourly = gapfill_counts(spark, counts).persist()
+    # cached_persist (not a bare persist): the memory-sink table name
+    # is per-run, so the slot never false-hits — what it buys is the
+    # UNPERSIST of the previous run's hours x types frame (a bare
+    # .persist() here would strand one small frame per invocation)
+    hourly = cached_persist(
+        "cusum_stream_hourly", counts, lambda: gapfill_counts(spark, counts)
+    )
     return cusum_from_hourly(hourly)
 
 
