@@ -2043,6 +2043,13 @@ def random_projection_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 KNN_GRAPH_K = 5
 KNN_GRAPH_PROBES = 2
+# Max corpus rows one kNN scoring block may hold: cells above this
+# split into deterministic sub-blocks (result-invariant — see the
+# skew-bound note in _build_knn_graph). Non-binding at gate SFs
+# (largest sf0.1 cell ~ hundreds of rows); at the 1000x probe the 10
+# hot cells carried ~200k rows each and ran as ONE task (80x stage
+# skew) before this bound.
+KNN_CELL_CAP = 8192
 
 
 # Shared CTE chain (v -> cent[sqrt-K] -> assigned -> probes -> scored
@@ -2170,9 +2177,17 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # bit-identical to the pair expression and the DuckDB oracle),
     # and emits only each src's per-cell top-k (s, dst) rows — the
     # global top-k over nprobe * k survivors per src is then exact.
-    # Skew note: one cogroup task per cell; the sqrt-N cell count
-    # bounds cell sizes, and a pathological hot cell would be split
-    # by sub-salting the cell key (same trick as salted_topk).
+    # Skew bound (the 1000x probe finding — 80x task skew on a
+    # 10-cluster corpus whose hot regions each flooded one cell):
+    # cells above KNN_CELL_CAP corpus rows are split into
+    # ceil(n/cap) deterministic xxhash64 sub-blocks and each probe
+    # row replicated to every sub-block of its probed cell. The
+    # scored PAIR SET and the per-pair fold are unchanged, and any
+    # cell-global top-k member ranks <= k inside its own sub-block,
+    # so the per-sub-block top-k union feeds salted_topk the same
+    # survivors — the final graph is bit-identical at ANY cap
+    # (pinned by test_round10b_ops: cap=8 equals cap=default at gate
+    # scale). Cold cells get n_splits = 1 and pay nothing.
     import numpy as np
     import pandas as pd
 
@@ -2217,9 +2232,27 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
             }
         )
 
+    # one tiny extra aggregation derives each cell's split count; the
+    # splits table is cells-sized (sqrt N rows) and broadcast
+    sizes = assigned.groupBy("cell_id").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(KNN_CELL_CAP))
+        .cast("int")
+        .alias("n_splits")
+    )
+    a_split = assigned.join(F.broadcast(sizes), "cell_id").withColumn(
+        "split",
+        F.pmod(F.xxhash64("vec_id"), F.col("n_splits")).cast("int"),
+    )
+    # distinct column name in the probe branch: both branches join the
+    # SAME sizes frame and meet again in the cogroup, which otherwise
+    # trips Spark's ambiguous-self-join check on n_splits
+    p_sizes = sizes.withColumnRenamed("n_splits", "p_splits")
+    p_split = probes.join(F.broadcast(p_sizes), "cell_id").withColumn(
+        "split", F.explode(F.sequence(F.lit(0), F.col("p_splits") - 1))
+    )
     scored = (
-        assigned.groupBy("cell_id")
-        .cogroup(probes.groupBy("cell_id"))
+        a_split.groupBy("cell_id", "split")
+        .cogroup(p_split.groupBy("cell_id", "split"))
         .applyInPandas(
             lambda left, right: _score_cell(left, right),
             "src_id bigint, dst_id bigint, s double",

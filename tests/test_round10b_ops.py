@@ -165,6 +165,31 @@ class TestForecastEval:
             assert abs(r.mase - r.mae_snaive / r.mae_naive) < tol
 
 
+class TestKnnCellCap:
+    def test_graph_is_bit_identical_at_any_cap(self, spark, monkeypatch):
+        """The 1000x skew bound must be result-invariant: forcing the
+        cap far below every gate cell size (8) makes every cell
+        split, and the finished graph must equal the default-cap
+        build row-for-row (same pairs scored, same fold, per-
+        sub-block top-k unions preserve every global-top-k member)."""
+        from go_integ_spark.functions.cache import _slots
+        from go_integ_spark.operators import similarity as sim
+        from go_integ_spark.tables import load_table
+
+        emb = load_table(spark, SF, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        base = {
+            tuple(r) for r in sim._build_knn_graph(spark, emb).collect()
+        }
+        monkeypatch.setattr(sim, "KNN_CELL_CAP", 8)
+        split = {
+            tuple(r) for r in sim._build_knn_graph(spark, emb).collect()
+        }
+        assert base == split
+        assert len(base) > 0
+
+
 class TestCusumChangepoint:
     def test_window_form_equals_page_recursion(self, spark):
         """The registered query computes cusum via prefix-sum minus
