@@ -2232,27 +2232,64 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
             }
         )
 
-    # one tiny extra aggregation derives each cell's split count; the
-    # splits table is cells-sized (sqrt N rows) and broadcast
-    sizes = assigned.groupBy("cell_id").agg(
-        F.ceil(F.count(F.lit(1)) / F.lit(KNN_CELL_CAP))
+    # Both block dimensions must be capped: capping only the corpus
+    # side leaves hot-cell tasks at |cell_probes| x cap (the 1000x
+    # re-probe still read 128x task skew — on a clustered corpus the
+    # random-pick centroids are winner-take-most, so ~10 cells
+    # receive ~40% of ALL probes). The 2-D grid bounds every block at
+    # cap x cap rows. ONE kernel pass derives both per-cell counts
+    # (rank-1 hits = corpus members, all ranks = probes); the table
+    # is cells-sized and broadcast.
+    pc = v.select(
+        F.posexplode(nearest_cells_pd(crow, KNN_GRAPH_PROBES)).alias(
+            "pos", "cell_id"
+        )
+    )
+    cap = F.lit(KNN_CELL_CAP)
+    sz = pc.groupBy("cell_id").agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(
+                F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)) / cap
+            ),
+        )
         .cast("int")
-        .alias("n_splits")
+        .alias("n_csplits"),
+        F.greatest(F.lit(1), F.ceil(F.count(F.lit(1)) / cap))
+        .cast("int")
+        .alias("n_psplits"),
     )
-    a_split = assigned.join(F.broadcast(sizes), "cell_id").withColumn(
-        "split",
-        F.pmod(F.xxhash64("vec_id"), F.col("n_splits")).cast("int"),
+    a_split = (
+        assigned.join(F.broadcast(sz), "cell_id")
+        .withColumn(
+            "csplit",
+            F.pmod(F.xxhash64("vec_id"), F.col("n_csplits")).cast("int"),
+        )
+        .withColumn(
+            "psplit",
+            F.explode(F.sequence(F.lit(0), F.col("n_psplits") - 1, F.lit(1))),
+        )
     )
-    # distinct column name in the probe branch: both branches join the
-    # SAME sizes frame and meet again in the cogroup, which otherwise
-    # trips Spark's ambiguous-self-join check on n_splits
-    p_sizes = sizes.withColumnRenamed("n_splits", "p_splits")
-    p_split = probes.join(F.broadcast(p_sizes), "cell_id").withColumn(
-        "split", F.explode(F.sequence(F.lit(0), F.col("p_splits") - 1))
+    # distinct column names in the probe branch: both branches join
+    # the SAME sz frame and meet again in the cogroup, which
+    # otherwise trips Spark's ambiguous-self-join check
+    p_sz = sz.withColumnRenamed("n_csplits", "pc_splits").withColumnRenamed(
+        "n_psplits", "pp_splits"
+    )
+    p_split = (
+        probes.join(F.broadcast(p_sz), "cell_id")
+        .withColumn(
+            "psplit",
+            F.pmod(F.xxhash64("src_id"), F.col("pp_splits")).cast("int"),
+        )
+        .withColumn(
+            "csplit",
+            F.explode(F.sequence(F.lit(0), F.col("pc_splits") - 1, F.lit(1))),
+        )
     )
     scored = (
-        a_split.groupBy("cell_id", "split")
-        .cogroup(p_split.groupBy("cell_id", "split"))
+        a_split.groupBy("cell_id", "csplit", "psplit")
+        .cogroup(p_split.groupBy("cell_id", "csplit", "psplit"))
         .applyInPandas(
             lambda left, right: _score_cell(left, right),
             "src_id bigint, dst_id bigint, s double",
