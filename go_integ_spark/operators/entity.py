@@ -14,7 +14,10 @@ to string ER):
   and everything after is vocabulary-sized (at 100 TB the record
   table is petabytes but the distinct-name table still fits a
   broadcast);
-- the block key (last name token) bounds the candidate set exactly
+- the block key (SECOND name token — `split_part(p_name, ' ', 2)`;
+  on the gate generator's 2-token names this coincides with the last
+  token, but the contract is positional) bounds the candidate set
+  exactly
   like an LSH band bucket: the pair join is an equi-join on the
   block key, one shuffle of name-sized rows, never an all-pairs
   cross product;
@@ -293,11 +296,24 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     production this eval runs on a sampled vocabulary while the
     production path (er_blocked_fuzzy_parts) stays equi-join-only.
     """
+    from go_integ_spark.functions.cache import cached_persist
+
     part = load_table(spark, sf_dir, "part")
-    names = part.groupBy(
-        F.col("p_name"),
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
-    ).agg(F.count(F.lit(1)).alias("_n"))
+    # The vocabulary frame feeds THREE consumers (the driver-side
+    # n_names count plus both cross-join branches); persisting it
+    # means the part scan + distinct-name groupBy run once, not
+    # twice (ADVICE r10). Single-slot cache, so a long session never
+    # accumulates copies.
+    names = cached_persist(
+        "er_quality_names",
+        part,
+        lambda: part.groupBy(
+            F.col("p_name"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+                "block_key"
+            ),
+        ).agg(F.count(F.lit(1)).alias("_n")),
+    )
     a = names.select(
         F.col("p_name").alias("name_a"), F.col("block_key").alias("block_a")
     )

@@ -68,25 +68,65 @@ def _events_stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, object
     return _stream_source(spark, sf_dir, "events")
 
 
-# State-store shards for the gate runs. A streaming query spins up
-# one state store per shuffle partition per stateful operator (a
+# Minimum state-store shard count. A streaming query spins up one
+# state store per shuffle partition per stateful operator (a
 # stream-stream join keeps four), and that per-shard cost is pure
 # overhead when the state is tiny: inheriting the analytic default
-# (32) makes the join query ~2x slower than 4 shards. Production
-# sizes this to state volume — the shard count is frozen into the
-# checkpoint at the first run, so it is a capacity decision, not a
-# tuning knob you can turn later.
-# SG_STATE_PARTITIONS overrides for scale probes (the 1000x smoke
-# carries 14.7M dedup keys — 4 shards is a gate-scale capacity
-# decision, not a constant of the operator).
-STATE_PARTITIONS = int(os.environ.get("SG_STATE_PARTITIONS", "4"))
+# (32) makes the join query ~2x slower than 4 shards.
+MIN_STATE_PARTITIONS = 4
+# One state shard per this many bytes of stream-source input. The
+# shard count must scale with state volume, and state volume tracks
+# input volume for every query here (dedup keys, session keys,
+# registry keys are all O(input)). 64 MB per shard puts the gate
+# corpora at the 4-shard floor and the 1000x probe's ~14.7M-key
+# paragraph-dedup store at ~40 shards — the regime where the manual
+# SG_STATE_PARTITIONS=16 override was needed before (r10).
+STATE_SHARD_BYTES = 64 << 20
+MAX_STATE_PARTITIONS = 256
 
 
-def _run_to_memory(df: DataFrame, output_mode: str, prefix: str) -> DataFrame:
+def state_partitions_for(source_path: str | None) -> int:
+    """State-store shard count for a streaming run, derived from the
+    stream source's on-disk volume: ceil(bytes / STATE_SHARD_BYTES),
+    clamped to [MIN, MAX]. SG_STATE_PARTITIONS stays as an explicit
+    capacity override for probes.
+
+    CHECKPOINT CONSTRAINT: Spark freezes the shard count into a
+    streaming checkpoint at first run — resuming an existing
+    checkpoint under a different value (env override, grown source)
+    FAILS. Safe here because every gate/smoke run starts from a
+    fresh per-run checkpoint dir; a durable deployment must pin the
+    count at provisioning time instead of deriving it per run.
+    """
+    env = os.environ.get("SG_STATE_PARTITIONS")
+    if env is not None:
+        return int(env)
+    if source_path is None:
+        return MIN_STATE_PARTITIONS
+    total = 0
+    for root, _dirs, files in os.walk(source_path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    shards = -(-total // STATE_SHARD_BYTES)
+    return int(min(MAX_STATE_PARTITIONS, max(MIN_STATE_PARTITIONS, shards)))
+
+
+def _run_to_memory(
+    df: DataFrame,
+    output_mode: str,
+    prefix: str,
+    source_path: str | None = None,
+) -> DataFrame:
     spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STATE_PARTITIONS))
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(state_partitions_for(source_path)),
+    )
     try:
         q = (
             df.writeStream.format("memory")
@@ -151,7 +191,7 @@ def _streamed_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return _run_to_memory(agg, "complete", "shc").select(
+    return _run_to_memory(agg, "complete", "shc", source_path=path).select(
         F.col("w.start").alias("hour_start"), "event_type", "n"
     )
 
@@ -180,7 +220,7 @@ def streaming_pk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    return _run_to_memory(deduped, "append", "spd")
+    return _run_to_memory(deduped, "append", "spd", source_path=path)
 
 
 @register(
@@ -239,7 +279,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return _run_to_memory(agg, "complete", "ssw").select(
+    return _run_to_memory(agg, "complete", "ssw", source_path=path).select(
         "user_id",
         F.col("sess.start").alias("session_start"),
         "n_events",
@@ -277,7 +317,7 @@ def streaming_running_max_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = running_max_cursor(
         read_stream(spark, path, schema, max_files_per_trigger=4)
     )
-    out = _run_to_memory(updates, "update", "rmc")
+    out = _run_to_memory(updates, "update", "rmc", source_path=path)
     return out.groupBy("user_id").agg(
         F.max("n_total").alias("n_total"),
         F.max("max_ts").alias("max_ts"),
@@ -317,7 +357,7 @@ def _streaming_tws_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         path, schema = _events_stream_source(spark, sf_dir)
         updates = user_profiles(read_stream(spark, path, schema))
-        out = _run_to_memory(updates, "update", "tws")
+        out = _run_to_memory(updates, "update", "tws", source_path=path)
     finally:
         # scope-and-restore (the _run_to_memory shuffle-partitions
         # pattern): without this, every LATER streaming query in the
@@ -404,7 +444,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.event_id").alias("click_id"),
         F.col("p.user_id").alias("user_id"),
     )
-    return _run_to_memory(joined, "append", "ssj")
+    return _run_to_memory(joined, "append", "ssj", source_path=path)
 
 
 # sf_dir -> merged output path (the stream ran to completion once).
@@ -548,7 +588,7 @@ def streaming_phash_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
     )
-    return _run_to_memory(reg, "complete", "ph")
+    return _run_to_memory(reg, "complete", "ph", source_path=path)
 
 
 @register(
@@ -615,7 +655,7 @@ def streaming_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path, schema = _docs_stream_source(spark, sf_dir)
     stream = read_stream(spark, path, schema, max_files_per_trigger=2)
-    return _run_to_memory(chunk_manifest(stream), "append", "scm")
+    return _run_to_memory(chunk_manifest(stream), "append", "scm", source_path=path)
 
 
 @register(
@@ -661,7 +701,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    return _run_to_memory(enriched, "complete", "sse")
+    return _run_to_memory(enriched, "complete", "sse", source_path=path)
 
 
 @register(
@@ -696,7 +736,7 @@ def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, schema = _docs_stream_source(spark, sf_dir)
     stream = read_stream(spark, path, schema, max_files_per_trigger=2)
     deduped = paragraph_hashes(stream).select("ph").dropDuplicates(["ph"])
-    return _run_to_memory(deduped, "append", "spr")
+    return _run_to_memory(deduped, "append", "spr", source_path=path)
 
 
 from go_integ_spark.operators.advanced import HISTOGRAM_ORACLE  # noqa: E402
@@ -738,7 +778,7 @@ def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(HIST_BINS - 1),
     ).cast("int")
     counts = stream.select(bucket.alias("bucket")).groupBy("bucket").count()
-    out = _run_to_memory(counts, "complete", "hist")
+    out = _run_to_memory(counts, "complete", "hist", source_path=path)
     width = (mx - mn) / HIST_BINS
     return out.select(
         "bucket",
@@ -798,4 +838,4 @@ def streaming_srp_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("first_vec_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    return _run_to_memory(reg, "complete", "srp")
+    return _run_to_memory(reg, "complete", "srp", source_path=path)

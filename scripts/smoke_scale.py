@@ -233,15 +233,25 @@ def _data_task_skew(
     median under a real 48 s task reads as four-digit "skew" when no
     row was ever distributed unevenly (the 1000x probe's one FAIL was
     exactly this artifact). Raw skew is still reported alongside."""
+    # Page through taskList: a single ?length=N fetch silently
+    # truncates stages with more tasks, so skew would be computed
+    # over a partial sample at larger probe scales (ADVICE r10).
+    tasks = []
+    page = 1000
     try:
-        tasks = json.load(
-            urllib.request.urlopen(
-                f"{ui}/api/v1/applications/{app_id}/stages/{sid}/{att}/"
-                "taskList?length=5000"
+        while True:
+            batch = json.load(
+                urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app_id}/stages/{sid}/{att}/"
+                    f"taskList?offset={len(tasks)}&length={page}"
+                )
             )
-        )
+            tasks.extend(batch)
+            if len(batch) < page:
+                break
     except Exception:
-        return None, 0
+        if not tasks:
+            return None, 0
     runs = []
     empties = 0
     for t in tasks:

@@ -43,8 +43,13 @@ class TestErBlockedFuzzy:
             # pairs are canonical (a < b), block-local, and within
             # the edit budget
             assert r.name_a < r.name_b
-            assert r.name_a.endswith(r.block_key)
-            assert r.name_b.endswith(r.block_key)
+            # block key is the SECOND name token by contract (on the
+            # gate generator's 2-token names it also equals the last
+            # token, but that's incidental — assert the positional
+            # contract so a future generator change can't silently
+            # pass on the wrong key)
+            assert r.name_a.split(" ")[1] == r.block_key
+            assert r.name_b.split(" ")[1] == r.block_key
             assert 1 <= r.edit_dist <= entity.MAX_EDIT
             assert r.records_a >= 1 and r.records_b >= 1
 
@@ -114,7 +119,7 @@ class TestErBlockingQuality:
             1.0 - r.n_candidates / r.total_pairs, 4
         )
         assert r.pair_completeness == round(r.n_caught / r.n_true, 4)
-        # last-token blocking must be a real reduction on this corpus
+        # second-token blocking must be a real reduction on this corpus
         assert r.reduction_ratio > 0.5
 
     def test_completeness_agrees_with_production_path(self, spark):

@@ -382,3 +382,23 @@ def test_streaming_paragraph_dedup_equals_batch_distinct(spark):
         r["ph"] for r in paragraph_hashes(docs).select("ph").distinct().collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_state_partitions_auto_sizing(tmp_path, monkeypatch):
+    """Shard count derives from source volume (VERDICT r10 #4): floor
+    at MIN for gate-sized sources, ceil(bytes/shard_bytes) above it,
+    clamped at MAX; SG_STATE_PARTITIONS stays an explicit override."""
+    from go_integ_spark.streaming import queries as sq
+
+    monkeypatch.delenv("SG_STATE_PARTITIONS", raising=False)
+    assert sq.state_partitions_for(None) == sq.MIN_STATE_PARTITIONS
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"x" * 1024)
+    assert sq.state_partitions_for(str(src)) == sq.MIN_STATE_PARTITIONS
+    monkeypatch.setattr(sq, "STATE_SHARD_BYTES", 128)
+    assert sq.state_partitions_for(str(src)) == 8  # ceil(1024/128)
+    monkeypatch.setattr(sq, "MAX_STATE_PARTITIONS", 6)
+    assert sq.state_partitions_for(str(src)) == 6
+    monkeypatch.setenv("SG_STATE_PARTITIONS", "7")
+    assert sq.state_partitions_for(str(src)) == 7
