@@ -811,9 +811,18 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"eval_id": eids[ii], "train_id": tids[jj], "s": sim[ii, jj]}
         )
 
+    # One scoring partition per cell (rows^2 cost vs linear bytes —
+    # AQE byte-coalescing must not pack hot cells; blocks.py).
+    from go_integ_spark.functions.blocks import repartition_for_blocks
+
     scored = (
-        ev_side.groupBy("cell_id")
-        .cogroup(tr_side.groupBy("cell_id"))
+        repartition_for_blocks(ev_side, ["cell_id"], k_cells)
+        .groupBy("cell_id")
+        .cogroup(
+            repartition_for_blocks(tr_side, ["cell_id"], k_cells).groupBy(
+                "cell_id"
+            )
+        )
         .applyInPandas(
             _contam_pairs,
             "eval_id bigint, train_id bigint, s double",

@@ -738,6 +738,7 @@ def cosine_pairs_in_groups(
     key_col: str,
     threshold: float,
     max_group: int | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cos_sim) pairs with fold cosine >= threshold,
     scored WITHIN each ``key_col`` group as one cogrouped block (the
@@ -749,7 +750,11 @@ def cosine_pairs_in_groups(
     degenerate mega-groups before their quadratic block scoring (the
     same documented precision-1.0 / recall-epsilon trade as
     ``LSH_MAX_BUCKET`` — an O(1) length check inside the kernel, no
-    extra shuffle)."""
+    extra shuffle). ``n_blocks`` (the caller's group count, e.g. the
+    IVF cell count) switches the scoring exchange to an explicit
+    one-partition-per-group REPARTITION_BY_NUM so AQE's byte-based
+    coalescing cannot pack several quadratic-cost groups into one
+    task (see functions/blocks.py)."""
     import numpy as np
     import pandas as pd
 
@@ -778,6 +783,10 @@ def cosine_pairs_in_groups(
             }
         )
 
+    if n_blocks is not None:
+        from go_integ_spark.functions.blocks import repartition_for_blocks
+
+        grouped = repartition_for_blocks(grouped, [key_col], n_blocks)
     scored = grouped.groupBy(key_col).applyInPandas(
         _pairs_above, "vec_a bigint, vec_b bigint, s double"
     )
@@ -791,6 +800,7 @@ def cosine_pairs_probe_members(
     members: DataFrame,
     key_col: str,
     threshold: float,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Asymmetric block scoring — the real IVF search shape: the
     ``members`` side sits in its ONE assigned cell, the ``probes``
@@ -836,6 +846,11 @@ def cosine_pairs_probe_members(
             }
         )
 
+    if n_blocks is not None:
+        from go_integ_spark.functions.blocks import repartition_for_blocks
+
+        probes = repartition_for_blocks(probes, [key_col], n_blocks)
+        members = repartition_for_blocks(members, [key_col], n_blocks)
     scored = (
         probes.groupBy(key_col)
         .cogroup(members.groupBy(key_col))
@@ -899,7 +914,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_id"
         ),
     )
-    return cosine_pairs_in_groups(probed, "cell_id", EMB_COS_THRESHOLD)
+    # one scoring partition per cell: per-cell cost is quadratic in
+    # members while shuffled bytes are linear, so AQE byte-coalescing
+    # must not pack hot cells together (functions/blocks.py)
+    return cosine_pairs_in_groups(
+        probed, "cell_id", EMB_COS_THRESHOLD, n_blocks=k_cells
+    )
 
 
 @register(
@@ -993,7 +1013,7 @@ def dedup_embedding_cosine_strict(spark: SparkSession, sf_dir: str) -> DataFrame
         F.element_at(nearest_cells_pd(crow, 1), 1).alias("cell_id"),
     )
     return cosine_pairs_probe_members(
-        probes, members, "cell_id", EMB_COS_STRICT
+        probes, members, "cell_id", EMB_COS_STRICT, n_blocks=k_cells
     )
 
 
@@ -1864,6 +1884,7 @@ def int_cosine_gate_pairs_in_groups(
     mult: float,
     qmax: int = SEMDEDUP_GATE_QMAX,
     max_group: int | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b) pairs whose INTEGER-gated cosine clears
     tau_num/tau_den, scored within each ``key_col`` group as one
@@ -1936,6 +1957,10 @@ def int_cosine_gate_pairs_in_groups(
             }
         )
 
+    if n_blocks is not None:
+        from go_integ_spark.functions.blocks import repartition_for_blocks
+
+        grouped = repartition_for_blocks(grouped, [key_col], n_blocks)
     return grouped.groupBy(key_col).applyInPandas(
         _pairs_above, "vec_a bigint, vec_b bigint"
     )
@@ -2136,6 +2161,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SEMDEDUP_TAU_DEN,
         gate_quant_mult(amax=pre["amax"]),
         max_group=SEMDEDUP_MAX_CLUSTER,
+        n_blocks=k,
     )
     d = assigned.select("vec_id", "dist2_u")
     loser = (

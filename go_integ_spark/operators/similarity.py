@@ -2155,18 +2155,44 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # sqrt-K). The count() below is parquet-metadata-only (no data
     # scan), and the oracle computes the identical greatest/floor/sqrt
     # formula so centroid sets still match bit-for-bit.
+    from go_integ_spark.functions.cache import cached_persist
+
     k_cells = max(IVF_K, int(emb.count() ** 0.5))
     v = with_norm(emb)
     (crow,) = ivf_centroids(v, k_cells).collect()
-    assigned = (
-        v.withColumn("cell_id", F.element_at(nearest_cells_pd(crow, 1), 1))
-        .select("vec_id", "e", "e_norm", "cell_id")
+    # ONE centroid-scoring kernel pass serves all three consumers
+    # (corpus side, probe side, cell-size table): posexplode ranks
+    # the probed cells, and rank 0 IS the assignment (the same
+    # nearest-cell the old separate nearest_cells_pd(crow, 1) call
+    # computed). Without the persist each downstream lineage re-runs
+    # the O(N*K*d) kernel over the full corpus — the sz frame alone
+    # was a third full pass (ADVICE r10). Single-slot cache, so a
+    # long session holds exactly one live copy per corpus.
+    pe = cached_persist(
+        "knn_assign",
+        emb,
+        lambda: v.select(
+            "vec_id",
+            "e",
+            "e_norm",
+            F.posexplode(nearest_cells_pd(crow, KNN_GRAPH_PROBES)).alias(
+                "pos", "cell_id"
+            ),
+        ),
     )
-    probes = v.select(
+    assigned = pe.filter(F.col("pos") == 0).select(
+        "vec_id", "e", "e_norm", "cell_id"
+    )
+    # pcell_id, not cell_id: both cogroup sides now descend from the
+    # SAME persisted pe frame, and a shared attribute name across the
+    # self-cogroup trips Spark's ambiguous-self-join check (the p_sz
+    # rename below is the same discipline). Alias gives the probe
+    # branch fresh expression ids.
+    probes = pe.select(
         F.col("vec_id").alias("src_id"),
         F.col("e").alias("qe"),
         F.col("e_norm").alias("qe_norm"),
-        F.explode(nearest_cells_pd(crow, KNN_GRAPH_PROBES)).alias("cell_id"),
+        F.col("cell_id").alias("pcell_id"),
     )
     # Per-cell BLOCK scoring via cogroup, not a row-per-pair join: the
     # pair join shipped BOTH full vectors for every candidate pair
@@ -2237,16 +2263,11 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # re-probe still read 128x task skew — on a clustered corpus the
     # random-pick centroids are winner-take-most, so ~10 cells
     # receive ~40% of ALL probes). The 2-D grid bounds every block at
-    # cap x cap rows. ONE kernel pass derives both per-cell counts
-    # (rank-1 hits = corpus members, all ranks = probes); the table
-    # is cells-sized and broadcast.
-    pc = v.select(
-        F.posexplode(nearest_cells_pd(crow, KNN_GRAPH_PROBES)).alias(
-            "pos", "cell_id"
-        )
-    )
+    # cap x cap rows. The per-cell counts (rank-0 hits = corpus
+    # members, all ranks = probes) come straight off the persisted
+    # assignment frame; the table is cells-sized and broadcast.
     cap = F.lit(KNN_CELL_CAP)
-    sz = pc.groupBy("cell_id").agg(
+    sz = pe.groupBy("cell_id").agg(
         F.greatest(
             F.lit(1),
             F.ceil(
@@ -2273,11 +2294,13 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # distinct column names in the probe branch: both branches join
     # the SAME sz frame and meet again in the cogroup, which
     # otherwise trips Spark's ambiguous-self-join check
-    p_sz = sz.withColumnRenamed("n_csplits", "pc_splits").withColumnRenamed(
-        "n_psplits", "pp_splits"
+    p_sz = (
+        sz.withColumnRenamed("n_csplits", "pc_splits")
+        .withColumnRenamed("n_psplits", "pp_splits")
+        .withColumnRenamed("cell_id", "pcell_id")
     )
     p_split = (
-        probes.join(F.broadcast(p_sz), "cell_id")
+        probes.join(F.broadcast(p_sz), "pcell_id")
         .withColumn(
             "psplit",
             F.pmod(F.xxhash64("src_id"), F.col("pp_splits")).cast("int"),
@@ -2287,9 +2310,32 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("pc_splits") - 1, F.lit(1))),
         )
     )
+    # The scoring exchange must NOT be byte-coalesced: a block's cost
+    # is rows x rows while its shuffled bytes are linear, so AQE's
+    # byte-balanced coalescing packs several near-cap blocks into one
+    # task (the r10 1000x residual: 144x data-task skew at 1000x,
+    # 4.2x at 100x where blocks were ~10x smaller). One partition per
+    # (cell, csplit, psplit) block pins task cost to the single-block
+    # bound the 2-D cap already enforces. The block count is a tiny
+    # aggregate over the broadcastable cells-sized table.
+    from go_integ_spark.functions.blocks import repartition_for_blocks
+
+    (nb,) = sz.agg(
+        F.sum(F.col("n_csplits").cast("bigint") * F.col("n_psplits")).alias(
+            "nb"
+        )
+    ).collect()
+    n_blocks = int(nb["nb"] or 1)
+    grid_keys = ["cell_id", "csplit", "psplit"]
+    p_keys = ["pcell_id", "csplit", "psplit"]
     scored = (
-        a_split.groupBy("cell_id", "csplit", "psplit")
-        .cogroup(p_split.groupBy("cell_id", "csplit", "psplit"))
+        repartition_for_blocks(a_split, grid_keys, n_blocks)
+        .groupBy(*grid_keys)
+        .cogroup(
+            repartition_for_blocks(p_split, p_keys, n_blocks).groupBy(
+                *p_keys
+            )
+        )
         .applyInPandas(
             lambda left, right: _score_cell(left, right),
             "src_id bigint, dst_id bigint, s double",
@@ -2989,9 +3035,20 @@ def _bitext_mine(spark: SparkSession, v: DataFrame) -> DataFrame:
         F.col("lang").alias("tgt_lang"),
         F.element_at(nearest_cells_multilang(tcrows, 1), 1).alias("cell_id"),
     )
+    # One scoring partition per (lang, cell) block — block cost is
+    # |probe block| x |member block| while shuffled bytes are linear,
+    # so AQE byte-coalescing must not pack hot cells (blocks.py).
+    from go_integ_spark.functions.blocks import repartition_for_blocks
+
+    n_fwd_blocks = sum(len(crows[lg]["cents"]) for lg in tgt_langs)
     fwd = (
-        fwd_probes.groupBy("tgt_lang", "cell_id")
-        .cogroup(fwd_members.groupBy("tgt_lang", "cell_id"))
+        repartition_for_blocks(fwd_probes, ["tgt_lang", "cell_id"], n_fwd_blocks)
+        .groupBy("tgt_lang", "cell_id")
+        .cogroup(
+            repartition_for_blocks(
+                fwd_members, ["tgt_lang", "cell_id"], n_fwd_blocks
+            ).groupBy("tgt_lang", "cell_id")
+        )
         .applyInPandas(_score_block, out_schema)
     )
     # Backward: every target vector probes the en index.
@@ -3012,9 +3069,15 @@ def _bitext_mine(spark: SparkSession, v: DataFrame) -> DataFrame:
             nearest_cells_pd(crows["en"], 1, "se", "se_norm"), 1
         ).alias("cell_id"),
     )
+    n_bwd_blocks = len(crows["en"]["cents"])
     bwd = (
-        bwd_probes.groupBy("cell_id")
-        .cogroup(bwd_members.groupBy("cell_id"))
+        repartition_for_blocks(bwd_probes, ["cell_id"], n_bwd_blocks)
+        .groupBy("cell_id")
+        .cogroup(
+            repartition_for_blocks(
+                bwd_members, ["cell_id"], n_bwd_blocks
+            ).groupBy("cell_id")
+        )
         .applyInPandas(_score_block, out_schema)
     )
     # Global per-direction top-k over the block survivors (at most
