@@ -233,15 +233,51 @@ def _run_pass(spark, registry, bench_queries, sf_dir) -> dict[str, float]:
             file=sys.stderr,
         )
 
+    # Per-plan warmup billing (VERDICT r10 #2): each headline query
+    # runs twice and its line reports the SECOND (steady-state)
+    # execution; the summed first-minus-second delta is billed to one
+    # named ``plan_warmup`` line. First calls carry per-plan one-time
+    # state — codegen JIT for that plan shape, that query's pandas
+    # kernel's first Arrow batch, page-cache first touch — which r9/r10
+    # proved environment-dependent (ann_bruteforce_topk read 1.3-2.8 s
+    # cold across sessions on byte-identical code, ~1.0-1.3 s warm,
+    # every time), making cold per-query lines unreadable as trend
+    # points. The headline total still includes the full warmup cost
+    # via the plan_warmup line, so totals stay honest; the session-
+    # level warmup (_fresh_session) is unchanged and unbilled.
+    from go_integ_spark.functions import cache
+
+    plan_warmup = 0.0
     for name in bench_queries:
         spec = registry[name]
+        slots_before = set(cache._slots)
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         # noop sink: executes the full physical plan (nothing is
         # optimized away, unlike count()) without driver collection.
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        cold = time.perf_counter() - t0
+        # Evict any single-slot caches THIS query created (e.g.
+        # dedup_minhash_lsh memoizes its verified-pair frame): the
+        # warm run must re-execute the plan, not serve the memo.
+        # Slots that existed before (the separately-billed shingle
+        # cache, stream-source memos) stay — they are warm for both
+        # runs by design.
+        for slot in set(cache._slots) - slots_before:
+            cache._slots.pop(slot)[2].unpersist()
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm = time.perf_counter() - t0
+        # signed accumulation: per-query noise (warm slightly above
+        # cold) cancels across the set instead of inflating the line
+        plan_warmup += cold - warm
+        timings[name] = round(warm, 4)
+        print(
+            f"# {name}: {timings[name]:.3f}s (cold {cold:.3f}s)",
+            file=sys.stderr,
+        )
+    timings["plan_warmup"] = round(max(0.0, plan_warmup), 4)
+    print(f"# plan_warmup: {timings['plan_warmup']:.3f}s", file=sys.stderr)
     return timings
 
 

@@ -127,6 +127,7 @@ def _match_pairs(kept: DataFrame) -> DataFrame:
     "er_blocked_fuzzy_parts",
     tags=("entity", "join", "fuzzy"),
     oracle=ER_FUZZY_ORACLE,
+    bench=True,  # the ER family's headline representative (r11)
 )
 def er_blocked_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity-match pairs over part names.
