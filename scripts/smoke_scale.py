@@ -18,6 +18,14 @@ the magnitude; envelope/margin failure classes SCALE WITH DATA.
 docs / 20k vectors (~2 min on local[32]); 100 -> 500k docs / 200k
 vectors (~15-30 min) — the VERDICT r7 item-8 design-point check.
 Data lands in .smoke_x{scale}/ (gitignored); delete to regenerate.
+
+Other knobs: ``SMOKE_ONLY`` (comma list of lines), ``SMOKE_SHUFFLE``
+(shuffle partitions — size to the corpus at 1000x),
+``SMOKE_ORDER_SEED`` (seeded shuffle of the line order; cache
+producer->consumer chains keep relative order — run two seeds and
+compare per-line to bound matrix-position effects), ``SMOKE_OUT``
+(also write the summary JSON to this path — the standing-gate
+artifact committed as SMOKE_r{N}.json).
 """
 
 from __future__ import annotations
@@ -443,7 +451,7 @@ def main() -> None:
             "stream_source_documents_build",
             lambda: (_docs_stream_source(spark, DATA_DIR), 0)[1],
         )
-    for name in (
+    lines = (
         "dedup_minhash_lsh",
         "ann_ivf_topk",
         "ann_ivfpq_topk",
@@ -550,7 +558,42 @@ def main() -> None:
         # first-occurrence ranking under the 25k-doc shared
         # boilerplate opening (the hot hash key by construction).
         "dedup_exact_substring",
-    ):
+    )
+    # De-positioned matrix (VERDICT r10 #5): bitext read 110 s inside
+    # the full 31-line matrix vs 67.5 s standalone — page-cache /
+    # persist pressure from EARLIER lines' cached artifacts, i.e. a
+    # line's number depended on its position, not its plan.
+    # SMOKE_ORDER_SEED shuffles the line order (unset = the written
+    # order, so existing artifacts stay comparable); two runs under
+    # different seeds agreeing per-line bounds the position effect.
+    # Producer->consumer chains (cached_persist reuse) keep their
+    # RELATIVE order after the shuffle — otherwise a consumer
+    # randomly pays its producer's whole build and the matrix
+    # measures cache luck, not plans.
+    _CHAINS = (
+        # dedup_lsh_pairs slot
+        (
+            "dedup_minhash_lsh",
+            "curation_dedup_impact",
+            "graph_pagerank_sources",
+            "graph_triangle_count",
+        ),
+        # knn_graph slot
+        ("embedding_knn_graph", "embedding_communities"),
+    )
+    seed = os.environ.get("SMOKE_ORDER_SEED")
+    if seed is not None:
+        import random
+
+        lines = list(lines)
+        random.Random(int(seed)).shuffle(lines)
+        for chain in _CHAINS:
+            present = [n for n in chain if n in lines]
+            slots = sorted(lines.index(n) for n in present)
+            for i, n in zip(slots, present):
+                lines[i] = n
+        print(f"line order (seed {seed}): {lines}")
+    for name in lines:
         if not _selected(name):
             continue
         timed(name, lambda q=name: reg[q].fn(spark, DATA_DIR).count())
@@ -622,8 +665,23 @@ def main() -> None:
     worst_owner = owner(worst_stage["stage"]) if worst_stage else "-"
     print(f"\nworst shuffle-stage DATA-task skew (max/median): {worst}x "
           f"(in {worst_owner}; {'PASS' if worst < 10 else 'FAIL'} vs the 10x bound)")
-    print(json.dumps({"queries": results, "worst_skew": worst,
-                      "worst_skew_query": worst_owner}))
+    summary = {
+        "queries": results,
+        "worst_skew": worst,
+        "worst_skew_query": worst_owner,
+        "scale": SCALE,
+        "order_seed": os.environ.get("SMOKE_ORDER_SEED"),
+        "shuffle_partitions": os.environ.get("SMOKE_SHUFFLE"),
+        "only": sorted(ONLY) if ONLY else None,
+    }
+    print(json.dumps(summary))
+    # Standing-gate artifact (VERDICT r10 #8): SMOKE_OUT=path writes
+    # the same JSON to a file so a round can commit its 100x matrix
+    # and the next round's judge diffs instead of re-deriving.
+    out = os.environ.get("SMOKE_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=1)
     spark.stop()
 
 
