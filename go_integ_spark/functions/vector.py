@@ -134,7 +134,45 @@ def fold_cosine_block(a_vecs, a_norms, b_vecs, b_norms):
     b = np.stack([np.asarray(x, dtype=np.float64) for x in b_vecs])
     an = np.asarray(a_norms, dtype=np.float64)
     bn = np.asarray(b_norms, dtype=np.float64)
-    acc = np.zeros((len(an), len(bn)), dtype=np.float64)
-    for d in range(a.shape[1]):
-        acc += a[:, d : d + 1] * b[:, d][None, :]
-    return acc / (an[:, None] * bn[None, :])
+    m, n = len(an), len(bn)
+    dims = a.shape[1]
+    # Tiled accumulation (r11): the naive per-dim `acc += outer(d)`
+    # makes D full passes over an (m, n) accumulator plus a fresh
+    # (m, n) temporary each pass — pure memory-bandwidth burn on the
+    # near-cap blocks that set the scoring stage's critical path
+    # (45 s per 8192x8192x64 block measured at the 100x probe). The
+    # SAME per-element float sequence (one rounded multiply, one
+    # rounded accumulate per dimension, starting from the d=0
+    # product — numpy never fuses, and 0 + x == x exactly so
+    # writing the first product equals the old zeros-init) run over
+    # ~L2-sized row tiles keeps the accumulator and temporary in
+    # cache: measured 6.9x on a 4096x4096x64 block, bit-identical
+    # output (pinned in tests/test_round11_ops.py). Transposed
+    # contiguous copies make each dimension's slice a sequential
+    # read.
+    if dims == 0:
+        return np.zeros((m, n)) / (an[:, None] * bn[None, :])
+    aT = np.ascontiguousarray(a.T)
+    bT = np.ascontiguousarray(b.T)
+    acc = np.empty((m, n), dtype=np.float64)
+    tj = min(n, 4096)
+    ti_rows = max(1, (256 << 10) // (tj * 8))
+    tmp = np.empty((ti_rows, tj), dtype=np.float64)
+    for i in range(0, m, ti_rows):
+        mi = min(ti_rows, m - i)
+        for j in range(0, n, tj):
+            nj = min(tj, n - j)
+            out = acc[i : i + mi, j : j + nj]
+            t = tmp[:mi, :nj]
+            np.multiply(
+                aT[0, i : i + mi][:, None], bT[0, j : j + nj][None, :], out=out
+            )
+            for d in range(1, dims):
+                np.multiply(
+                    aT[d, i : i + mi][:, None],
+                    bT[d, j : j + nj][None, :],
+                    out=t,
+                )
+                out += t
+            out /= an[i : i + mi, None] * bn[None, j : j + nj]
+    return acc

@@ -155,3 +155,32 @@ class TestKnnSingleKernelPass:
             ).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestTiledFoldKernel:
+    def test_bit_identity_vs_naive_fold(self):
+        """The tiled fold_cosine_block must reproduce the naive
+        per-dim accumulate BIT-FOR-BIT on awkward shapes (tile
+        boundaries, singleton rows, non-multiple-of-tile sizes) —
+        the whole oracle contract of every cogrouped scorer rides on
+        this float sequence."""
+        import numpy as np
+        import pandas as pd
+
+        from go_integ_spark.functions.vector import fold_cosine_block
+
+        rng = np.random.RandomState(42)
+        for m, n, d in [(1, 1, 1), (3, 7, 5), (9, 4097, 64), (257, 33, 64)]:
+            a = rng.randn(m, d)
+            b = rng.randn(n, d)
+            an = np.sqrt((a * a).sum(1))
+            bn = np.sqrt((b * b).sum(1))
+            naive = np.zeros((m, n))
+            for k in range(d):
+                naive += a[:, k : k + 1] * b[:, k][None, :]
+            naive /= an[:, None] * bn[None, :]
+            got = fold_cosine_block(
+                pd.Series(list(a)), pd.Series(an),
+                pd.Series(list(b)), pd.Series(bn),
+            )
+            assert np.array_equal(got, naive), (m, n, d)
