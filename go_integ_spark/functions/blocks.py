@@ -58,3 +58,35 @@ def repartition_for_blocks(
     this exchange."""
     n = block_partition_count(df.sparkSession, n_blocks)
     return df.repartition(n, *keys)
+
+
+def pack_bins(costs: list[float], capacity: float) -> tuple[list[int], int]:
+    """Worst-fit-decreasing bin packing: assign each item to the
+    least-loaded open bin that still fits, else open a new one.
+    Returns (bin id per item, bin count). Used to pack scoring
+    blocks into ~equal-COST partitions: one-partition-per-block is
+    right when blocks are near-uniform, but a clustered corpus makes
+    them bimodal (near-cap hot blocks vs tiny cold cells), and then
+    max/median task time is the block-size ratio. Packing cold
+    blocks together around the hot ones makes the MEDIAN task a full
+    bin while the max stays one bin (plus a hash collision or two),
+    so stage balance is bounded by small constants at any scale.
+    O(n log n); item costs above capacity are clamped (such an item
+    fills its own bin)."""
+    import heapq
+
+    order = sorted(range(len(costs)), key=lambda i: -costs[i])
+    heap: list[tuple[float, int]] = []
+    assign = [0] * len(costs)
+    nbins = 0
+    for i in order:
+        c = min(costs[i], capacity)
+        if heap and heap[0][0] + c <= capacity:
+            load, b = heapq.heappop(heap)
+            assign[i] = b
+            heapq.heappush(heap, (load + c, b))
+        else:
+            assign[i] = nbins
+            heapq.heappush(heap, (c, nbins))
+            nbins += 1
+    return assign, nbins

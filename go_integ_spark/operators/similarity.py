@@ -2279,9 +2279,17 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
         F.greatest(F.lit(1), F.ceil(F.count(F.lit(1)) / cap))
         .cast("int")
         .alias("n_psplits"),
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
     )
+    # slim split-count frame for the row-level joins (the member /
+    # probe counts are driver-only packing inputs; carrying them into
+    # both branches would re-trip the ambiguous-self-join check)
+    sz_splits = sz.select("cell_id", "n_csplits", "n_psplits")
     a_split = (
-        assigned.join(F.broadcast(sz), "cell_id")
+        assigned.join(F.broadcast(sz_splits), "cell_id")
         .withColumn(
             "csplit",
             F.pmod(F.xxhash64("vec_id"), F.col("n_csplits")).cast("int"),
@@ -2295,7 +2303,7 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # the SAME sz frame and meet again in the cogroup, which
     # otherwise trips Spark's ambiguous-self-join check
     p_sz = (
-        sz.withColumnRenamed("n_csplits", "pc_splits")
+        sz_splits.withColumnRenamed("n_csplits", "pc_splits")
         .withColumnRenamed("n_psplits", "pp_splits")
         .withColumnRenamed("cell_id", "pcell_id")
     )
@@ -2314,28 +2322,73 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # is rows x rows while its shuffled bytes are linear, so AQE's
     # byte-balanced coalescing packs several near-cap blocks into one
     # task (the r10 1000x residual: 144x data-task skew at 1000x,
-    # 4.2x at 100x where blocks were ~10x smaller). One partition per
-    # (cell, csplit, psplit) block pins task cost to the single-block
-    # bound the 2-D cap already enforces. The block count is a tiny
-    # aggregate over the broadcastable cells-sized table.
-    from go_integ_spark.functions.blocks import repartition_for_blocks
+    # 4.2x at 100x where blocks were ~10x smaller). But
+    # one-partition-PER-BLOCK over-corrects on a clustered corpus:
+    # blocks are bimodal (near-cap hot-cell blocks vs tiny cold
+    # cells), so the max/median task ratio becomes the block-size
+    # ratio (measured 29x at the 100x probe even though wall
+    # improved). The fix is a tiny driver-side scheduler: per-block
+    # costs come off the cells-sized sz table (zero extra passes),
+    # worst-fit-decreasing packs blocks into ~equal-cost bins of one
+    # cap^2-block-equivalent each, and the exchange hashes the BIN
+    # id with an explicit partition count (REPARTITION_BY_NUM — AQE
+    # keeps its hands off). bin_id is functionally determined by the
+    # block key, so prepending it to the grouping keys changes no
+    # group; HashPartitioning(bin_id) is a subset of the grouping
+    # keys, so EnsureRequirements accepts the exchange as-is.
+    from go_integ_spark.functions.blocks import (
+        block_partition_count,
+        pack_bins,
+    )
 
-    (nb,) = sz.agg(
-        F.sum(F.col("n_csplits").cast("bigint") * F.col("n_psplits")).alias(
-            "nb"
-        )
-    ).collect()
-    n_blocks = int(nb["nb"] or 1)
-    grid_keys = ["cell_id", "csplit", "psplit"]
-    p_keys = ["pcell_id", "csplit", "psplit"]
+    sz_rows = sz.collect()
+    blocks: list[tuple[int, int, int]] = []
+    costs: list[float] = []
+    # ~fixed per-block overhead (Arrow batch + pandas assembly),
+    # expressed in pair-units so packing many tiny cold cells into
+    # one bin stays bounded by per-group overhead too.
+    overhead = 50_000.0
+    for r in sz_rows:
+        mc = r["n_members"] / r["n_csplits"]
+        pc = r["n_probes"] / r["n_psplits"]
+        for cs in range(r["n_csplits"]):
+            for ps in range(r["n_psplits"]):
+                blocks.append((r["cell_id"], cs, ps))
+                costs.append(mc * pc + overhead)
+    # Bin capacity balances two goals: small enough to open >= ~4
+    # bins per core (parallelism — a pure cap^2 capacity packed the
+    # 100x probe into 7 bins and starved 25 of 32 cores, wall 28 ->
+    # 55 s), large enough that per-bin overhead stays negligible.
+    # Blocks above capacity fill their own bin (pack_bins clamps), so
+    # the critical path is bounded by the largest single block — the
+    # bound the 2-D cap enforces.
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total_cost = sum(costs)
+    capacity = max(
+        min(float(KNN_CELL_CAP) * KNN_CELL_CAP, total_cost / max(4 * base, 64)),
+        4 * overhead,
+    )
+    assign, n_bins = pack_bins(costs, capacity)
+    bin_map = spark.createDataFrame(
+        [(c, cs, ps, b) for (c, cs, ps), b in zip(blocks, assign)],
+        "cell_id long, csplit int, psplit int, bin_id int",
+    )
+    p_bin_map = (
+        bin_map.withColumnRenamed("cell_id", "pcell_id")
+        .withColumnRenamed("bin_id", "p_bin")
+    )
+    n_parts = block_partition_count(spark, n_bins)
+    grid_keys = ["bin_id", "cell_id", "csplit", "psplit"]
+    p_keys = ["p_bin", "pcell_id", "csplit", "psplit"]
+    a_binned = a_split.join(
+        F.broadcast(bin_map), ["cell_id", "csplit", "psplit"]
+    ).repartition(n_parts, "bin_id")
+    p_binned = p_split.join(
+        F.broadcast(p_bin_map), ["pcell_id", "csplit", "psplit"]
+    ).repartition(n_parts, "p_bin")
     scored = (
-        repartition_for_blocks(a_split, grid_keys, n_blocks)
-        .groupBy(*grid_keys)
-        .cogroup(
-            repartition_for_blocks(p_split, p_keys, n_blocks).groupBy(
-                *p_keys
-            )
-        )
+        a_binned.groupBy(*grid_keys)
+        .cogroup(p_binned.groupBy(*p_keys))
         .applyInPandas(
             lambda left, right: _score_cell(left, right),
             "src_id bigint, dst_id bigint, s double",

@@ -61,6 +61,15 @@ def get_spark(
         # nanos timestamp type — read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Accept subset-key hash partitioning for co-partitioned
+        # binary ops (cogroup): the block scorers pre-place whole
+        # scoring blocks into cost-balanced bins and exchange on the
+        # BIN id (functions/blocks.py); bin_id is functionally
+        # determined by the grouping keys, so ClusteredDistribution
+        # semantics hold and EnsureRequirements must not stack a
+        # byte-coalescible full-key exchange on top (r11; plan pins
+        # in tests/test_round11_ops.py).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

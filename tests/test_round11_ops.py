@@ -184,3 +184,30 @@ class TestTiledFoldKernel:
                 pd.Series(list(b)), pd.Series(bn),
             )
             assert np.array_equal(got, naive), (m, n, d)
+
+
+class TestPackBins:
+    def test_capacity_respected_and_clamped(self):
+        costs = [100.0, 1.0, 1.0, 1.0, 50.0, 49.0]
+        assign, n = blocks.pack_bins(costs, 100.0)
+        loads = {}
+        for i, b in enumerate(assign):
+            loads[b] = loads.get(b, 0.0) + min(costs[i], 100.0)
+        assert max(loads.values()) <= 100.0
+        assert n == len(set(assign))
+        # an oversize item fills its own bin instead of looping
+        assign, n = blocks.pack_bins([1e12], 100.0)
+        assert (assign, n) == ([0], 1)
+        assert blocks.pack_bins([], 100.0) == ([], 0)
+
+    def test_balance_on_bimodal_costs(self):
+        # the kNN regime: a few near-capacity hot blocks + many tiny
+        # cold cells; bins must come out near-equal, not bimodal
+        costs = [9e6] * 10 + [5e4] * 500
+        assign, n = blocks.pack_bins(costs, 1e7)
+        loads = [0.0] * n
+        for i, b in enumerate(assign):
+            loads[b] += costs[i]
+        assert max(loads) <= 1e7
+        # every bin except possibly one is at least half full
+        assert sum(1 for x in loads if x < 5e6) <= 1
