@@ -77,10 +77,12 @@ MIN_STATE_PARTITIONS = 4
 # One state shard per this many bytes of stream-source input. The
 # shard count must scale with state volume, and state volume tracks
 # input volume for every query here (dedup keys, session keys,
-# registry keys are all O(input)). 64 MB per shard puts the gate
-# corpora at the 4-shard floor and the 1000x probe's ~14.7M-key
-# paragraph-dedup store at ~40 shards — the regime where the manual
-# SG_STATE_PARTITIONS=16 override was needed before (r10).
+# registry keys are all O(input)). 64 MB per shard keeps the gate
+# corpora (KB-MB sources) at the 4-shard floor and derives 8 shards
+# for the 1000x probe's 493 MB / 14.7M-key paragraph-dedup store —
+# measured 132.6 s / 1.1x skew there vs 185.8 s / 4.4x at 32 MB
+# (16 shards): per-shard state-store overhead beats extra
+# parallelism at this state size, so fewer-but-fuller shards win.
 STATE_SHARD_BYTES = 64 << 20
 MAX_STATE_PARTITIONS = 256
 

@@ -636,7 +636,15 @@ def main() -> None:
     shuffly = [s for s in report if s["shuffle_write_mb"] or s["shuffle_read_mb"]]
 
     def eff_skew(s: dict) -> float:
-        # data-bearing-task skew where it was measured, raw otherwise
+        # data-bearing-task skew where it was measured, raw otherwise.
+        # Stages whose SLOWEST task is sub-second cannot have a
+        # straggler problem at any scale — a 192 ms max over a 2 ms
+        # median (a 20 KB bookkeeping exchange in the r11 1000x
+        # probe) is scheduling noise reading as "96x skew", not a
+        # data distribution issue. They stay in the printed report
+        # but not in the straggler verdict.
+        if s["task_max_ms"] < 1000:
+            return 0
         v = s["data_skew"] if s["data_skew"] is not None else s["skew"]
         return v or 0
 
