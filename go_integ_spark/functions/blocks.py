@@ -90,3 +90,125 @@ def pack_bins(costs: list[float], capacity: float) -> tuple[list[int], int]:
             heapq.heappush(heap, (c, nbins))
             nbins += 1
     return assign, nbins
+
+
+def grid_block_cogroup(
+    probes,
+    members,
+    keys: list[str],
+    probe_id: str,
+    member_id: str,
+    score_fn,
+    schema: str,
+    cap: int,
+    overhead: float = 50_000.0,
+):
+    """2-D capped block grid + cost-binned exchange for an asymmetric
+    cogrouped scorer — the ``embedding_knn_graph`` shape generalized
+    (r11). ``probes``/``members`` each carry the ``keys`` columns plus
+    payload; every (probe-block x member-block) pair of a cell meets
+    exactly once: the member side splits by ``xxhash64(member_id)``
+    into ceil(n/cap) sub-blocks and replicates across the probe
+    side's splits, and vice versa. Per-block costs come from one
+    map-side-combined count aggregate per side (cells-sized driver
+    collect); ``pack_bins`` packs blocks into ~equal-cost bins and
+    the exchange hashes the BIN id with an explicit partition count
+    (REPARTITION_BY_NUM — requires
+    spark.sql.requireAllClusterKeysForCoPartition=false, set in
+    get_spark).
+
+    RESULT CONTRACT: callers must be split-invariant — the scored
+    pair set is unchanged by construction, but a score_fn that emits
+    per-probe top-k emits it PER BLOCK, so the caller needs a global
+    top-k (window) downstream; any global survivor ranks <= k inside
+    its own sub-block, so the union always feeds that window every
+    global survivor. ``score_fn(probe_pdf, member_pdf)`` — the
+    member side's key/split columns arrive prefixed ``m_``.
+    """
+    from pyspark.sql import functions as F
+
+    spark = probes.sparkSession
+    csz = members.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_m"))
+    psz = probes.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_p"))
+    sz = (
+        csz.join(psz, list(keys), "full")
+        .na.fill(0, ["n_m", "n_p"])
+        .collect()
+    )
+    split_rows = []
+    blocks = []
+    costs: list[float] = []
+    for r in sz:
+        n_m, n_p = r["n_m"], r["n_p"]
+        if n_m == 0 or n_p == 0:
+            continue  # an empty side scores nothing; skip the cell
+        nc = max(1, -(-n_m // cap))
+        np_ = max(1, -(-n_p // cap))
+        kv = tuple(r[k] for k in keys)
+        split_rows.append(kv + (nc, np_))
+        mc, pc = n_m / nc, n_p / np_
+        for cs in range(nc):
+            for ps in range(np_):
+                blocks.append(kv + (cs, ps))
+                costs.append(mc * pc + overhead)
+    if not blocks:
+        # degenerate corpus: deliver an empty frame of the right schema
+        return (
+            probes.groupBy(*keys)
+            .cogroup(members.groupBy(*keys))
+            .applyInPandas(lambda p, m: score_fn(p.iloc[:0], m.iloc[:0]), schema)
+        )
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = sum(costs)
+    capacity = max(
+        min(float(cap) * cap, total / max(4 * base, 64)), 4 * overhead
+    )
+    assign, n_bins = pack_bins(costs, capacity)
+    n_parts = block_partition_count(spark, n_bins)
+    m_keys = [f"m_{k}" for k in keys]
+    # separate local frames per side: sharing one broadcast frame
+    # across both cogroup branches trips the ambiguous-self-join check
+    p_splits = spark.createDataFrame(split_rows, list(keys) + ["n_cs", "n_ps"])
+    m_splits = spark.createDataFrame(split_rows, m_keys + ["mn_cs", "mn_ps"])
+    bin_rows = [b + (a,) for b, a in zip(blocks, assign)]
+    p_bins = spark.createDataFrame(
+        bin_rows, list(keys) + ["csplit", "psplit", "bin_id"]
+    )
+    m_bins = spark.createDataFrame(
+        bin_rows, m_keys + ["m_csplit", "m_psplit", "m_bin"]
+    )
+    p = (
+        probes.join(F.broadcast(p_splits), list(keys))
+        .withColumn(
+            "psplit", F.pmod(F.xxhash64(probe_id), F.col("n_ps")).cast("int")
+        )
+        .withColumn(
+            "csplit",
+            F.explode(F.sequence(F.lit(0), F.col("n_cs") - 1, F.lit(1))),
+        )
+        .drop("n_cs", "n_ps")
+        .join(F.broadcast(p_bins), list(keys) + ["csplit", "psplit"])
+        .repartition(n_parts, "bin_id")
+    )
+    m = members
+    for k, mk in zip(keys, m_keys):
+        m = m.withColumnRenamed(k, mk)
+    m = (
+        m.join(F.broadcast(m_splits), m_keys)
+        .withColumn(
+            "m_csplit",
+            F.pmod(F.xxhash64(member_id), F.col("mn_cs")).cast("int"),
+        )
+        .withColumn(
+            "m_psplit",
+            F.explode(F.sequence(F.lit(0), F.col("mn_ps") - 1, F.lit(1))),
+        )
+        .drop("mn_cs", "mn_ps")
+        .join(F.broadcast(m_bins), m_keys + ["m_csplit", "m_psplit"])
+        .repartition(n_parts, "m_bin")
+    )
+    return (
+        p.groupBy("bin_id", *keys, "csplit", "psplit")
+        .cogroup(m.groupBy("m_bin", *m_keys, "m_csplit", "m_psplit"))
+        .applyInPandas(score_fn, schema)
+    )

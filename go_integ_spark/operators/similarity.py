@@ -3040,9 +3040,10 @@ def _bitext_mine(spark: SparkSession, v: DataFrame) -> DataFrame:
         # side is the target, member side is en (no tgt_lang column).
         # tgt_lang is PER ROW of the target side — a backward en-cell
         # block mixes probing targets of every language.
-        fwd = "tgt_lang" in member_pdf.columns
+        # the grid helper renames member-side keys with an m_ prefix
+        fwd = "m_tgt_lang" in member_pdf.columns
         lang = (
-            member_pdf["tgt_lang"].to_numpy()[mi]
+            member_pdf["m_tgt_lang"].to_numpy()[mi]
             if fwd
             else probe_pdf["tgt_lang"].to_numpy()[pi]
         )
@@ -3088,21 +3089,27 @@ def _bitext_mine(spark: SparkSession, v: DataFrame) -> DataFrame:
         F.col("lang").alias("tgt_lang"),
         F.element_at(nearest_cells_multilang(tcrows, 1), 1).alias("cell_id"),
     )
-    # One scoring partition per (lang, cell) block — block cost is
-    # |probe block| x |member block| while shuffled bytes are linear,
-    # so AQE byte-coalescing must not pack hot cells (blocks.py).
-    from go_integ_spark.functions.blocks import repartition_for_blocks
+    # 2-D capped grid + cost-binned exchange (the embedding_knn_graph
+    # discipline, via the shared helper): per-(lang, cell) block cost
+    # is |probe block| x |member block| while shuffled bytes are
+    # linear, so neither AQE byte-coalescing nor one-task-per-cell
+    # balances a clustered corpus (the r11 100x matrix read 42x
+    # max/median on the hot cells under one-task-per-cell). Sub-
+    # splitting is result-safe here because both directions take an
+    # exact GLOBAL top-k window downstream (w_f / w_b below): any
+    # global survivor ranks <= k inside its own sub-block, so the
+    # per-block top-k union always contains every global survivor.
+    from go_integ_spark.functions.blocks import grid_block_cogroup
 
-    n_fwd_blocks = sum(len(crows[lg]["cents"]) for lg in tgt_langs)
-    fwd = (
-        repartition_for_blocks(fwd_probes, ["tgt_lang", "cell_id"], n_fwd_blocks)
-        .groupBy("tgt_lang", "cell_id")
-        .cogroup(
-            repartition_for_blocks(
-                fwd_members, ["tgt_lang", "cell_id"], n_fwd_blocks
-            ).groupBy("tgt_lang", "cell_id")
-        )
-        .applyInPandas(_score_block, out_schema)
+    fwd = grid_block_cogroup(
+        fwd_probes,
+        fwd_members,
+        ["tgt_lang", "cell_id"],
+        "qid",
+        "mid",
+        _score_block,
+        out_schema,
+        KNN_CELL_CAP,
     )
     # Backward: every target vector probes the en index.
     bwd_probes = v.filter(F.col("lang") != "en").select(
@@ -3122,16 +3129,15 @@ def _bitext_mine(spark: SparkSession, v: DataFrame) -> DataFrame:
             nearest_cells_pd(crows["en"], 1, "se", "se_norm"), 1
         ).alias("cell_id"),
     )
-    n_bwd_blocks = len(crows["en"]["cents"])
-    bwd = (
-        repartition_for_blocks(bwd_probes, ["cell_id"], n_bwd_blocks)
-        .groupBy("cell_id")
-        .cogroup(
-            repartition_for_blocks(
-                bwd_members, ["cell_id"], n_bwd_blocks
-            ).groupBy("cell_id")
-        )
-        .applyInPandas(_score_block, out_schema)
+    bwd = grid_block_cogroup(
+        bwd_probes,
+        bwd_members,
+        ["cell_id"],
+        "qid",
+        "mid",
+        _score_block,
+        out_schema,
+        KNN_CELL_CAP,
     )
     # Global per-direction top-k over the block survivors (at most
     # BITEXT_TOP_K * nprobe rows per group reach these windows), then
