@@ -571,12 +571,18 @@ def main() -> None:
     # randomly pays its producer's whole build and the matrix
     # measures cache luck, not plans.
     _CHAINS = (
-        # dedup_lsh_pairs slot
+        # dedup_lsh_pairs + dedup_doc_shingle_sets slots (the r11
+        # two-seed agreement run caught contamination_ngram_overlap
+        # at 3.45 s when scheduled before the shingle cache existed
+        # vs 0.38 s after — consumers of a cached artifact must
+        # follow its producer)
         (
             "dedup_minhash_lsh",
             "curation_dedup_impact",
             "graph_pagerank_sources",
             "graph_triangle_count",
+            "contamination_ngram_overlap",
+            "curation_token_budget_select",
         ),
         # knn_graph slot
         ("embedding_knn_graph", "embedding_communities"),
