@@ -92,6 +92,53 @@ def pack_bins(costs: list[float], capacity: float) -> tuple[list[int], int]:
     return assign, nbins
 
 
+# ~fixed per-block overhead (Arrow batch + pandas assembly) in
+# pair-units: bounds how many tiny cold blocks one bin may hold, and
+# floors the bin capacity.
+BLOCK_OVERHEAD = 50_000.0
+
+
+def plan_grid_bins(
+    cells: list[tuple[tuple, int, int]],
+    cap: int,
+    base_partitions: int,
+    overhead: float = BLOCK_OVERHEAD,
+) -> tuple[list[tuple], list[tuple], int]:
+    """The ONE grid scheduler (r11 review: the kNN path and the
+    generic helper had copy-pasted capacity/packing policies that
+    could silently diverge). ``cells`` is [(key_tuple, n_members,
+    n_probes)]. Each cell splits into ceil(n/cap) sub-blocks per
+    dimension; per-block cost ~ (n_m/nc)*(n_p/np) + overhead;
+    worst-fit-decreasing packs blocks into bins whose capacity sits
+    between 4-bins-per-core (parallelism floor — a pure cap^2
+    capacity starved 25 of 32 cores at the 100x probe) and the cap^2
+    single-block bound. Returns (split_rows [(key..., n_cs, n_ps)],
+    bin_rows [(key..., csplit, psplit, bin_id)], n_bins)."""
+    split_rows: list[tuple] = []
+    blocks: list[tuple] = []
+    costs: list[float] = []
+    for kv, n_m, n_p in cells:
+        if n_m == 0 or n_p == 0:
+            continue  # an empty side scores nothing; skip the cell
+        nc = max(1, -(-n_m // cap))
+        np_ = max(1, -(-n_p // cap))
+        split_rows.append(kv + (nc, np_))
+        mc, pc = n_m / nc, n_p / np_
+        for cs in range(nc):
+            for ps in range(np_):
+                blocks.append(kv + (cs, ps))
+                costs.append(mc * pc + overhead)
+    if not blocks:
+        return [], [], 0
+    capacity = max(
+        min(float(cap) * cap, sum(costs) / max(4 * base_partitions, 64)),
+        4 * overhead,
+    )
+    assign, n_bins = pack_bins(costs, capacity)
+    bin_rows = [b + (a,) for b, a in zip(blocks, assign)]
+    return split_rows, bin_rows, n_bins
+
+
 def grid_block_cogroup(
     probes,
     members,
@@ -101,7 +148,7 @@ def grid_block_cogroup(
     score_fn,
     schema: str,
     cap: int,
-    overhead: float = 50_000.0,
+    slot: str | None = None,
 ):
     """2-D capped block grid + cost-binned exchange for an asymmetric
     cogrouped scorer — the ``embedding_knn_graph`` shape generalized
@@ -111,11 +158,18 @@ def grid_block_cogroup(
     into ceil(n/cap) sub-blocks and replicates across the probe
     side's splits, and vice versa. Per-block costs come from one
     map-side-combined count aggregate per side (cells-sized driver
-    collect); ``pack_bins`` packs blocks into ~equal-cost bins and
-    the exchange hashes the BIN id with an explicit partition count
-    (REPARTITION_BY_NUM — requires
+    collect); ``plan_grid_bins`` packs blocks into ~equal-cost bins
+    and the exchange hashes the BIN id with an explicit partition
+    count (REPARTITION_BY_NUM — requires
     spark.sql.requireAllClusterKeysForCoPartition=false, set in
     get_spark).
+
+    ``slot``: single-slot cache prefix for the two input frames.
+    Without it, the count aggregates execute each un-persisted input
+    lineage a full extra time (for kernel-derived sides that is a
+    whole extra O(N*K*d) pass — the exact cost the kNN path's
+    persisted assignment frame eliminates); pass a stable name
+    whenever the inputs embed non-trivial compute.
 
     RESULT CONTRACT: callers must be split-invariant — the scored
     pair set is unchanged by construction, but a score_fn that emits
@@ -123,11 +177,23 @@ def grid_block_cogroup(
     top-k (window) downstream; any global survivor ranks <= k inside
     its own sub-block, so the union always feeds that window every
     global survivor. ``score_fn(probe_pdf, member_pdf)`` — the
-    member side's key/split columns arrive prefixed ``m_``.
+    member side's key/split columns arrive prefixed ``m_`` (in every
+    branch, including the degenerate empty-corpus fallback).
     """
     from pyspark.sql import functions as F
 
     spark = probes.sparkSession
+    if slot is not None:
+        from go_integ_spark.functions.cache import cached_persist
+
+        probes = cached_persist(f"{slot}_probes", probes, lambda p=probes: p)
+        members = cached_persist(
+            f"{slot}_members", members, lambda m=members: m
+        )
+    m_keys = [f"m_{k}" for k in keys]
+    members_renamed = members
+    for k, mk in zip(keys, m_keys):
+        members_renamed = members_renamed.withColumnRenamed(k, mk)
     csz = members.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_m"))
     psz = probes.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_p"))
     sz = (
@@ -135,53 +201,51 @@ def grid_block_cogroup(
         .na.fill(0, ["n_m", "n_p"])
         .collect()
     )
-    split_rows = []
-    blocks = []
-    costs: list[float] = []
-    for r in sz:
-        n_m, n_p = r["n_m"], r["n_p"]
-        if n_m == 0 or n_p == 0:
-            continue  # an empty side scores nothing; skip the cell
-        nc = max(1, -(-n_m // cap))
-        np_ = max(1, -(-n_p // cap))
-        kv = tuple(r[k] for k in keys)
-        split_rows.append(kv + (nc, np_))
-        mc, pc = n_m / nc, n_p / np_
-        for cs in range(nc):
-            for ps in range(np_):
-                blocks.append(kv + (cs, ps))
-                costs.append(mc * pc + overhead)
-    if not blocks:
-        # degenerate corpus: deliver an empty frame of the right schema
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    split_rows, bin_rows, n_bins = plan_grid_bins(
+        [(tuple(r[k] for k in keys), r["n_m"], r["n_p"]) for r in sz],
+        cap,
+        base,
+    )
+    if not bin_rows:
+        # degenerate corpus: deliver an empty frame of the right
+        # schema, through the same renamed-member contract
         return (
             probes.groupBy(*keys)
-            .cogroup(members.groupBy(*keys))
-            .applyInPandas(lambda p, m: score_fn(p.iloc[:0], m.iloc[:0]), schema)
+            .cogroup(members_renamed.groupBy(*m_keys))
+            .applyInPandas(
+                lambda p, m: score_fn(p.iloc[:0], m.iloc[:0]), schema
+            )
         )
-    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    total = sum(costs)
-    capacity = max(
-        min(float(cap) * cap, total / max(4 * base, 64)), 4 * overhead
-    )
-    assign, n_bins = pack_bins(costs, capacity)
     n_parts = block_partition_count(spark, n_bins)
-    m_keys = [f"m_{k}" for k in keys]
-    # separate local frames per side: sharing one broadcast frame
-    # across both cogroup branches trips the ambiguous-self-join check
-    p_splits = spark.createDataFrame(split_rows, list(keys) + ["n_cs", "n_ps"])
-    m_splits = spark.createDataFrame(split_rows, m_keys + ["mn_cs", "mn_ps"])
-    bin_rows = [b + (a,) for b, a in zip(blocks, assign)]
+    # explicit schemas: the split/bin columns must be INT on both
+    # sides — positionally-paired cogroup keys of different widths
+    # only work by UnsafeRow storage accident (r11 review)
+    key_ddl = ",".join(
+        f"{k} {probes.schema[k].dataType.simpleString()}" for k in keys
+    )
+    m_key_ddl = ",".join(
+        f"m_{k} {probes.schema[k].dataType.simpleString()}" for k in keys
+    )
+    p_splits = spark.createDataFrame(
+        split_rows, f"{key_ddl}, n_cs int, n_ps int"
+    )
+    m_splits = spark.createDataFrame(
+        split_rows, f"{m_key_ddl}, mn_cs int, mn_ps int"
+    )
     p_bins = spark.createDataFrame(
-        bin_rows, list(keys) + ["csplit", "psplit", "bin_id"]
+        bin_rows, f"{key_ddl}, csplit int, psplit int, bin_id int"
     )
     m_bins = spark.createDataFrame(
-        bin_rows, m_keys + ["m_csplit", "m_psplit", "m_bin"]
+        bin_rows, f"{m_key_ddl}, m_csplit int, m_psplit int, m_bin int"
     )
     p = (
         probes.join(F.broadcast(p_splits), list(keys))
         .withColumn(
             "psplit", F.pmod(F.xxhash64(probe_id), F.col("n_ps")).cast("int")
         )
+        # n_cs is int by schema, so the sequence elements (and the
+        # exploded csplit) are already int — matching m_csplit's type
         .withColumn(
             "csplit",
             F.explode(F.sequence(F.lit(0), F.col("n_cs") - 1, F.lit(1))),
@@ -190,11 +254,8 @@ def grid_block_cogroup(
         .join(F.broadcast(p_bins), list(keys) + ["csplit", "psplit"])
         .repartition(n_parts, "bin_id")
     )
-    m = members
-    for k, mk in zip(keys, m_keys):
-        m = m.withColumnRenamed(k, mk)
     m = (
-        m.join(F.broadcast(m_splits), m_keys)
+        members_renamed.join(F.broadcast(m_splits), m_keys)
         .withColumn(
             "m_csplit",
             F.pmod(F.xxhash64(member_id), F.col("mn_cs")).cast("int"),

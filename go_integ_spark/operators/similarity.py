@@ -2183,16 +2183,11 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     assigned = pe.filter(F.col("pos") == 0).select(
         "vec_id", "e", "e_norm", "cell_id"
     )
-    # pcell_id, not cell_id: both cogroup sides now descend from the
-    # SAME persisted pe frame, and a shared attribute name across the
-    # self-cogroup trips Spark's ambiguous-self-join check (the p_sz
-    # rename below is the same discipline). Alias gives the probe
-    # branch fresh expression ids.
     probes = pe.select(
         F.col("vec_id").alias("src_id"),
         F.col("e").alias("qe"),
         F.col("e_norm").alias("qe_norm"),
-        F.col("cell_id").alias("pcell_id"),
+        "cell_id",
     )
     # Per-cell BLOCK scoring via cogroup, not a row-per-pair join: the
     # pair join shipped BOTH full vectors for every candidate pair
@@ -2203,17 +2198,6 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # bit-identical to the pair expression and the DuckDB oracle),
     # and emits only each src's per-cell top-k (s, dst) rows — the
     # global top-k over nprobe * k survivors per src is then exact.
-    # Skew bound (the 1000x probe finding — 80x task skew on a
-    # 10-cluster corpus whose hot regions each flooded one cell):
-    # cells above KNN_CELL_CAP corpus rows are split into
-    # ceil(n/cap) deterministic xxhash64 sub-blocks and each probe
-    # row replicated to every sub-block of its probed cell. The
-    # scored PAIR SET and the per-pair fold are unchanged, and any
-    # cell-global top-k member ranks <= k inside its own sub-block,
-    # so the per-sub-block top-k union feeds salted_topk the same
-    # survivors — the final graph is bit-identical at ANY cap
-    # (pinned by test_round10b_ops: cap=8 equals cap=default at gate
-    # scale). Cold cells get n_splits = 1 and pay nothing.
     import numpy as np
     import pandas as pd
 
@@ -2258,141 +2242,33 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
             }
         )
 
-    # Both block dimensions must be capped: capping only the corpus
-    # side leaves hot-cell tasks at |cell_probes| x cap (the 1000x
-    # re-probe still read 128x task skew — on a clustered corpus the
-    # random-pick centroids are winner-take-most, so ~10 cells
-    # receive ~40% of ALL probes). The 2-D grid bounds every block at
-    # cap x cap rows. The per-cell counts (rank-0 hits = corpus
-    # members, all ranks = probes) come straight off the persisted
-    # assignment frame; the table is cells-sized and broadcast.
-    cap = F.lit(KNN_CELL_CAP)
-    sz = pe.groupBy("cell_id").agg(
-        F.greatest(
-            F.lit(1),
-            F.ceil(
-                F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)) / cap
-            ),
-        )
-        .cast("int")
-        .alias("n_csplits"),
-        F.greatest(F.lit(1), F.ceil(F.count(F.lit(1)) / cap))
-        .cast("int")
-        .alias("n_psplits"),
-        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_members"),
-        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
-    )
-    # slim split-count frame for the row-level joins (the member /
-    # probe counts are driver-only packing inputs; carrying them into
-    # both branches would re-trip the ambiguous-self-join check)
-    sz_splits = sz.select("cell_id", "n_csplits", "n_psplits")
-    a_split = (
-        assigned.join(F.broadcast(sz_splits), "cell_id")
-        .withColumn(
-            "csplit",
-            F.pmod(F.xxhash64("vec_id"), F.col("n_csplits")).cast("int"),
-        )
-        .withColumn(
-            "psplit",
-            F.explode(F.sequence(F.lit(0), F.col("n_psplits") - 1, F.lit(1))),
-        )
-    )
-    # distinct column names in the probe branch: both branches join
-    # the SAME sz frame and meet again in the cogroup, which
-    # otherwise trips Spark's ambiguous-self-join check
-    p_sz = (
-        sz_splits.withColumnRenamed("n_csplits", "pc_splits")
-        .withColumnRenamed("n_psplits", "pp_splits")
-        .withColumnRenamed("cell_id", "pcell_id")
-    )
-    p_split = (
-        probes.join(F.broadcast(p_sz), "pcell_id")
-        .withColumn(
-            "psplit",
-            F.pmod(F.xxhash64("src_id"), F.col("pp_splits")).cast("int"),
-        )
-        .withColumn(
-            "csplit",
-            F.explode(F.sequence(F.lit(0), F.col("pc_splits") - 1, F.lit(1))),
-        )
-    )
-    # The scoring exchange must NOT be byte-coalesced: a block's cost
-    # is rows x rows while its shuffled bytes are linear, so AQE's
-    # byte-balanced coalescing packs several near-cap blocks into one
-    # task (the r10 1000x residual: 144x data-task skew at 1000x,
-    # 4.2x at 100x where blocks were ~10x smaller). But
-    # one-partition-PER-BLOCK over-corrects on a clustered corpus:
-    # blocks are bimodal (near-cap hot-cell blocks vs tiny cold
-    # cells), so the max/median task ratio becomes the block-size
-    # ratio (measured 29x at the 100x probe even though wall
-    # improved). The fix is a tiny driver-side scheduler: per-block
-    # costs come off the cells-sized sz table (zero extra passes),
-    # worst-fit-decreasing packs blocks into ~equal-cost bins of one
-    # cap^2-block-equivalent each, and the exchange hashes the BIN
-    # id with an explicit partition count (REPARTITION_BY_NUM — AQE
-    # keeps its hands off). bin_id is functionally determined by the
-    # block key, so prepending it to the grouping keys changes no
-    # group; HashPartitioning(bin_id) is a subset of the grouping
-    # keys, so EnsureRequirements accepts the exchange as-is.
-    from go_integ_spark.functions.blocks import (
-        block_partition_count,
-        pack_bins,
-    )
+    # Scoring runs through the shared 2-D grid + cost-binned cogroup
+    # (functions/blocks.py — ONE scheduler for every blocked scorer,
+    # r11): both block dimensions capped at KNN_CELL_CAP (capping only
+    # the corpus side left hot-cell tasks at |cell_probes| x cap —
+    # 128x task skew at the 1000x re-probe), blocks packed into
+    # ~equal-cost bins, exchange hashed on the bin id so neither AQE
+    # byte-coalescing (which stacks quadratic blocks — the r10 144x
+    # residual) nor one-task-per-block bimodality (29x at 100x) sets
+    # task shape. The scored pair set and per-pair fold are
+    # unchanged, and any cell-global top-k member ranks <= k inside
+    # its own sub-block, so the per-sub-block top-k union feeds
+    # salted_topk the same survivors — the final graph is
+    # bit-identical at ANY cap (pinned by test_round10b_ops: cap=8
+    # equals cap=default at gate scale). No slot: both sides read the
+    # PERSISTED pe frame, so the helper's count aggregates are cheap
+    # scans, not kernel re-runs.
+    from go_integ_spark.functions.blocks import grid_block_cogroup
 
-    sz_rows = sz.collect()
-    blocks: list[tuple[int, int, int]] = []
-    costs: list[float] = []
-    # ~fixed per-block overhead (Arrow batch + pandas assembly),
-    # expressed in pair-units so packing many tiny cold cells into
-    # one bin stays bounded by per-group overhead too.
-    overhead = 50_000.0
-    for r in sz_rows:
-        mc = r["n_members"] / r["n_csplits"]
-        pc = r["n_probes"] / r["n_psplits"]
-        for cs in range(r["n_csplits"]):
-            for ps in range(r["n_psplits"]):
-                blocks.append((r["cell_id"], cs, ps))
-                costs.append(mc * pc + overhead)
-    # Bin capacity balances two goals: small enough to open >= ~4
-    # bins per core (parallelism — a pure cap^2 capacity packed the
-    # 100x probe into 7 bins and starved 25 of 32 cores, wall 28 ->
-    # 55 s), large enough that per-bin overhead stays negligible.
-    # Blocks above capacity fill their own bin (pack_bins clamps), so
-    # the critical path is bounded by the largest single block — the
-    # bound the 2-D cap enforces.
-    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    total_cost = sum(costs)
-    capacity = max(
-        min(float(KNN_CELL_CAP) * KNN_CELL_CAP, total_cost / max(4 * base, 64)),
-        4 * overhead,
-    )
-    assign, n_bins = pack_bins(costs, capacity)
-    bin_map = spark.createDataFrame(
-        [(c, cs, ps, b) for (c, cs, ps), b in zip(blocks, assign)],
-        "cell_id long, csplit int, psplit int, bin_id int",
-    )
-    p_bin_map = (
-        bin_map.withColumnRenamed("cell_id", "pcell_id")
-        .withColumnRenamed("bin_id", "p_bin")
-    )
-    n_parts = block_partition_count(spark, n_bins)
-    grid_keys = ["bin_id", "cell_id", "csplit", "psplit"]
-    p_keys = ["p_bin", "pcell_id", "csplit", "psplit"]
-    a_binned = a_split.join(
-        F.broadcast(bin_map), ["cell_id", "csplit", "psplit"]
-    ).repartition(n_parts, "bin_id")
-    p_binned = p_split.join(
-        F.broadcast(p_bin_map), ["pcell_id", "csplit", "psplit"]
-    ).repartition(n_parts, "p_bin")
-    scored = (
-        a_binned.groupBy(*grid_keys)
-        .cogroup(p_binned.groupBy(*p_keys))
-        .applyInPandas(
-            lambda left, right: _score_cell(left, right),
-            "src_id bigint, dst_id bigint, s double",
-        )
+    scored = grid_block_cogroup(
+        probes,
+        assigned,
+        ["cell_id"],
+        "src_id",
+        "vec_id",
+        lambda probe_pdf, corpus_pdf: _score_cell(corpus_pdf, probe_pdf),
+        "src_id bigint, dst_id bigint, s double",
+        KNN_CELL_CAP,
     )
     knn = salted_topk(
         scored, "src_id", [F.col("s").desc(), F.col("dst_id")], KNN_GRAPH_K
@@ -3110,6 +2986,7 @@ def _bitext_mine(spark: SparkSession, v: DataFrame) -> DataFrame:
         _score_block,
         out_schema,
         KNN_CELL_CAP,
+        slot="bitext_fwd",
     )
     # Backward: every target vector probes the en index.
     bwd_probes = v.filter(F.col("lang") != "en").select(
@@ -3138,6 +3015,7 @@ def _bitext_mine(spark: SparkSession, v: DataFrame) -> DataFrame:
         _score_block,
         out_schema,
         KNN_CELL_CAP,
+        slot="bitext_bwd",
     )
     # Global per-direction top-k over the block survivors (at most
     # BITEXT_TOP_K * nprobe rows per group reach these windows), then

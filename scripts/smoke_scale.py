@@ -258,8 +258,11 @@ def _data_task_skew(
             if len(batch) < page:
                 break
     except Exception:
-        if not tasks:
-            return None, 0
+        # A fetch failure MID-pagination must not yield skew over a
+        # partial sample (the straggler could be in the missing
+        # tail) — fall back to None so the caller uses the raw
+        # taskSummary skew, which always includes the true max.
+        return None, 0
     runs = []
     empties = 0
     for t in tasks:
