@@ -801,6 +801,7 @@ def cosine_pairs_probe_members(
     key_col: str,
     threshold: float,
     n_blocks: int | None = None,
+    cap: int | None = None,
 ) -> DataFrame:
     """Asymmetric block scoring — the real IVF search shape: the
     ``members`` side sits in its ONE assigned cell, the ``probes``
@@ -846,16 +847,61 @@ def cosine_pairs_probe_members(
             }
         )
 
-    if n_blocks is not None:
-        from go_integ_spark.functions.blocks import repartition_for_blocks
+    if cap is not None:
+        # 2-D grid + cost-binned exchange (the unified scheduler):
+        # sub-splitting is trivially result-safe here — the kernel
+        # emits EVERY pair above threshold (no per-block top-k), so
+        # the union over sub-blocks is the identical pair set and
+        # the trailing .distinct() contract is untouched. This
+        # bounds hot-cell tasks at cap x cap instead of
+        # |cell_probes| x |cell_members| (the 1000x strict-miner
+        # scoring stage sat at 9.7x task skew under
+        # one-task-per-cell — within the bound, but with no
+        # headroom).
+        from go_integ_spark.functions.blocks import grid_block_cogroup
 
-        probes = repartition_for_blocks(probes, [key_col], n_blocks)
-        members = repartition_for_blocks(members, [key_col], n_blocks)
-    scored = (
-        probes.groupBy(key_col)
-        .cogroup(members.groupBy(key_col))
-        .applyInPandas(_score, "vec_a bigint, vec_b bigint, s double")
-    )
+        # fresh aliases for the member payload: probes and members
+        # usually derive from the SAME corpus frame, and identical
+        # payload attribute ids on both sides of the helper's joins
+        # trip Spark's ambiguous-self-join check (the knn/bitext
+        # callers dodge this by construction — their sides already
+        # use distinct payload names)
+        members_aliased = members.select(
+            F.col("vec_id").alias("mv_id"),
+            F.col("e").alias("me"),
+            F.col("e_norm").alias("me_norm"),
+            key_col,
+        )
+
+        def _score_grid(ppdf, mpdf):
+            return _score(
+                ppdf,
+                mpdf.rename(
+                    columns={"mv_id": "vec_id", "me": "e", "me_norm": "e_norm"}
+                ),
+            )
+
+        scored = grid_block_cogroup(
+            probes,
+            members_aliased,
+            [key_col],
+            "vec_id",
+            "mv_id",
+            _score_grid,
+            "vec_a bigint, vec_b bigint, s double",
+            cap,
+        )
+    else:
+        if n_blocks is not None:
+            from go_integ_spark.functions.blocks import repartition_for_blocks
+
+            probes = repartition_for_blocks(probes, [key_col], n_blocks)
+            members = repartition_for_blocks(members, [key_col], n_blocks)
+        scored = (
+            probes.groupBy(key_col)
+            .cogroup(members.groupBy(key_col))
+            .applyInPandas(_score, "vec_a bigint, vec_b bigint, s double")
+        )
     return scored.distinct().select(
         "vec_a", "vec_b", F.round(F.col("s"), 4).alias("cos_sim")
     )
@@ -1012,6 +1058,14 @@ def dedup_embedding_cosine_strict(spark: SparkSession, sf_dir: str) -> DataFrame
         "e_norm",
         F.element_at(nearest_cells_pd(crow, 1), 1).alias("cell_id"),
     )
+    # n_blocks (one REPARTITION_BY_NUM task per cell), not cap (the
+    # 2-D grid): measured A/B at the 1000x sparse probe — 279 s at
+    # 9.7x skew per-cell vs 876 s at 7.1x through the grid. On this
+    # operator's near-isotropic production regime the sqrt(N) cells
+    # are near-uniform, so per-cell tasks are already balanced and
+    # the grid only adds member replication, 2x block count, and two
+    # count-aggregate kernel passes. Flip to cap=KNN_CELL_CAP if the
+    # corpus geometry turns hot-celled (the knn/bitext case).
     return cosine_pairs_probe_members(
         probes, members, "cell_id", EMB_COS_STRICT, n_blocks=k_cells
     )
