@@ -149,6 +149,7 @@ def grid_block_cogroup(
     schema: str,
     cap: int,
     slot: str | None = None,
+    cell_sizes: list[tuple[tuple, int, int]] | None = None,
 ):
     """2-D capped block grid + cost-binned exchange for an asymmetric
     cogrouped scorer — the ``embedding_knn_graph`` shape generalized
@@ -156,20 +157,29 @@ def grid_block_cogroup(
     payload; every (probe-block x member-block) pair of a cell meets
     exactly once: the member side splits by ``xxhash64(member_id)``
     into ceil(n/cap) sub-blocks and replicates across the probe
-    side's splits, and vice versa. Per-block costs come from one
-    map-side-combined count aggregate per side (cells-sized driver
-    collect); ``plan_grid_bins`` packs blocks into ~equal-cost bins
-    and the exchange hashes the BIN id with an explicit partition
-    count (REPARTITION_BY_NUM — requires
+    side's splits, and vice versa. Per-block costs come from ONE
+    fused map-side-combined count aggregate over the union of both
+    sides' key columns (cells-sized driver collect; r11 ran two
+    aggregates + a join here, ~13% of the 1000x kNN wall);
+    ``plan_grid_bins`` packs blocks into ~equal-cost bins and the
+    exchange hashes the BIN id with an explicit partition count
+    (REPARTITION_BY_NUM — requires
     spark.sql.requireAllClusterKeysForCoPartition=false, set in
     get_spark).
 
     ``slot``: single-slot cache prefix for the two input frames.
-    Without it, the count aggregates execute each un-persisted input
+    Without it, the count aggregate executes each un-persisted input
     lineage a full extra time (for kernel-derived sides that is a
     whole extra O(N*K*d) pass — the exact cost the kNN path's
     persisted assignment frame eliminates); pass a stable name
     whenever the inputs embed non-trivial compute.
+
+    ``cell_sizes``: caller-supplied [(key_tuple, n_members,
+    n_probes)] per cell, skipping the count aggregate entirely. Use
+    when both sides derive from one already-persisted frame the
+    caller can aggregate in a single pass (the kNN path's assignment
+    frame: n_p = all probe rows per cell, n_m = rank-0 rows).
+    Zero-size cells are skipped by ``plan_grid_bins`` either way.
 
     RESULT CONTRACT: callers must be split-invariant — the scored
     pair set is unchanged by construction, but a score_fn that emits
@@ -190,23 +200,43 @@ def grid_block_cogroup(
         members = cached_persist(
             f"{slot}_members", members, lambda m=members: m
         )
+    # Key dtypes must agree across sides: the cogroup pairs key
+    # columns positionally and the fused union below would otherwise
+    # insert silent casts (ADVICE r11) — fail loud instead.
+    for k in keys:
+        pt = probes.schema[k].dataType
+        mt = members.schema[k].dataType
+        if pt != mt:
+            raise TypeError(
+                f"grid_block_cogroup key {k!r}: probe side is {pt}, "
+                f"member side is {mt} — key dtypes must match"
+            )
     m_keys = [f"m_{k}" for k in keys]
     members_renamed = members
     for k, mk in zip(keys, m_keys):
         members_renamed = members_renamed.withColumnRenamed(k, mk)
-    csz = members.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_m"))
-    psz = probes.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_p"))
-    sz = (
-        csz.join(psz, list(keys), "full")
-        .na.fill(0, ["n_m", "n_p"])
-        .collect()
-    )
+    if cell_sizes is None:
+        # ONE aggregate over the union of both sides' keys: each
+        # lineage is scanned once (as before) but the sizing runs as
+        # a single map-side-combined job instead of two jobs + a join.
+        sz = (
+            probes.select(*keys)
+            .withColumn("_is_m", F.lit(False))
+            .unionByName(
+                members.select(*keys).withColumn("_is_m", F.lit(True))
+            )
+            .groupBy(*keys)
+            .agg(
+                F.count_if(F.col("_is_m")).alias("n_m"),
+                F.count_if(~F.col("_is_m")).alias("n_p"),
+            )
+            .collect()
+        )
+        cell_sizes = [
+            (tuple(r[k] for k in keys), r["n_m"], r["n_p"]) for r in sz
+        ]
     base = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    split_rows, bin_rows, n_bins = plan_grid_bins(
-        [(tuple(r[k] for k in keys), r["n_m"], r["n_p"]) for r in sz],
-        cap,
-        base,
-    )
+    split_rows, bin_rows, n_bins = plan_grid_bins(cell_sizes, cap, base)
     if not bin_rows:
         # degenerate corpus: deliver an empty frame of the right
         # schema, through the same renamed-member contract
@@ -225,7 +255,7 @@ def grid_block_cogroup(
         f"{k} {probes.schema[k].dataType.simpleString()}" for k in keys
     )
     m_key_ddl = ",".join(
-        f"m_{k} {probes.schema[k].dataType.simpleString()}" for k in keys
+        f"m_{k} {members.schema[k].dataType.simpleString()}" for k in keys
     )
     p_splits = spark.createDataFrame(
         split_rows, f"{key_ddl}, n_cs int, n_ps int"

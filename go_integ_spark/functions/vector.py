@@ -143,13 +143,16 @@ def fold_cosine_block(a_vecs, a_norms, b_vecs, b_norms):
     # (45 s per 8192x8192x64 block measured at the 100x probe). The
     # SAME per-element float sequence (one rounded multiply, one
     # rounded accumulate per dimension, starting from the d=0
-    # product — numpy never fuses, and 0 + x == x exactly so
+    # product — numpy never fuses, and 0 + x == x VALUE-exactly so
     # writing the first product equals the old zeros-init) run over
     # ~L2-sized row tiles keeps the accumulator and temporary in
-    # cache: measured 6.9x on a 4096x4096x64 block, bit-identical
-    # output (pinned in tests/test_round11_ops.py). Transposed
-    # contiguous copies make each dimension's slice a sequential
-    # read.
+    # cache: measured 6.9x on a 4096x4096x64 block, value-identical
+    # output (pinned in tests/test_round11_ops.py). One signed-zero
+    # exception to full bit-identity (ADVICE r11): a -0.0 d=0
+    # product is written as -0.0 here, where zeros-init + add gave
+    # +0.0; -0.0 == 0.0 under IEEE comparison, so every downstream
+    # compare/round/distinct is unaffected. Transposed contiguous
+    # copies make each dimension's slice a sequential read.
     if dims == 0:
         return np.zeros((m, n)) / (an[:, None] * bn[None, :])
     aT = np.ascontiguousarray(a.T)

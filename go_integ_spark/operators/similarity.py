@@ -2255,11 +2255,22 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
     # its own sub-block, so the per-sub-block top-k union feeds
     # salted_topk the same survivors — the final graph is
     # bit-identical at ANY cap (pinned by test_round10b_ops: cap=8
-    # equals cap=default at gate scale). No slot: both sides read the
-    # PERSISTED pe frame, so the helper's count aggregates are cheap
-    # scans, not kernel re-runs.
+    # equals cap=default at gate scale). Cell sizes come from ONE
+    # aggregate over the persisted pe frame (n_p = all probe rows per
+    # cell, n_m = rank-0 rows) handed to the scheduler via
+    # cell_sizes=, so the helper runs zero sizing jobs of its own —
+    # r11's unified path paid ~13% over the bespoke one on exactly
+    # this (VERDICT r11 item 3).
     from go_integ_spark.functions.blocks import grid_block_cogroup
 
+    cell_rows = (
+        pe.groupBy("cell_id")
+        .agg(
+            F.count_if(F.col("pos") == 0).alias("n_m"),
+            F.count(F.lit(1)).alias("n_p"),
+        )
+        .collect()
+    )
     scored = grid_block_cogroup(
         probes,
         assigned,
@@ -2269,6 +2280,9 @@ def _build_knn_graph(spark: SparkSession, emb: DataFrame) -> DataFrame:
         lambda probe_pdf, corpus_pdf: _score_cell(corpus_pdf, probe_pdf),
         "src_id bigint, dst_id bigint, s double",
         KNN_CELL_CAP,
+        cell_sizes=[
+            ((r["cell_id"],), r["n_m"], r["n_p"]) for r in cell_rows
+        ],
     )
     knn = salted_topk(
         scored, "src_id", [F.col("s").desc(), F.col("dst_id")], KNN_GRAPH_K

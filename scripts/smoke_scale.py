@@ -244,6 +244,10 @@ def _data_task_skew(
     # Page through taskList: a single ?length=N fetch silently
     # truncates stages with more tasks, so skew would be computed
     # over a partial sample at larger probe scales (ADVICE r10).
+    # Explicit sortBy=ID pins a deterministic order across the
+    # separate REST requests (the default sort is not contractually
+    # stable, so pages could duplicate/skip tasks — ADVICE r11), and
+    # the dedupe-by-taskId below guards against overlap regardless.
     tasks = []
     page = 1000
     try:
@@ -251,7 +255,7 @@ def _data_task_skew(
             batch = json.load(
                 urllib.request.urlopen(
                     f"{ui}/api/v1/applications/{app_id}/stages/{sid}/{att}/"
-                    f"taskList?offset={len(tasks)}&length={page}"
+                    f"taskList?offset={len(tasks)}&length={page}&sortBy=ID"
                 )
             )
             tasks.extend(batch)
@@ -263,6 +267,15 @@ def _data_task_skew(
         # tail) — fall back to None so the caller uses the raw
         # taskSummary skew, which always includes the true max.
         return None, 0
+    seen_ids: set = set()
+    deduped = []
+    for t in tasks:
+        tid = t.get("taskId")
+        if tid in seen_ids:
+            continue
+        seen_ids.add(tid)
+        deduped.append(t)
+    tasks = deduped
     runs = []
     empties = 0
     for t in tasks:
