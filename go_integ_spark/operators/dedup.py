@@ -45,6 +45,8 @@ JVM expression it replaced.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1130,11 +1132,28 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
     # typically the full pair-mining pipeline (shingle + bucket join),
     # and without this every iteration would recompute it from the
     # scan up — at sf0.01 that alone was a ~25 s regression.
-    both = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .persist()
+    #
+    # Explicitly hash-partition it on `src` first (r12, VERDICT r11
+    # item 2): every round's hop join requires ClusteredDistribution
+    # on src, and a cached edge list that arrived partitioned some
+    # other way (embedding_communities' edges inherit the kNN grid's
+    # bin/pair partitioning) is re-shuffled in FULL every round —
+    # O(rounds) edge-list shuffles for the one the repartition pays
+    # once. InMemoryTableScan preserves the child's outputPartitioning,
+    # so each round then shuffles only the small labels side. The
+    # `labels` distinct on src reuses the same exchange. Toggle is for
+    # the committed 1000x A/B probe only (scripts/probe_cc_ab.py).
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    if os.environ.get("CC_EDGE_REPART", "1") != "0":
+        spark = edges.sparkSession
+        both = both.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "src"
+        )
+    both = both.persist()
     labels = (
         both.select(F.col("src").alias("node"))
         .distinct()
