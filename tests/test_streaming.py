@@ -402,3 +402,47 @@ def test_state_partitions_auto_sizing(tmp_path, monkeypatch):
     assert sq.state_partitions_for(str(src)) == 6
     monkeypatch.setenv("SG_STATE_PARTITIONS", "7")
     assert sq.state_partitions_for(str(src)) == 7
+
+
+def test_state_partitions_remote_uri(monkeypatch):
+    """Remote (object-store) sources size through Hadoop's
+    FileSystem.getContentSummary via the JVM gateway (VERDICT r11
+    item 4 — the os.walk form silently returned MIN shards for any
+    s3a/gs URI). Mocked FS here; the derivation is bytes-identical to
+    the local path: ceil(bytes / STATE_SHARD_BYTES) clamped to
+    [MIN, MAX]. A remote URI with no session fails loud."""
+    from unittest.mock import MagicMock
+
+    import pytest as _pytest
+
+    from go_integ_spark.streaming import queries as sq
+
+    monkeypatch.delenv("SG_STATE_PARTITIONS", raising=False)
+    fake_spark = MagicMock()
+    summary = (
+        fake_spark._jvm.org.apache.hadoop.fs.Path.return_value
+        .getFileSystem.return_value.getContentSummary.return_value
+    )
+    summary.getLength.return_value = 10 * sq.STATE_SHARD_BYTES
+    assert sq.state_partitions_for("s3a://bucket/corpus", fake_spark) == 10
+    fake_spark._jvm.org.apache.hadoop.fs.Path.assert_called_with(
+        "s3a://bucket/corpus"
+    )
+    # ceil, floor and cap behave exactly like the local branch
+    summary.getLength.return_value = 10 * sq.STATE_SHARD_BYTES + 1
+    assert sq.state_partitions_for("gs://b/x", fake_spark) == 11
+    summary.getLength.return_value = 1
+    assert (
+        sq.state_partitions_for("hdfs://nn/x", fake_spark)
+        == sq.MIN_STATE_PARTITIONS
+    )
+    summary.getLength.return_value = 10_000 * sq.STATE_SHARD_BYTES
+    assert (
+        sq.state_partitions_for("s3a://b/x", fake_spark)
+        == sq.MAX_STATE_PARTITIONS
+    )
+    with _pytest.raises(ValueError, match="needs the"):
+        sq.state_partitions_for("s3a://bucket/corpus")
+    # explicit override still wins without touching the FS
+    monkeypatch.setenv("SG_STATE_PARTITIONS", "9")
+    assert sq.state_partitions_for("s3a://bucket/corpus") == 9
