@@ -265,7 +265,10 @@ _MEASURED_COST = {
 # r10: emptied — CORRECTNESS_r09 shows both r9 entries
 # (similarity_bitext_pairs, similarity_threshold_join) green ON
 # THEIR NEW FORMS, so their fresh green rounds order them naturally.
-_FORCE_RECHECK: frozenset[str] = frozenset()
+# r12: contamination_embedding's scoring moved onto the unified
+# capped grid (grid_block_cogroup); its past greens proved the
+# one-task-per-cell form.
+_FORCE_RECHECK: frozenset[str] = frozenset({"contamination_embedding"})
 
 
 def _last_green_rounds() -> dict[str, int]:

@@ -139,6 +139,55 @@ def plan_grid_bins(
     return split_rows, bin_rows, n_bins
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32 hash of one IntegerType value (the
+    expression behind ``F.hash`` / HashPartitioning, seed 42) —
+    public algorithm, reimplemented so the driver can PREDICT which
+    shuffle partition an int key lands in. Returns the SIGNED 32-bit
+    result Java produces."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (x & 0xFFFFFFFF) * c1 & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = k * c2 & 0xFFFFFFFF
+    h = (seed & 0xFFFFFFFF) ^ k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # one 4-byte block
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & 0xFFFFFFFF
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= 1 << 31 else h
+
+
+def alias_bin_ids(n_bins: int, n_parts: int) -> list[int] | None:
+    """Replacement ids for bins 0..n_bins-1 such that murmur3-pmod
+    places every bin in a DISTINCT shuffle partition. pack_bins
+    builds ~equal-cost bins, but ``repartition(n, bin_id)`` HASHES
+    the id — with ~n bins in ~n partitions, birthday collisions
+    stack several quadratic-cost bins into one task while other
+    partitions sit empty (the r12 1000x kNN probes read a 201 s max
+    task over a 17.6 s median from exactly this). Greedy driver-side
+    search, O(n_parts log n_parts) expected tries; returns None when
+    n_bins > n_parts (only past MAX_BLOCK_PARTITIONS — stacking is
+    then unavoidable and uniform)."""
+    if n_bins > n_parts:
+        return None
+    aliases: list[int] = []
+    used: set[int] = set()
+    cand = 0
+    while len(aliases) < n_bins:
+        p = _murmur3_int(cand) % n_parts
+        if p < 0:
+            p += n_parts
+        if p not in used:
+            used.add(p)
+            aliases.append(cand)
+        cand += 1
+    return aliases
+
+
 def grid_block_cogroup(
     probes,
     members,
@@ -248,6 +297,15 @@ def grid_block_cogroup(
             )
         )
     n_parts = block_partition_count(spark, n_bins)
+    # Perfect bin->partition placement: remap bin ids so murmur3-pmod
+    # (what repartition(n, col) actually applies) sends every bin to
+    # its own partition — without this, birthday collisions stack
+    # several ~equal-cost bins into one task (201 s max over a 17.6 s
+    # median at the 1000x kNN probe). Ids are opaque to scoring, so
+    # results are unchanged.
+    aliases = alias_bin_ids(n_bins, n_parts)
+    if aliases is not None:
+        bin_rows = [b[:-1] + (aliases[b[-1]],) for b in bin_rows]
     # explicit schemas: the split/bin columns must be INT on both
     # sides — positionally-paired cogroup keys of different widths
     # only work by UnsafeRow storage accident (r11 review)

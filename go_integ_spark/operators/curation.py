@@ -811,24 +811,46 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"eval_id": eids[ii], "train_id": tids[jj], "s": sim[ii, jj]}
         )
 
-    # One scoring partition per cell (rows^2 cost vs linear bytes —
-    # AQE byte-coalescing must not pack hot cells; blocks.py).
-    from go_integ_spark.functions.blocks import repartition_for_blocks
+    # 2-D capped grid + cost-binned exchange (the unified scheduler,
+    # functions/blocks.py — r12, VERDICT r11 item 6): the corpus is
+    # CLUSTERED (hot cells), so one-task-per-cell leaves a hot cell's
+    # |eval block| x |train block| as a single task while AQE
+    # byte-coalescing would stack several. Sub-splitting is
+    # result-safe: the kernel emits EVERY pair >= threshold (no
+    # per-block top-k), so the union over sub-blocks is the identical
+    # pair set and the trailing .distinct() / top-1 window contracts
+    # are untouched. The slot persists both probed sides — without it
+    # the scheduler's sizing aggregate re-runs the O(N*K*d)
+    # nearest-cells kernel embedded in their shared lineage.
+    from go_integ_spark.functions.blocks import grid_block_cogroup
+    from go_integ_spark.operators.similarity import KNN_CELL_CAP
 
-    scored = (
-        repartition_for_blocks(ev_side, ["cell_id"], k_cells)
-        .groupBy("cell_id")
-        .cogroup(
-            repartition_for_blocks(tr_side, ["cell_id"], k_cells).groupBy(
-                "cell_id"
-            )
-        )
-        .applyInPandas(
-            _contam_pairs,
-            "eval_id bigint, train_id bigint, s double",
-        )
-        .distinct()  # a pair sharing several cells scores identically
+    tr_aliased = tr_side.select(
+        F.col("vec_id").alias("tv_id"),
+        F.col("e").alias("te"),
+        F.col("e_norm").alias("tn"),
+        "cell_id",
     )
+
+    def _contam_grid(ev_pdf, tr_pdf):
+        return _contam_pairs(
+            ev_pdf,
+            tr_pdf.rename(
+                columns={"tv_id": "vec_id", "te": "e", "tn": "e_norm"}
+            ),
+        )
+
+    scored = grid_block_cogroup(
+        ev_side,
+        tr_aliased,
+        ["cell_id"],
+        "vec_id",
+        "tv_id",
+        _contam_grid,
+        "eval_id bigint, train_id bigint, s double",
+        KNN_CELL_CAP,
+        slot="contam_emb",
+    ).distinct()  # a pair sharing several cells scores identically
     w = Window.partitionBy("eval_id").orderBy(F.col("s").desc(), "train_id")
     best = (
         scored.withColumn("rn", F.row_number().over(w))

@@ -56,7 +56,13 @@ def main() -> None:
     spark = get_spark(
         app_name="probe_cc_ab",
         shuffle_partitions=int(os.environ["SMOKE_SHUFFLE"]),
-        extra_conf={"spark.ui.enabled": "true"},
+        # retain every stage: the first probe's 3,141-stage session
+        # evicted run 1 from the UI REST API (default retainedStages
+        # 1000), blanking its rows in the stage report
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "10000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     ui = "http://localhost:4040"
@@ -87,13 +93,25 @@ def main() -> None:
         "embedding_knn_graph",
         lambda: reg["embedding_knn_graph"].fn(spark, sm.DATA_DIR).count(),
     )
-    for i, arm in enumerate(("0", "1", "0", "1")):
+    # Drift-cancelling arm order (probe 1 showed in-session drift:
+    # walls 143.6 / 90.2 / 111.0 / 194.7 s across four runs with a
+    # 4.6 s single-task GC stall in the last — adjacent pairs with
+    # the order FLIPPED between pairs cancel any monotone drift).
+    # CC_AB_ARMS overrides, e.g. "1,0,0,1,1,0".
+    arms = os.environ.get("CC_AB_ARMS", "1,0,0,1,1,0").split(",")
+    for i, arm in enumerate(arms):
         os.environ["CC_EDGE_REPART"] = arm
         label = f"communities_run{i + 1}_repart_{'on' if arm == '1' else 'off'}"
         timed(
             label,
             lambda: reg["embedding_communities"].fn(spark, sm.DATA_DIR).count(),
         )
+        # nudge dead checkpoint/persist blocks from the finished run
+        # out of the heap before the next arm measures
+        import gc
+
+        gc.collect()
+        spark._jvm.System.gc()
     os.environ.pop("CC_EDGE_REPART", None)
 
     report = sm.stage_report(ui)

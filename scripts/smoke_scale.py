@@ -168,6 +168,47 @@ MULTILANG = (
 )
 
 
+def generate_parts() -> None:
+    """Synthetic `part` table for the ER smoke line (VERDICT r11
+    item 8): 10 records per distinct name, names = `<word><4digits>
+    <block>` so the ER block key (second token) gives ~500-name
+    blocks, plus one planted mega-block (> MAX_BLOCK distinct names)
+    so the guard is exercised — at gate scale it never binds. Random
+    4-digit suffixes make distance-<=2 first-token pairs common
+    enough that every block emits some matches (output stays
+    vocabulary-linear)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    n_records = 20_000 * SCALE
+    n_names = max(200, n_records // 10)
+    n_blocks = max(4, n_names // 500)
+    names = []
+    seen = set()
+    while len(names) < n_names:
+        w = VOCAB[int(rng.randint(0, len(VOCAB)))]
+        suffix = int(rng.randint(0, 10_000))
+        if len(names) % 50 == 0:
+            block = "megablock"  # 2% of names -> one dropped block
+        else:
+            block = f"blk{int(rng.randint(0, n_blocks)):04d}"
+        nm = f"{w}{suffix:04d} {block}"
+        if nm not in seen:
+            seen.add(nm)
+            names.append(nm)
+    p_name = [names[int(rng.randint(0, n_names))] for _ in range(n_records)]
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array(range(n_records), pa.int64()),
+            "p_name": pa.array(p_name),
+        }
+    )
+    pq.write_table(tbl, f"{DATA_DIR}/part.parquet",
+                   row_group_size=max(4096, n_records // 56))
+
+
 def generate_multilang() -> None:
     """The multi-language bitext regime (r10, VERDICT r9 #6): the
     same topic-cluster embedding generator, spread over 12 languages
@@ -396,6 +437,10 @@ def main() -> None:
         f"{DATA_DIR}/multilang/embeddings.parquet"
     ):
         generate_multilang()
+    if _selected("er_blocked_fuzzy_parts") and not os.path.exists(
+        f"{DATA_DIR}/part.parquet"
+    ):
+        generate_parts()
 
     margins = check_float_margins()
     print(f"float-gate margins at {SCALE}x: {margins}")
@@ -574,6 +619,20 @@ def main() -> None:
         # first-occurrence ranking under the 25k-doc shared
         # boilerplate opening (the hot hash key by construction).
         "dedup_exact_substring",
+        # round-12 (VERDICT r11 item 8): blocked fuzzy ER over the
+        # synthetic part table (generate_parts) — ~500-name blocks,
+        # one planted mega-block exercising the MAX_BLOCK guard, the
+        # within-block levenshtein quadratic at a 100x vocabulary.
+        "er_blocked_fuzzy_parts",
+        # round-12 (VERDICT r11 item 6): embedding decontamination
+        # through the unified capped grid. 100x is this operator's
+        # scale design point: its 0.45 noise-floor threshold forces
+        # the cells/4 coverage probe rule (~N^2/4 pair work, the
+        # dedup_embedding_cosine envelope) — at 1000x that is ~10^12
+        # pair-units and a ~370 GB probe-replication shuffle BY
+        # DESIGN; the production-shaped >=0.8 strict operating point
+        # is what runs at 1000x (dedup_embedding_cosine_strict).
+        "contamination_embedding",
     )
     # De-positioned matrix (VERDICT r10 #5): bitext read 110 s inside
     # the full 31-line matrix vs 67.5 s standalone — page-cache /
