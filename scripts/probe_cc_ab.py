@@ -158,6 +158,8 @@ def main() -> None:
           f"{'PASS' if worst < 10 else 'FAIL'} vs the 10x bound)")
     arm_off = [r["sec"] for k, r in results.items() if k.endswith("_off")]
     arm_on = [r["sec"] for k, r in results.items() if k.endswith("_on")]
+    from bench import _cpu_calibration, _cpu_calibration_parallel
+
     summary = {
         "queries": results,
         "per_query_skew": per_q,
@@ -167,6 +169,8 @@ def main() -> None:
         "cc_repart_on_sec": arm_on,
         "scale": sm.SCALE,
         "shuffle_partitions": os.environ.get("SMOKE_SHUFFLE"),
+        "cpu_calib_sec": _cpu_calibration(),
+        "cpu_calib_par_sec": _cpu_calibration_parallel(),
     }
     print(json.dumps(summary))
     out = os.environ.get("SMOKE_OUT")

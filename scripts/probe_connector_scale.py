@@ -164,6 +164,8 @@ def main() -> None:
         )
     base = results[f"strides_{STRIDES[0]}"]["sec"]
     top = results[f"strides_{STRIDES[-1]}"]["sec"]
+    from bench import _cpu_calibration, _cpu_calibration_parallel
+
     summary = {
         "rows": N_ROWS,
         "page_size": PAGE,
@@ -172,6 +174,8 @@ def main() -> None:
         "runs": results,
         "speedup_low_to_high": round(base / top, 2),
         "strides": list(STRIDES),
+        "cpu_calib_sec": _cpu_calibration(),
+        "cpu_calib_par_sec": _cpu_calibration_parallel(),
     }
     print(json.dumps(summary))
     out = os.environ.get("SMOKE_OUT")

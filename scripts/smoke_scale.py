@@ -754,6 +754,14 @@ def main() -> None:
     worst_owner = owner(worst_stage["stage"]) if worst_stage else "-"
     print(f"\nworst shuffle-stage DATA-task skew (max/median): {worst}x "
           f"(in {worst_owner}; {'PASS' if worst < 10 else 'FAIL'} vs the 10x bound)")
+    # Host fingerprint (r12): the 2026-08-16 probe session measured
+    # cpu_calib_par at 9.3-14.2 s vs the 3.5-4.4 s host norm (13%
+    # hypervisor steal + 38% system time under all-core load) —
+    # without these fields a degraded-host wall reads as a plan
+    # regression. Ratios (skew) stay comparable; walls need the par
+    # calib next to them.
+    from bench import _cpu_calibration, _cpu_calibration_parallel
+
     summary = {
         "queries": results,
         "worst_skew": worst,
@@ -762,6 +770,8 @@ def main() -> None:
         "order_seed": os.environ.get("SMOKE_ORDER_SEED"),
         "shuffle_partitions": os.environ.get("SMOKE_SHUFFLE"),
         "only": sorted(ONLY) if ONLY else None,
+        "cpu_calib_sec": _cpu_calibration(),
+        "cpu_calib_par_sec": _cpu_calibration_parallel(),
     }
     print(json.dumps(summary))
     # Standing-gate artifact (VERDICT r10 #8): SMOKE_OUT=path writes
