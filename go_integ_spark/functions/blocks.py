@@ -96,6 +96,16 @@ def pack_bins(costs: list[float], capacity: float) -> tuple[list[int], int]:
 # pair-units: bounds how many tiny cold blocks one bin may hold, and
 # floors the bin capacity.
 BLOCK_OVERHEAD = 50_000.0
+# Row-LINEAR per-block cost (Arrow transfer + pandas assembly of the
+# ~520 B/row vector payload), in pair-units per row. Without it the
+# packer prices a pair-light/row-heavy block (a hot cell's near-cap
+# member rows replicated across many probe splits) at ~zero and
+# stacks dozens into one bin — the r12 1000x bitext probe read a
+# 165.5 s max task over a 6.7 s median on the backward scoring stage
+# from exactly this shape. Calibrated from that probe's medians:
+# ~20k rows + ~2.7e6 pairs per 6.7 s task against the tiled kernel's
+# ~1e7 pairs/s/core puts per-row cost at ~3e3 pair-units.
+ROW_COST = 3_000.0
 
 
 def plan_grid_bins(
@@ -108,12 +118,15 @@ def plan_grid_bins(
     generic helper had copy-pasted capacity/packing policies that
     could silently diverge). ``cells`` is [(key_tuple, n_members,
     n_probes)]. Each cell splits into ceil(n/cap) sub-blocks per
-    dimension; per-block cost ~ (n_m/nc)*(n_p/np) + overhead;
-    worst-fit-decreasing packs blocks into bins whose capacity sits
-    between 4-bins-per-core (parallelism floor — a pure cap^2
-    capacity starved 25 of 32 cores at the 100x probe) and the cap^2
-    single-block bound. Returns (split_rows [(key..., n_cs, n_ps)],
-    bin_rows [(key..., csplit, psplit, bin_id)], n_bins)."""
+    dimension; per-block cost ~ (n_m/nc)*(n_p/np) quadratic kernel
+    work + ROW_COST*(rows) linear Arrow/assembly work + overhead
+    (the row term keeps pair-light/row-heavy blocks from stacking —
+    see ROW_COST); worst-fit-decreasing packs blocks into bins whose
+    capacity sits between 4-bins-per-core (parallelism floor — a
+    pure cap^2 capacity starved 25 of 32 cores at the 100x probe)
+    and the cap^2 single-block bound. Returns (split_rows [(key...,
+    n_cs, n_ps)], bin_rows [(key..., csplit, psplit, bin_id)],
+    n_bins)."""
     split_rows: list[tuple] = []
     blocks: list[tuple] = []
     costs: list[float] = []
@@ -127,11 +140,14 @@ def plan_grid_bins(
         for cs in range(nc):
             for ps in range(np_):
                 blocks.append(kv + (cs, ps))
-                costs.append(mc * pc + overhead)
+                costs.append(mc * pc + ROW_COST * (mc + pc) + overhead)
     if not blocks:
         return [], [], 0
+    # capacity's single-block bound gets the same row term, so a
+    # full cap x cap block still fits one bin exactly
+    max_block = float(cap) * cap + ROW_COST * 2 * cap
     capacity = max(
-        min(float(cap) * cap, sum(costs) / max(4 * base_partitions, 64)),
+        min(max_block, sum(costs) / max(4 * base_partitions, 64)),
         4 * overhead,
     )
     assign, n_bins = pack_bins(costs, capacity)
