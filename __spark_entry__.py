@@ -268,7 +268,13 @@ _MEASURED_COST = {
 # r12: contamination_embedding's scoring moved onto the unified
 # capped grid (grid_block_cogroup); its past greens proved the
 # one-task-per-cell form.
-_FORCE_RECHECK: frozenset[str] = frozenset({"contamination_embedding"})
+# r13: emptied — CORRECTNESS_r12 shows contamination_embedding green
+# ON the grid form (rows+schema+hash), so its fresh r12 green orders
+# it naturally. (The r13 probed-frame persist + caller-supplied cell
+# sizes change caching/sizing only — the scored pair set and the
+# plan's scoring shape are identical, re-verified vs the DuckDB
+# oracle at sf0.01 this round.)
+_FORCE_RECHECK: frozenset[str] = frozenset()
 
 
 def _last_green_rounds() -> dict[str, int]:

@@ -187,13 +187,27 @@ def alias_bin_ids(n_bins: int, n_parts: int) -> list[int] | None:
     task over a 17.6 s median from exactly this). Greedy driver-side
     search, O(n_parts log n_parts) expected tries; returns None when
     n_bins > n_parts (only past MAX_BLOCK_PARTITIONS — stacking is
-    then unavoidable and uniform)."""
+    then unavoidable and uniform).
+
+    The search is BOUNDED (ADVICE r12): n_bins ~ n_parts is a
+    coupon-collector search (~n_parts * H(n_parts) expected tries),
+    and an unbounded loop would turn a pathological hash/modulus
+    interaction into a driver hang. The cap is ~32x the
+    coupon-collector expectation, so hitting it means the hash is
+    behaving non-uniformly for this modulus — give up and return
+    None, degrading to the old collision behavior (stacked bins),
+    never a hang."""
     if n_bins > n_parts:
         return None
+    import math
+
+    budget = int(32 * n_parts * (math.log(n_parts) + 1)) + 64
     aliases: list[int] = []
     used: set[int] = set()
     cand = 0
     while len(aliases) < n_bins:
+        if cand >= budget:
+            return None
         p = _murmur3_int(cand) % n_parts
         if p < 0:
             p += n_parts

@@ -777,6 +777,16 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # Persist the probed frame ONCE and derive both split sides from
+    # the cached scan (ADVICE r12): the O(N*K*d) nearest-cells kernel
+    # lives in `probed`'s lineage, and persisting ev/tr separately
+    # (the r12 slot arrangement) materialized that kernel once per
+    # side. The kNN path's `pe` precedent: one persisted pass, cheap
+    # filtered reads downstream, and the scheduler's cell sizes come
+    # from one aggregate over the same cached frame (zero sizing jobs
+    # in the grid helper).
+    from go_integ_spark.functions.cache import cached_persist
+
     probed = v.select(
         "vec_id",
         "e",
@@ -785,8 +795,17 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_id"
         ),
     )
+    probed = cached_persist("contam_emb_probed", probed, lambda p=probed: p)
     ev_side = probed.filter(F.col("vec_id") % 10 == 0)
     tr_side = probed.filter(F.col("vec_id") % 10 != 0)
+    cell_rows = (
+        probed.groupBy("cell_id")
+        .agg(
+            F.count_if(F.col("vec_id") % 10 != 0).alias("n_m"),
+            F.count_if(F.col("vec_id") % 10 == 0).alias("n_p"),
+        )
+        .collect()
+    )
 
     def _contam_pairs(ev_pdf, tr_pdf):
         m, n = len(ev_pdf), len(tr_pdf)
@@ -819,9 +838,9 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result-safe: the kernel emits EVERY pair >= threshold (no
     # per-block top-k), so the union over sub-blocks is the identical
     # pair set and the trailing .distinct() / top-1 window contracts
-    # are untouched. The slot persists both probed sides — without it
-    # the scheduler's sizing aggregate re-runs the O(N*K*d)
-    # nearest-cells kernel embedded in their shared lineage.
+    # are untouched. Cell sizes come from the one aggregate over the
+    # persisted `probed` frame above, so the helper runs zero sizing
+    # jobs and reads only cheap cached scans.
     from go_integ_spark.functions.blocks import grid_block_cogroup
     from go_integ_spark.operators.similarity import KNN_CELL_CAP
 
@@ -849,7 +868,9 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         _contam_grid,
         "eval_id bigint, train_id bigint, s double",
         KNN_CELL_CAP,
-        slot="contam_emb",
+        cell_sizes=[
+            ((r["cell_id"],), r["n_m"], r["n_p"]) for r in cell_rows
+        ],
     ).distinct()  # a pair sharing several cells scores identically
     w = Window.partitionBy("eval_id").orderBy(F.col("s").desc(), "train_id")
     best = (

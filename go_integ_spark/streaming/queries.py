@@ -99,11 +99,28 @@ def _source_bytes(source_path: str, spark) -> int:
     """
     from urllib.parse import urlparse
 
-    scheme = urlparse(source_path).scheme
+    parsed = urlparse(source_path)
+    scheme = parsed.scheme
     # Windows drive letters parse as one-char schemes; treat them as
     # local like everything schemeless.
     if scheme in ("", "file") or len(scheme) == 1:
-        path = source_path[len("file://"):] if scheme == "file" else source_path
+        # urlparse's .path handles BOTH file-URI spellings — Hadoop's
+        # canonical single-slash 'file:/tmp/x' and 'file:///tmp/x' —
+        # where the r12 form stripped a fixed len('file://') prefix
+        # and turned 'file:/tmp/x' into 'mp/x' (0 bytes walked,
+        # silent MIN shards — ADVICE r12). A non-local authority
+        # ('file://host/path') cannot be walked here; fail loud like
+        # the no-session remote branch rather than sizing garbage.
+        if scheme == "file":
+            if parsed.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"state_partitions_for: file URI {source_path!r} names a "
+                    f"remote host {parsed.netloc!r} — cannot size it from "
+                    "this machine"
+                )
+            path = parsed.path
+        else:
+            path = source_path
         total = 0
         for root, _dirs, files in os.walk(path):
             for f in files:

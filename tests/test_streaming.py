@@ -446,3 +446,28 @@ def test_state_partitions_remote_uri(monkeypatch):
     # explicit override still wins without touching the FS
     monkeypatch.setenv("SG_STATE_PARTITIONS", "9")
     assert sq.state_partitions_for("s3a://bucket/corpus") == 9
+
+
+def test_state_partitions_file_uri_forms(tmp_path, monkeypatch):
+    """Every file-URI spelling walks the SAME local directory (ADVICE
+    r12): the r12 form stripped a fixed len('file://') prefix, so
+    Hadoop's canonical single-slash 'file:/tmp/x' became 'mp/x' and
+    the stream silently sized at MIN shards — the exact
+    silent-undersizing class the r12 remote fix closed for s3a/gs.
+    A file URI with a remote authority fails loud."""
+    import pytest as _pytest
+
+    from go_integ_spark.streaming import queries as sq
+
+    monkeypatch.delenv("SG_STATE_PARTITIONS", raising=False)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"x" * 1024)
+    monkeypatch.setattr(sq, "STATE_SHARD_BYTES", 128)
+    want = 8  # ceil(1024/128), pinned by the plain-path test above
+    assert sq.state_partitions_for(str(src)) == want
+    assert sq.state_partitions_for(f"file://{src}") == want
+    assert sq.state_partitions_for(f"file:{src}") == want  # Hadoop form
+    assert sq.state_partitions_for(f"file://localhost{src}") == want
+    with _pytest.raises(ValueError, match="remote host"):
+        sq.state_partitions_for("file://nfs-server/exports/corpus")
