@@ -149,6 +149,33 @@ def _cpu_calibration_parallel() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+# Healthy-band ceiling for cpu_calib_par_sec on THIS fleet's host
+# class (r13, VERDICT r12 item 6). Observed across rounds 8-12 on
+# these 32-vCPU boxes: healthy sessions measure 3.5-4.6 s; the
+# degraded windows (hypervisor steal + all-core frequency caps)
+# measure 8.5-14.2 s. 5.0 splits the two observed clusters with
+# margin on the healthy side, so anything in the unobserved 5-8.5 s
+# gap conservatively reads degraded. HOST-CLASS-DEPENDENT by
+# construction (BASELINE.md records r7's healthy host at par 6.4) —
+# a new machine class must re-establish the band via
+# SG_PAR_HEALTHY_MAX before its par_band fields mean anything.
+PAR_BAND_HEALTHY_MAX_SEC = 5.0
+
+
+def par_band(par_calib_sec: float) -> str:
+    """Self-describing host-health verdict for a committed artifact
+    (VERDICT r12 item 6): the r12 official bench was measured at
+    par-calib 8.51 yet read ``contended: false`` (the two-pass
+    agreement rule is about SHARING tenants, not a degraded
+    hypervisor), so the number needed BASELINE.md exegesis to read.
+    ``degraded`` does NOT invalidate the wall — it marks it a weak
+    trend point whose normalized value is the comparable figure."""
+    ceiling = float(
+        os.environ.get("SG_PAR_HEALTHY_MAX", PAR_BAND_HEALTHY_MAX_SEC)
+    )
+    return "healthy" if par_calib_sec <= ceiling else "degraded"
+
+
 def classify_run(
     totals: list[float],
     jvms_start: list[int],
@@ -512,6 +539,7 @@ def main() -> None:
         "cpu_calib_sec": cpu_calib,
         "cpu_calib_par_sec": cpu_calib_par,
         "cpu_calib_end_sec": cpu_calib_end,
+        "par_band": par_band(cpu_calib_par),
         "contended": contended,
         # The one bit a trend consumer must check: false means every
         # retry was contended and "value" is measurement noise.

@@ -29,6 +29,8 @@ kernel here is fold-exact per block.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 # Upper bound on block-scoring partitions: a runaway block count
@@ -107,6 +109,96 @@ BLOCK_OVERHEAD = 50_000.0
 # ~1e7 pairs/s/core puts per-row cost at ~3e3 pair-units.
 ROW_COST = 3_000.0
 
+# Self-calibration reference (r13, VERDICT r12 item 4). ROW_COST's
+# 3e3 was calibrated END-TO-END on one host/payload: it prices the
+# whole per-row linear path (shuffle write+read of the replicated
+# ~520 B payload, Python-worker Arrow IPC, cogroup split, object
+# stack), most of which no driver-side micro-benchmark can see — the
+# micro-measurable slice (Arrow IPC round-trip + object stack vs the
+# tiled fold kernel) puts the kernel at only ~19 pairs per
+# row-equivalent on the calibration host. So the runtime calibration
+# tracks the RATIO: time both micro-workloads at first use and scale
+# the empirical anchor by (micro_ratio_now / micro_ratio_ref),
+# assuming the unmeasurable overhead shifts with the measurable
+# Arrow/pandas path (both are single-core Python/memcpy work) rather
+# than with the BLAS-shaped kernel. On the calibration host class
+# this returns ~3e3; a host with relatively slower Python/Arrow
+# raises it. d is held at the reference 64: pair and row cost are
+# both ~linear in payload width, so the ratio is ~width-invariant.
+# Clamped to [ROW_COST/3, ROW_COST*4] — the anchor stays the source
+# of truth, calibration only corrects hardware drift; any failure
+# falls back to the constant. SG_ROW_COST overrides everything.
+_MICRO_RATIO_REF = 19.4  # measured 2026-08-16 on the r12-class host
+_row_cost_cache: float | None = None
+
+
+def _micro_ratio() -> float:
+    """Kernel pairs/s over Arrow-assembly rows/s, both single-core
+    micro-timed (~0.3 s total, once per process)."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from go_integ_spark.functions.vector import fold_cosine_block
+
+    rng = np.random.default_rng(7)
+    d, m = 64, 512
+    vecs = pd.Series([rng.standard_normal(d) for _ in range(m)])
+    norms = pd.Series(np.ones(m))
+    fold_cosine_block(vecs, norms, vecs, norms)  # warm
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        fold_cosine_block(vecs, norms, vecs, norms)
+    pairs_per_sec = m * m * reps / (time.perf_counter() - t0)
+
+    k = 20_000
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(k, dtype=np.int64),
+            "e": [rng.standard_normal(d) for _ in range(k)],
+        }
+    )
+    tbl = pa.Table.from_pandas(pdf)
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    buf = sink.getvalue()
+
+    def roundtrip() -> None:
+        df = pa.ipc.open_stream(buf).read_all().to_pandas()
+        np.stack([np.asarray(x, dtype=np.float64) for x in df["e"]])
+
+    roundtrip()  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        roundtrip()
+    rows_per_sec = 3 * k / (time.perf_counter() - t0)
+    return pairs_per_sec / rows_per_sec
+
+
+def calibrated_row_cost() -> float:
+    """ROW_COST adjusted for this host's measured kernel-vs-Arrow
+    throughput ratio; memoized so every plan in a process prices
+    identically (results are split-invariant either way — only bin
+    shapes move). See _MICRO_RATIO_REF."""
+    global _row_cost_cache
+    if _row_cost_cache is not None:
+        return _row_cost_cache
+    env = os.environ.get("SG_ROW_COST")
+    if env is not None:
+        _row_cost_cache = float(env)
+        return _row_cost_cache
+    try:
+        rc = ROW_COST * _micro_ratio() / _MICRO_RATIO_REF
+        rc = min(ROW_COST * 4, max(ROW_COST / 3, rc))
+    except Exception:  # pragma: no cover - calibration must never block planning
+        rc = ROW_COST
+    _row_cost_cache = rc
+    return rc
+
 
 def plan_grid_bins(
     cells: list[tuple[tuple, int, int]],
@@ -127,6 +219,7 @@ def plan_grid_bins(
     and the cap^2 single-block bound. Returns (split_rows [(key...,
     n_cs, n_ps)], bin_rows [(key..., csplit, psplit, bin_id)],
     n_bins)."""
+    row_cost = calibrated_row_cost()
     split_rows: list[tuple] = []
     blocks: list[tuple] = []
     costs: list[float] = []
@@ -140,12 +233,12 @@ def plan_grid_bins(
         for cs in range(nc):
             for ps in range(np_):
                 blocks.append(kv + (cs, ps))
-                costs.append(mc * pc + ROW_COST * (mc + pc) + overhead)
+                costs.append(mc * pc + row_cost * (mc + pc) + overhead)
     if not blocks:
         return [], [], 0
     # capacity's single-block bound gets the same row term, so a
     # full cap x cap block still fits one bin exactly
-    max_block = float(cap) * cap + ROW_COST * 2 * cap
+    max_block = float(cap) * cap + row_cost * 2 * cap
     capacity = max(
         min(max_block, sum(costs) / max(4 * base_partitions, 64)),
         4 * overhead,

@@ -1160,12 +1160,53 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .withColumn("label", F.col("node"))
         .persist()
     )
+    # Delta propagation (r13, VERDICT r12 item 2): the r12 loop
+    # shuffled the FULL joined edge list into the groupBy(dst) min
+    # every round (~20M rows x ~10 rounds at 1000x). Labels only ever
+    # DECREASE (every assignment is a least()), so min-over-history
+    # of a neighbor's labels equals its current label — an
+    # accumulated per-node neighbor-min (`nbr_best`, N rows) merged
+    # with each round's contributions from CHANGED sources only is
+    # value-identical to recomputing the min over all sources:
+    # round 1 registers every node's initial label, and each later
+    # decrease re-registers through the delta. The edge-side shuffle
+    # then shrinks geometrically with the changed count while the
+    # merge costs one nodes-sized (not edges-sized) exchange.
+    # Toggle is for the committed 1000x A/B probe only; labels are
+    # byte-identical and round counts equal by construction (pinned
+    # in tests/test_round13_ops.py).
+    delta_mode = os.environ.get("CC_DELTA", "1") != "0"
+    delta = labels  # round 1: every node's initial label contributes
+    nbr_best: DataFrame | None = None
     for _ in range(max_iters):
-        neighbor_min = (
-            both.join(labels, both.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("label").alias("nbr"))
-        )
+        if delta_mode:
+            new_mins = (
+                both.join(delta, both.src == delta.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr"))
+            )
+            if nbr_best is None:
+                merged = new_mins
+            else:
+                merged = (
+                    nbr_best.withColumnRenamed("nbr", "nbr_prev")
+                    .join(new_mins, "node", "full")
+                    .select(
+                        "node", F.least("nbr_prev", "nbr").alias("nbr")
+                    )
+                )
+            # checkpoint: merged references the previous nbr_best, so
+            # the plan would otherwise grow per round; N rows, cheap,
+            # and localCheckpoint's eager RDD cache plays the persist
+            # role exactly like `stepped` below.
+            nbr_best = _checkpoint_fresh_stats(merged)
+            neighbor_min = nbr_best
+        else:
+            neighbor_min = (
+                both.join(labels, both.src == labels.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("label").alias("nbr"))
+            )
         # Carry the previous label through the step so the convergence
         # count reuses this join instead of paying a second one.
         # localCheckpoint (not persist): each step references `labels`
@@ -1209,6 +1250,11 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         hopped.unpersist()
         labels.unpersist()
         labels = stepped
+        # next round's contributions: only sources whose label moved
+        # this round (their previous value is already in nbr_best)
+        delta = stepped.filter(F.col("old_label") != F.col("label")).select(
+            "node", "label"
+        )
         if changed == 0:
             break
     both.unpersist()  # final labels are persisted + materialized by the count

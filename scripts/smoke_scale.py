@@ -716,15 +716,33 @@ def main() -> None:
     report = stage_report(ui)
     shuffly = [s for s in report if s["shuffle_write_mb"] or s["shuffle_read_mb"]]
 
+    def verdict_eligible(s: dict) -> bool:
+        # Stall-robust eligibility (VERDICT r12 item 3): the r12
+        # probes carried two red-looking headlines — knn_final 11.8x
+        # from ONE 5.1 s host stall on a 0.43 s-median 1 MB/task
+        # bookkeeping stage, cc_ab 51.5x from one 4.6 s GC stall on a
+        # 14 MB even stage — that each needed prose to explain away.
+        # A stage enters the straggler verdict only when its skew
+        # could be a PLAN problem: its median task is >= 1 s (real
+        # per-task work; a single-task stall can't read as 10x), or
+        # its per-task shuffle volume is material (>= 16 MB/task — a
+        # data distribution CAN be the cause), or its max task is
+        # >= 30 s (a straggler that long is material whatever the
+        # stage's bookkeeping looks like, so a genuinely mis-packed
+        # bin can never hide behind this floor). Everything still
+        # prints; ineligible stages just can't set the PASS/FAIL.
+        if s["task_max_ms"] >= 30_000:
+            return True
+        per_task_mb = (s["shuffle_write_mb"] + s["shuffle_read_mb"]) / max(
+            s["tasks"], 1
+        )
+        return s["task_med_ms"] >= 1000 or per_task_mb >= 16
+
     def eff_skew(s: dict) -> float:
-        # data-bearing-task skew where it was measured, raw otherwise.
-        # Stages whose SLOWEST task is sub-second cannot have a
-        # straggler problem at any scale — a 192 ms max over a 2 ms
-        # median (a 20 KB bookkeeping exchange in the r11 1000x
-        # probe) is scheduling noise reading as "96x skew", not a
-        # data distribution issue. They stay in the printed report
-        # but not in the straggler verdict.
-        if s["task_max_ms"] < 1000:
+        # data-bearing-task skew where it was measured, raw otherwise,
+        # gated by verdict_eligible (scheduling noise on sub-second
+        # bookkeeping exchanges reads as "96x skew" otherwise).
+        if not verdict_eligible(s):
             return 0
         v = s["data_skew"] if s["data_skew"] is not None else s["skew"]
         return v or 0
@@ -739,16 +757,18 @@ def main() -> None:
         return "?"
 
     for s in shuffly:
+        s["verdict_eligible"] = verdict_eligible(s)
         empt = (
             f" data_skew={s['data_skew']} (excl {s['empty_tasks']} empty)"
             if s["empty_tasks"]
             else ""
         )
+        elig = "" if s["verdict_eligible"] else " [not verdict-eligible]"
         print(
             f"stage {s['stage']:>3} tasks={s['tasks']:>3} "
             f"shufW={s['shuffle_write_mb']:>8}MB shufR={s['shuffle_read_mb']:>8}MB "
             f"task med/max={s['task_med_ms']:.0f}/{s['task_max_ms']:.0f}ms "
-            f"skew={s['skew']}{empt} | {owner(s['stage'])}"
+            f"skew={s['skew']}{empt}{elig} | {owner(s['stage'])}"
         )
     worst_stage = max(shuffly, key=eff_skew, default=None) if shuffly else None
     worst_owner = owner(worst_stage["stage"]) if worst_stage else "-"
@@ -760,18 +780,28 @@ def main() -> None:
     # without these fields a degraded-host wall reads as a plan
     # regression. Ratios (skew) stay comparable; walls need the par
     # calib next to them.
-    from bench import _cpu_calibration, _cpu_calibration_parallel
+    from bench import _cpu_calibration, _cpu_calibration_parallel, par_band
 
+    calib_par = _cpu_calibration_parallel()
     summary = {
         "queries": results,
         "worst_skew": worst,
         "worst_skew_query": worst_owner,
+        # the worst VERDICT-ELIGIBLE stage's full row, so a flagged
+        # artifact carries its own evidence (med/max/volume) instead
+        # of needing the probe log
+        "worst_skew_stage": worst_stage,
         "scale": SCALE,
         "order_seed": os.environ.get("SMOKE_ORDER_SEED"),
         "shuffle_partitions": os.environ.get("SMOKE_SHUFFLE"),
         "only": sorted(ONLY) if ONLY else None,
         "cpu_calib_sec": _cpu_calibration(),
-        "cpu_calib_par_sec": _cpu_calibration_parallel(),
+        "cpu_calib_par_sec": calib_par,
+        # measured AT report time, i.e. right when the verdict is
+        # computed — a flagged PASS/FAIL self-describes its host
+        # (VERDICT r12 item 3: two r12 headlines were host stalls
+        # recorded without the calib that would have said so)
+        "par_band": par_band(calib_par),
     }
     print(json.dumps(summary))
     # Standing-gate artifact (VERDICT r10 #8): SMOKE_OUT=path writes
