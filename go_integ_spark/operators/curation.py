@@ -785,8 +785,6 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filtered reads downstream, and the scheduler's cell sizes come
     # from one aggregate over the same cached frame (zero sizing jobs
     # in the grid helper).
-    from go_integ_spark.functions.cache import cached_persist
-
     probed = v.select(
         "vec_id",
         "e",
@@ -795,7 +793,7 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell_id"
         ),
     )
-    probed = cached_persist("contam_emb_probed", probed, lambda p=probed: p)
+    probed = _cached_persist("contam_emb_probed", probed, lambda p=probed: p)
     ev_side = probed.filter(F.col("vec_id") % 10 == 0)
     tr_side = probed.filter(F.col("vec_id") % 10 != 0)
     cell_rows = (
@@ -872,6 +870,183 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((r["cell_id"],), r["n_m"], r["n_p"]) for r in cell_rows
         ],
     ).distinct()  # a pair sharing several cells scores identically
+    w = Window.partitionBy("eval_id").orderBy(F.col("s").desc(), "train_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("eval_id", "train_id", "s")
+    )
+    evals = v.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id")
+    )
+    return evals.join(best, "eval_id", "left").select(
+        "eval_id",
+        F.col("train_id").isNotNull().alias("contaminated"),
+        F.col("train_id").alias("best_train_id"),
+        F.round(F.col("s"), 4).alias("best_cos"),
+    )
+
+
+from go_integ_spark.operators.dedup import (  # noqa: E402
+    DEDUP_EMB_STRICT_PROBES as _STRICT_PROBES_SQL,
+)
+from go_integ_spark.operators.similarity import IVF_K as _IVF_K_SQL  # noqa: E402
+
+# Production-shaped decontamination operating point (r13, VERDICT
+# r12 item 7): the 0.45 noise-floor form above exists to re-assert
+# recall 1.0 against the brute-force oracle, but its cells/4 probe
+# rule is ~N^2/4 pair work BY DESIGN — the scale path is the strict
+# (>= 0.8) threshold with a FIXED nprobe, the faiss search shape and
+# the dedup_embedding_cosine_strict precedent (N^1.5 total pair
+# work at sqrt(N) cells).
+CONTAM_EMB_STRICT = 0.8
+
+
+@register(
+    "contamination_embedding_strict",
+    tags=("curation", "contamination", "vector", "llm_pipeline"),
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), cent AS (
+    SELECT cent_id, ce FROM (
+        SELECT vec_id AS cent_id, e AS ce,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS crn,
+               count(*) OVER () AS n
+        FROM v
+    ) WHERE crn <= greatest({_IVF_K_SQL},
+                            CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT))
+), ranked AS (
+    SELECT v.vec_id, c.cent_id AS cell_id,
+           row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cent_id
+           ) AS prn
+    FROM v CROSS JOIN cent c
+), ev_probes AS (
+    SELECT vec_id, cell_id FROM ranked
+    WHERE prn <= {_STRICT_PROBES_SQL} AND vec_id % 10 = 0
+), tr_assigned AS (
+    SELECT vec_id, cell_id FROM ranked
+    WHERE prn = 1 AND vec_id % 10 <> 0
+), cand AS (
+    SELECT DISTINCT p.vec_id AS eval_id, a.vec_id AS train_id
+    FROM ev_probes p JOIN tr_assigned a ON a.cell_id = p.cell_id
+), best AS (
+    SELECT eval_id, train_id, s FROM (
+        SELECT cand.eval_id, cand.train_id,
+               list_cosine_similarity(x.e, y.e) AS s,
+               row_number() OVER (
+                   PARTITION BY cand.eval_id
+                   ORDER BY list_cosine_similarity(x.e, y.e) DESC,
+                            cand.train_id
+               ) AS rn
+        FROM cand
+        JOIN v x ON x.vec_id = cand.eval_id
+        JOIN v y ON y.vec_id = cand.train_id
+        WHERE list_cosine_similarity(x.e, y.e) >= {CONTAM_EMB_STRICT}
+    ) WHERE rn = 1
+)
+SELECT ev.vec_id AS eval_id,
+       (b.eval_id IS NOT NULL) AS contaminated,
+       b.train_id AS best_train_id,
+       round(b.s, 4) AS best_cos
+FROM (SELECT vec_id FROM v WHERE vec_id % 10 = 0) ev
+LEFT JOIN best b ON b.eval_id = ev.vec_id
+""",
+)
+def contamination_embedding_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``contamination_embedding`` at its PRODUCTION operating point:
+    an eval item is contaminated when a training item sits above
+    cosine {CONTAM_EMB_STRICT} — the near-duplicate bar real
+    decontamination pipelines run, vs the 0.45 noise-floor form whose
+    job is the recall-1.0 oracle re-assertion.
+
+    Shape is the real IVF search (the dedup_embedding_cosine_strict
+    precedent): the TRAIN side sits as a member of its ONE assigned
+    cell — at 100 TB the train corpus is written partitioned by
+    cell_id once — and each EVAL item probes its
+    {DEDUP_EMB_STRICT_PROBES} nearest cells, so each eval batch reads
+    only its probed cells. Total pair work is
+    ~N_eval * nprobe * (N/K) = ~N^1.5 at sqrt(N) cells, never the
+    cells/4 coverage rule's ~N^2/4. One task per cell
+    (REPARTITION_BY_NUM): at >= 0.8 the near-isotropic bulk fills
+    cells uniformly, so per-cell tasks are balanced and the 2-D grid
+    would only add member replication (the measured strict-miner A/B:
+    279 s per-cell vs 876 s grid at the 1000x sparse probe).
+
+    The oracle replays the SAME algorithm in SQL — deterministic md5
+    centroid pick, prn<=nprobe eval probes vs prn=1 train assignment
+    — so the value contract is EXACT at any corpus, not
+    recall-dependent. On the gate corpora no eval-train pair reaches
+    0.8 (both engines honestly return all-false verdicts);
+    non-vacuous correctness is pinned in tests/test_round13_ops.py on
+    a planted near-dup corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from go_integ_spark.functions.blocks import repartition_for_blocks
+    from go_integ_spark.functions.vector import fold_cosine_block, with_norm
+    from go_integ_spark.operators.dedup import DEDUP_EMB_STRICT_PROBES
+    from go_integ_spark.operators.similarity import (
+        IVF_K,
+        ivf_centroids,
+        nearest_cells_pd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    k_cells = max(IVF_K, int(emb.count() ** 0.5))
+    v = with_norm(emb)
+    (crow,) = ivf_centroids(v, k_cells).collect()
+    ev_probes = v.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        "e",
+        "e_norm",
+        F.explode(nearest_cells_pd(crow, DEDUP_EMB_STRICT_PROBES)).alias(
+            "cell_id"
+        ),
+    )
+    tr_members = v.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id",
+        "e",
+        "e_norm",
+        F.element_at(nearest_cells_pd(crow, 1), 1).alias("cell_id"),
+    )
+
+    def _pairs(ev_pdf: pd.DataFrame, tr_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ev_pdf) == 0 or len(tr_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "eval_id": pd.Series([], dtype="int64"),
+                    "train_id": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype="float64"),
+                }
+            )
+        sim = fold_cosine_block(
+            ev_pdf["e"], ev_pdf["e_norm"], tr_pdf["e"], tr_pdf["e_norm"]
+        )
+        ii, jj = np.where(sim >= CONTAM_EMB_STRICT)
+        return pd.DataFrame(
+            {
+                "eval_id": ev_pdf["vec_id"].to_numpy(dtype=np.int64)[ii],
+                "train_id": tr_pdf["vec_id"].to_numpy(dtype=np.int64)[jj],
+                "s": sim[ii, jj],
+            }
+        )
+
+    ev_probes = repartition_for_blocks(ev_probes, ["cell_id"], k_cells)
+    tr_members = repartition_for_blocks(tr_members, ["cell_id"], k_cells)
+    # train sits in exactly ONE cell and the eval probe list is
+    # distinct cells, so each (eval, train) pair meets at most once —
+    # no .distinct() needed (unlike the symmetric co-probe form)
+    scored = (
+        ev_probes.groupBy("cell_id")
+        .cogroup(tr_members.groupBy("cell_id"))
+        .applyInPandas(_pairs, "eval_id bigint, train_id bigint, s double")
+    )
     w = Window.partitionBy("eval_id").orderBy(F.col("s").desc(), "train_id")
     best = (
         scored.withColumn("rn", F.row_number().over(w))

@@ -693,6 +693,43 @@ def main() -> None:
             f"strict miner recovered only {n} of ~{N_VECS // 100} planted pairs"
         )
 
+    # Decontamination at the PRODUCTION operating point (r13, VERDICT
+    # r12 item 7): strict >= 0.8 threshold, fixed nprobe, train side
+    # in its one assigned cell — ~N^1.5 total pair work, the shape
+    # that runs at 1000x (the 0.45 noise-floor form's cells/4 rule is
+    # ~N^2/4 BY DESIGN and its scale line is the 100x one). Runs on
+    # the sparse production-shaped regime; the planted (2i, 2i+1)
+    # partners make every fifth pair's even member an eval item, so
+    # ~N_VECS/500 evals must come back contaminated.
+    if _selected("contamination_embedding_strict(sparse)"):
+        _contam_counts: list = []
+
+        def _contam_strict() -> int:
+            # one job for rows + contaminated count — a second .fn
+            # pass would re-run the whole plan
+            r = (
+                reg["contamination_embedding_strict"]
+                .fn(spark, f"{DATA_DIR}/sparse")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_if(F.col("contaminated")).alias("c"),
+                )
+                .collect()[0]
+            )
+            _contam_counts.append(r["c"])
+            return r["n"]
+
+        timed("contamination_embedding_strict(sparse)", _contam_strict)
+        n_contam = _contam_counts[0]
+        results["contamination_embedding_strict(sparse)"]["contaminated"] = (
+            n_contam
+        )
+        want = N_VECS // 500
+        assert n_contam >= want * 0.9, (
+            f"strict decontamination found {n_contam} contaminated evals, "
+            f"expected ~{want} planted"
+        )
+
     # Bitext over the 12-language regime (VERDICT r9 #6): the
     # language-count dimension the 4-lang main corpus never tests —
     # the plan must stay one multilang Arrow kernel per side
