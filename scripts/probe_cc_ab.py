@@ -98,28 +98,64 @@ def main() -> None:
     # 4.6 s single-task GC stall in the last — adjacent pairs with
     # the order FLIPPED between pairs cancel any monotone drift).
     # CC_AB_ARMS overrides, e.g. "1,0,0,1,1,0".
+    # CC_AB_VAR generalizes the probe to any CC toggle (r13: the
+    # CC_DELTA neighbor-min delta-propagation A/B reuses this
+    # harness; CC_EDGE_REPART stays the default for the r12 artifact
+    # shape). Each run returns (row count, label signature) in ONE
+    # job — sum of xxhash64 over the full output row — so the arms
+    # carry 1000x label-identity evidence, not just counts.
+    var = os.environ.get("CC_AB_VAR", "CC_EDGE_REPART")
+    sigs: dict[str, int] = {}
+
+    def _run_communities(label: str) -> int:
+        df = reg["embedding_communities"].fn(spark, sm.DATA_DIR)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod keeps the 2M-row sum far inside int64 (ANSI mode
+            # raises on sum(xxhash64) overflow)
+            F.sum(
+                F.pmod(
+                    F.xxhash64("vec_id", "community_id", "community_size"),
+                    F.lit(2_147_483_647),
+                )
+            ).alias("sig"),
+        ).collect()[0]
+        sigs[label] = r["sig"]
+        return r["n"]
+
     arms = os.environ.get("CC_AB_ARMS", "1,0,0,1,1,0").split(",")
     for i, arm in enumerate(arms):
-        os.environ["CC_EDGE_REPART"] = arm
-        label = f"communities_run{i + 1}_repart_{'on' if arm == '1' else 'off'}"
-        timed(
-            label,
-            lambda: reg["embedding_communities"].fn(spark, sm.DATA_DIR).count(),
+        os.environ[var] = arm
+        label = (
+            f"communities_run{i + 1}_{var.lower()}_"
+            f"{'on' if arm == '1' else 'off'}"
         )
+        timed(label, lambda lab=label: _run_communities(lab))
         # nudge dead checkpoint/persist blocks from the finished run
         # out of the heap before the next arm measures
         import gc
 
         gc.collect()
         spark._jvm.System.gc()
-    os.environ.pop("CC_EDGE_REPART", None)
+    os.environ.pop(var, None)
+    assert len(set(sigs.values())) == 1, (
+        f"label signatures disagree across arms: {sigs}"
+    )
 
     report = sm.stage_report(ui)
     shuffly = [s for s in report
                if s["shuffle_write_mb"] or s["shuffle_read_mb"]]
 
     def eff_skew(s: dict) -> float:
-        if s["task_max_ms"] < 1000:
+        # stall-robust eligibility, mirroring smoke_scale (r13)
+        per_task_mb = (s["shuffle_write_mb"] + s["shuffle_read_mb"]) / max(
+            s["tasks"], 1
+        )
+        if not (
+            s["task_max_ms"] >= 30_000
+            or s["task_med_ms"] >= 1000
+            or per_task_mb >= 16
+        ):
             return 0
         v = s["data_skew"] if s["data_skew"] is not None else s["skew"]
         return v or 0
@@ -158,19 +194,23 @@ def main() -> None:
           f"{'PASS' if worst < 10 else 'FAIL'} vs the 10x bound)")
     arm_off = [r["sec"] for k, r in results.items() if k.endswith("_off")]
     arm_on = [r["sec"] for k, r in results.items() if k.endswith("_on")]
-    from bench import _cpu_calibration, _cpu_calibration_parallel
+    from bench import _cpu_calibration, _cpu_calibration_parallel, par_band
 
+    calib_par = _cpu_calibration_parallel()
     summary = {
         "queries": results,
         "per_query_skew": per_q,
         "worst_skew": worst,
         "worst_skew_query": worst_owner,
-        "cc_repart_off_sec": arm_off,
-        "cc_repart_on_sec": arm_on,
+        "ab_var": var,
+        f"{var.lower()}_off_sec": arm_off,
+        f"{var.lower()}_on_sec": arm_on,
+        "label_signature": next(iter(sigs.values()), None),
         "scale": sm.SCALE,
         "shuffle_partitions": os.environ.get("SMOKE_SHUFFLE"),
         "cpu_calib_sec": _cpu_calibration(),
-        "cpu_calib_par_sec": _cpu_calibration_parallel(),
+        "cpu_calib_par_sec": calib_par,
+        "par_band": par_band(calib_par),
     }
     print(json.dumps(summary))
     out = os.environ.get("SMOKE_OUT")
