@@ -245,6 +245,7 @@ _MEASURED_COST = {
     "text_winnow_overlap": 2.04,
     "similarity_bitext_pairs": 2.29,
     "ann_ivf_topk_partitioned": 2.38,
+    "contamination_embedding_strict": 2.11,  # r13, timed at sf0.01
     "ann_ivfpq_topk": 2.5,
     "streaming_phash_registry": 2.66,
     "ann_ivfpq_residual_topk": 2.67,

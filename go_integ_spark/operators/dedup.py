@@ -1083,7 +1083,7 @@ def dedup_embedding_cosine_strict(spark: SparkSession, sf_dir: str) -> DataFrame
 CC_MAX_ITERS = 32
 
 
-def _checkpoint_fresh_stats(df: DataFrame) -> DataFrame:
+def _checkpoint_fresh_stats(df: DataFrame, eager: bool = True) -> DataFrame:
     """localCheckpoint + plan-statistics reset, for ITERATIVE
     self-join loops.
 
@@ -1104,8 +1104,14 @@ def _checkpoint_fresh_stats(df: DataFrame) -> DataFrame:
     Falls back to the plain localCheckpoint if the internal
     constructor ever disappears — correctness is unaffected either
     way, only iteration-planning cost.
+
+    ``eager=False`` truncates lineage without scheduling its own
+    materialization job: the checkpoint RDD computes and caches the
+    first time a downstream job touches it (the CC delta path rides
+    its per-node best into the round's existing stepped-checkpoint
+    job instead of paying a third job per round).
     """
-    ck = df.localCheckpoint()
+    ck = df.localCheckpoint(eager=eager)
     try:
         jdf = ck._jdf
         spark = ck.sparkSession
@@ -1195,11 +1201,13 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
                         "node", F.least("nbr_prev", "nbr").alias("nbr")
                     )
                 )
-            # checkpoint: merged references the previous nbr_best, so
-            # the plan would otherwise grow per round; N rows, cheap,
-            # and localCheckpoint's eager RDD cache plays the persist
-            # role exactly like `stepped` below.
-            nbr_best = _checkpoint_fresh_stats(merged)
+            # Lazy checkpoint: merged references the previous
+            # nbr_best, so the plan would otherwise grow per round;
+            # eager=False materializes it INSIDE the round's stepped
+            # job (a third per-round job measurably lost the 100x
+            # A/B) while still truncating lineage and caching the
+            # N-row RDD for the next round's merge.
+            nbr_best = _checkpoint_fresh_stats(merged, eager=False)
             neighbor_min = nbr_best
         else:
             neighbor_min = (
