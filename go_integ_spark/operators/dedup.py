@@ -1166,28 +1166,50 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         .withColumn("label", F.col("node"))
         .persist()
     )
-    # Delta propagation (r13, VERDICT r12 item 2): the r12 loop
-    # shuffled the FULL joined edge list into the groupBy(dst) min
-    # every round (~20M rows x ~10 rounds at 1000x). Labels only ever
-    # DECREASE (every assignment is a least()), so min-over-history
-    # of a neighbor's labels equals its current label — an
+    # Delta propagation (r13, VERDICT r12 item 2) — implemented,
+    # A/B'd at 100x and 1000x, and REJECTED as the default. Labels
+    # only ever DECREASE (every assignment is a least()), so an
     # accumulated per-node neighbor-min (`nbr_best`, N rows) merged
     # with each round's contributions from CHANGED sources only is
-    # value-identical to recomputing the min over all sources:
-    # round 1 registers every node's initial label, and each later
-    # decrease re-registers through the delta. The edge-side shuffle
-    # then shrinks geometrically with the changed count while the
-    # merge costs one nodes-sized (not edges-sized) exchange.
-    # Toggle is for the committed 1000x A/B probe only; labels are
-    # byte-identical and round counts equal by construction (pinned
-    # in tests/test_round13_ops.py).
-    delta_mode = os.environ.get("CC_DELTA", "1") != "0"
+    # value-identical to recomputing the min over all sources — but
+    # the measured economics are upside-down for mutual-kNN graphs
+    # (E/N ~ 7-10): label propagation does most of its changing in
+    # the first few rounds, so the edge-side shuffle only shrinks in
+    # the late CHEAP rounds, while the nodes-sized full-outer merge
+    # (+ its lineage checkpoint) is paid EVERY round. Committed
+    # evidence (SMOKE_r13_1000x_cc_delta.json, drift-cancelling arm
+    # order, label signatures identical): 1000x delta 190/142/206 s
+    # vs full-recompute 133/131/117 s; 100x parity at best. Kept
+    # behind CC_DELTA=1 for graphs where deltas collapse after round
+    # one (very dense near-dup cliques); the default is the
+    # full-recompute hop, whose per-round join cost the CC_HASHJOIN
+    # arm below attacks instead. Byte-identity of labels and round
+    # counts under the toggle is pinned in tests/test_round13_ops.py.
+    delta_mode = os.environ.get("CC_DELTA", "0") != "0"
+    # Per-round hop join strategy — probed and REJECTED (r13): the
+    # "SMJ re-sorts the edge list every round" hypothesis was wrong.
+    # The nodes-sized sides (labels/neighbor_min/parents, ~32 MB at
+    # 1000x) sit under the 64 MB autoBroadcastJoinThreshold, so AQE
+    # already converts every per-round join to a runtime BROADCAST
+    # hash join — the edge side streams through its cached
+    # partitioning with no sort and no exchange. Forcing SHUFFLE_HASH
+    # instead (CC_HASHJOIN=1) fights that conversion and nearly
+    # DOUBLED the per-run stage count and wall at the 100x A/B
+    # (103.6/160.8 s on vs 58.9/62.3 s off, labels identical). Kept
+    # as an off-by-default arm so the negative result stays
+    # reproducible.
+    hash_hint = os.environ.get("CC_HASHJOIN", "0") != "0"
+
+    def _build(df: DataFrame) -> DataFrame:
+        return df.hint("SHUFFLE_HASH") if hash_hint else df
+
     delta = labels  # round 1: every node's initial label contributes
     nbr_best: DataFrame | None = None
     for _ in range(max_iters):
         if delta_mode:
+            d = _build(delta)
             new_mins = (
-                both.join(delta, both.src == delta.node)
+                both.join(d, both.src == d.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("label").alias("nbr"))
             )
@@ -1210,8 +1232,9 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
             nbr_best = _checkpoint_fresh_stats(merged, eager=False)
             neighbor_min = nbr_best
         else:
+            lab = _build(labels)
             neighbor_min = (
-                both.join(labels, both.src == labels.node)
+                both.join(lab, both.src == lab.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.min("label").alias("nbr"))
             )
@@ -1226,7 +1249,7 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         # cuts each round's plan back to a leaf; on a real cluster
         # with executor churn this would be a reliable checkpoint to
         # durable storage instead.
-        hopped = labels.join(neighbor_min, "node", "left").select(
+        hopped = labels.join(_build(neighbor_min), "node", "left").select(
             "node",
             F.col("label").alias("old_label"),
             F.least("label", F.coalesce("nbr", "label")).alias("label"),
@@ -1244,11 +1267,15 @@ def connected_components(edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> Dat
         # materialization schedule several extra AQE stages — so the
         # single jump is strictly faster at every scale tried.)
         hopped = hopped.persist()
-        parents = hopped.select(
-            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        parents = _build(
+            hopped.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            )
         )
         stepped = _checkpoint_fresh_stats(
-            hopped.join(parents, hopped.label == parents.pnode, "left").select(
+            hopped.join(
+                parents, hopped.label == parents.pnode, "left"
+            ).select(
                 "node",
                 "old_label",
                 F.least("label", F.coalesce("plabel", "label")).alias("label"),

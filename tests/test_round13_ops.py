@@ -255,3 +255,24 @@ def test_contamination_embedding_strict_on_planted_corpus(spark, tmp_path):
     got_verdicts = {int(r[0]): bool(r[1]) for r in got}
     assert got_verdicts == brute
     assert sum(brute.values()) >= 8, "corpus must contain contaminated evals"
+
+
+class TestCCHashJoinInvariance:
+    def test_components_identical_both_arms(self, spark, monkeypatch):
+        """CC_HASHJOIN only swaps the per-round hop/jump join
+        strategy (shuffled-hash build on the nodes-sized side vs
+        sort-merge); the labels must be byte-identical."""
+        from go_integ_spark.operators.dedup import connected_components
+
+        rows = [(i, i + 1) for i in range(30, 36)] + [
+            (1, 2),
+            (2, 3),
+            (3, 1),
+            (50, 51),
+        ]
+        edges = spark.createDataFrame(rows, "doc_a bigint, doc_b bigint")
+        monkeypatch.setenv("CC_HASHJOIN", "0")
+        off = sorted(map(tuple, connected_components(edges).collect()))
+        monkeypatch.setenv("CC_HASHJOIN", "1")
+        on = sorted(map(tuple, connected_components(edges).collect()))
+        assert off == on and len(off) == 12
