@@ -131,6 +131,20 @@ ROW_COST = 3_000.0
 _MICRO_RATIO_REF = 19.4  # measured 2026-08-16 on the r12-class host
 _row_cost_cache: float | None = None
 
+# Per-block kernel-pair ceiling (r13). Kernel work measured ~430 ns
+# per pair on the scoring hot path (fold + per-probe ranking, healthy
+# host) — 8M pairs bounds a single block's kernel at ~3.5 s, the same
+# order as a typical row-dominated task, so a mis-priced pair/row
+# ratio can no longer stack 200x of real work behind a "uniform"
+# planned cost. Raising it trades straggler risk for less side
+# replication; SG_BLOCK_PAIR_CAP overrides for probes.
+BLOCK_PAIR_CAP = 8_000_000.0
+
+
+def block_pair_cap() -> float:
+    env = os.environ.get("SG_BLOCK_PAIR_CAP")
+    return float(env) if env is not None else BLOCK_PAIR_CAP
+
 
 def _micro_ratio() -> float:
     """Kernel pairs/s over Arrow-assembly rows/s, both single-core
@@ -222,12 +236,33 @@ def plan_grid_bins(
     row_cost = calibrated_row_cost()
     split_rows: list[tuple] = []
     blocks: list[tuple] = []
+    pair_cap = block_pair_cap()
     costs: list[float] = []
     for kv, n_m, n_p in cells:
         if n_m == 0 or n_p == 0:
             continue  # an empty side scores nothing; skip the cell
         nc = max(1, -(-n_m // cap))
         np_ = max(1, -(-n_p // cap))
+        # Per-block PAIR bound (r13, found on a healthy-host 1000x
+        # multilang probe): capping each DIMENSION at `cap` still
+        # admits a cap x cap = 67M-pair single block, and the
+        # row-vs-pair cost constants cannot price that safely — the
+        # probe's planned bins were uniform to 1.3x while measured
+        # kernel time spread 200x (a 5.7k x 8.1k block ran 19.7 s
+        # against a row-dominated median bin's 0.09 s; observed task
+        # skew 31-38x, reproduced twice, par-calib healthy; the r12
+        # "forward-stage 13.4x host stall" was this same defect).
+        # Bounding mc*pc directly makes the packing robust to ANY
+        # cost-constant error: no single block can exceed ~pair_cap
+        # of kernel work. Each split increment replicates the OTHER
+        # side once more (probes x nc member-splits, members x np_
+        # probe-splits), so grow the split whose replication is
+        # cheaper.
+        while (n_m / nc) * (n_p / np_) > pair_cap:
+            if n_p <= n_m:
+                nc += 1
+            else:
+                np_ += 1
         split_rows.append(kv + (nc, np_))
         mc, pc = n_m / nc, n_p / np_
         for cs in range(nc):
@@ -237,8 +272,8 @@ def plan_grid_bins(
     if not blocks:
         return [], [], 0
     # capacity's single-block bound gets the same row term, so a
-    # full cap x cap block still fits one bin exactly
-    max_block = float(cap) * cap + row_cost * 2 * cap
+    # maximal block still fits one bin exactly
+    max_block = float(min(cap * cap, pair_cap)) + row_cost * 2 * cap
     capacity = max(
         min(max_block, sum(costs) / max(4 * base_partitions, 64)),
         4 * overhead,

@@ -33,7 +33,7 @@ for i in $(seq 1 90); do
     echo "$(date +%H:%M:%S) bench trend done ($?)" >> HEALTHY_WAIT.log
     exit 0
   fi
-  sleep 240
+  sleep 150
 done
 echo "$(date +%H:%M:%S) no healthy window in budget" >> HEALTHY_WAIT.log
 exit 1

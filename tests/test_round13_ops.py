@@ -276,3 +276,48 @@ class TestCCHashJoinInvariance:
         monkeypatch.setenv("CC_HASHJOIN", "1")
         on = sorted(map(tuple, connected_components(edges).collect()))
         assert off == on and len(off) == 12
+
+
+class TestBlockPairCap:
+    def test_no_block_exceeds_pair_cap(self, monkeypatch):
+        """r13: the planner must bound every block's kernel pairs at
+        BLOCK_PAIR_CAP regardless of cost constants — the 1000x
+        multilang probe measured a 200x real-time spread across bins
+        whose PLANNED costs were uniform to 1.3x, because a capped
+        dimension still admitted cap x cap = 67M-pair blocks."""
+        from go_integ_spark.functions import blocks
+
+        monkeypatch.setenv("SG_ROW_COST", "3000")
+        monkeypatch.setattr(blocks, "_row_cost_cache", None)
+        cells = [
+            (("en", 1), 5673, 166515),  # the probe's hottest cell
+            (("de", 2), 7767, 83040),
+            (("fr", 3), 182, 40),
+            (("zh", 4), 8192, 8192),
+        ]
+        split_rows, bin_rows, n_bins = blocks.plan_grid_bins(
+            cells, 8192, 256
+        )
+        splits = {tuple(s[:-2]): (s[-2], s[-1]) for s in split_rows}
+        for kv, n_m, n_p in cells:
+            nc, np_ = splits[kv]
+            assert (n_m / nc) * (n_p / np_) <= blocks.BLOCK_PAIR_CAP, kv
+        # and the env override widens it
+        monkeypatch.setenv("SG_BLOCK_PAIR_CAP", "1e12")
+        s2, _, _ = blocks.plan_grid_bins(cells, 8192, 256)
+        sp2 = {tuple(s[:-2]): (s[-2], s[-1]) for s in s2}
+        assert sp2[("zh", 4)] == (1, 1)  # one cap x cap block again
+
+    def test_split_growth_prefers_cheaper_replication(self):
+        """Growing the member split replicates probes and vice versa;
+        the greedy must grow the side whose replication ships fewer
+        rows (probe-heavy cells split the member dimension less)."""
+        from go_integ_spark.functions import blocks
+
+        (split,), _, _ = [
+            x for x in [blocks.plan_grid_bins([((1,), 100, 1_000_000)], 8192, 256)]
+        ][0]
+        nc, np_ = split[-2], split[-1]
+        # probe side is 10_000x heavier: replicate PROBES (grow nc)
+        # as little as possible, split probes (np_) instead
+        assert np_ > nc
