@@ -98,16 +98,27 @@ def pack_bins(costs: list[float], capacity: float) -> tuple[list[int], int]:
 # pair-units: bounds how many tiny cold blocks one bin may hold, and
 # floors the bin capacity.
 BLOCK_OVERHEAD = 50_000.0
-# Row-LINEAR per-block cost (Arrow transfer + pandas assembly of the
-# ~520 B/row vector payload), in pair-units per row. Without it the
-# packer prices a pair-light/row-heavy block (a hot cell's near-cap
-# member rows replicated across many probe splits) at ~zero and
-# stacks dozens into one bin — the r12 1000x bitext probe read a
-# 165.5 s max task over a 6.7 s median on the backward scoring stage
-# from exactly this shape. Calibrated from that probe's medians:
-# ~20k rows + ~2.7e6 pairs per 6.7 s task against the tiled kernel's
-# ~1e7 pairs/s/core puts per-row cost at ~3e3 pair-units.
-ROW_COST = 3_000.0
+# Row-LINEAR per-block cost (shuffle of the replicated ~520 B/row
+# payload + Arrow transfer + pandas assembly), in pair-units per
+# row. Without it the packer prices a pair-light/row-heavy block (a
+# hot cell's near-cap member rows replicated across many probe
+# splits) at ~zero and stacks dozens into one bin — the r12 1000x
+# bitext probe read a 165.5 s max task over a 6.7 s median on the
+# backward scoring stage from exactly this shape.
+#
+# UNITS (re-derived r13): a "pair-unit" is one SCORED pair — fold
+# kernel + per-probe ranking/extraction — measured ~430 ns in-task,
+# NOT the pure tiled fold's ~100 ns. r12 divided by the pure-fold
+# rate and got ~3e3; replaying its own backward-stage calibration
+# data (20k rows + 2.7e6 pairs per 6.7 s task) against the
+# inclusive pair time gives row_time = (6.7 - 2.7e6*430ns)/20k
+# ~ 277 us => ~644 pair-units/row. The 4.7x overpricing made
+# row-dominated bins real-cheap and pair-dominated bins real-
+# expensive behind uniform planned costs — the healthy-host 1000x
+# multilang probe read 31x task skew (med ~1 s row bins, max ~31 s
+# pair bins) from exactly this, and the r12 'forward 13.4x' was the
+# same defect at smaller magnitude.
+ROW_COST = 650.0
 
 # Self-calibration reference (r13, VERDICT r12 item 4). ROW_COST's
 # 3e3 was calibrated END-TO-END on one host/payload: it prices the
@@ -162,11 +173,16 @@ def _micro_ratio() -> float:
     vecs = pd.Series([rng.standard_normal(d) for _ in range(m)])
     norms = pd.Series(np.ones(m))
     fold_cosine_block(vecs, norms, vecs, norms)  # warm
-    t0 = time.perf_counter()
-    reps = 4
-    for _ in range(reps):
+    # min-of-3 on each side: a loaded machine (e.g. calibrating while
+    # a probe runs) inflates single timings asymmetrically; the min
+    # approximates the uncontended cost on both sides so the RATIO
+    # stays load-insensitive
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
         fold_cosine_block(vecs, norms, vecs, norms)
-    pairs_per_sec = m * m * reps / (time.perf_counter() - t0)
+        best = min(best, time.perf_counter() - t0)
+    pairs_per_sec = m * m / best
 
     k = 20_000
     pdf = pd.DataFrame(
@@ -186,10 +202,12 @@ def _micro_ratio() -> float:
         np.stack([np.asarray(x, dtype=np.float64) for x in df["e"]])
 
     roundtrip()  # warm
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(3):
+        t0 = time.perf_counter()
         roundtrip()
-    rows_per_sec = 3 * k / (time.perf_counter() - t0)
+        best = min(best, time.perf_counter() - t0)
+    rows_per_sec = k / best
     return pairs_per_sec / rows_per_sec
 
 
