@@ -139,7 +139,11 @@ ROW_COST = 650.0
 # Clamped to [ROW_COST/3, ROW_COST*4] — the anchor stays the source
 # of truth, calibration only corrects hardware drift; any failure
 # falls back to the constant. SG_ROW_COST overrides everything.
-_MICRO_RATIO_REF = 19.4  # measured 2026-08-16 on the r12-class host
+# Reference for the min-of-3 timing method on an IDLE calibration
+# host (2026-08-17, three reads 10.5/11.4/11.1; the r12-era 19.4 was
+# the old sum-of-reps method under partial load and over-scaled the
+# anchor ~1.8x on loaded sessions).
+_MICRO_RATIO_REF = 11.0
 _row_cost_cache: float | None = None
 
 # Per-block kernel-pair ceiling (r13). Kernel work measured ~430 ns
