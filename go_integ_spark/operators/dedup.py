@@ -340,7 +340,17 @@ def lsh_band_buckets(
             out[:, b] = as_signed(h)
         return pd.Series(list(out))
 
-    buckets_udf = F.pandas_udf(_buckets, "array<bigint>")
+    # asNondeterministic: the consumer explodes `buckets`, and
+    # InferFiltersFromGenerate adds a `size(buckets) > 0 AND
+    # isnotnull(buckets)` guard that the optimizer then pushes BELOW
+    # this projection by DUPLICATING the kernel — the r13 before-plan
+    # (plans/r13/dedup_minhash_lsh_before.txt) carries two
+    # ArrowEvalPython nodes for _buckets, so every doc paid the
+    # 64-permutation minhash twice. Marking the UDF non-deterministic
+    # forbids the duplication (one eval, filter applied on its
+    # output); the kernel is pure, so results are unchanged — this is
+    # the optimization guide's §4.4 pattern exactly.
+    buckets_udf = F.pandas_udf(_buckets, "array<bigint>").asNondeterministic()
     return doc_sets.select(
         "doc_id", buckets_udf(F.col("sids")).alias("buckets")
     )

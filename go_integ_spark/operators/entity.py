@@ -81,20 +81,37 @@ WHERE levenshtein(a.p_name, b.p_name) <= {MAX_EDIT}
 def _kept_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-name table with blocking key, record count, a stable
     long node id (min record key — identical on both engines), and
-    the MAX_BLOCK guard applied."""
+    the MAX_BLOCK guard applied.
+
+    ``cached_persist``: every consumer references this frame at least
+    twice (both sides of the block self-join; er_golden_record adds a
+    third for survivorship), and Catalyst does not share subplans
+    across DataFrame references — the r13 before-plan shows the whole
+    scan->agg->window subtree duplicated per side (guide §2.4:
+    remove shuffles outright). The persisted frame is vocabulary-
+    sized (distinct names after the MAX_BLOCK guard), so at 100 TB it
+    is a KB-per-name table, not the record corpus; the self-join then
+    reuses the cached window partitioning on block_key instead of
+    re-exchanging each side."""
     from pyspark.sql import Window
 
+    from go_integ_spark.functions.cache import cached_persist
+
     part = load_table(spark, sf_dir, "part")
-    names = part.groupBy(
-        F.col("p_name"),
-        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_records"),
-        F.min("p_partkey").cast("bigint").alias("nid"),
-    )
-    return names.withColumn(
-        "block_n", F.count(F.lit(1)).over(Window.partitionBy("block_key"))
-    ).filter(F.col("block_n") <= MAX_BLOCK)
+
+    def build() -> DataFrame:
+        names = part.groupBy(
+            F.col("p_name"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("block_key"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.min("p_partkey").cast("bigint").alias("nid"),
+        )
+        return names.withColumn(
+            "block_n", F.count(F.lit(1)).over(Window.partitionBy("block_key"))
+        ).filter(F.col("block_n") <= MAX_BLOCK)
+
+    return cached_persist("er_kept_names", part, build)
 
 
 def _match_pairs(kept: DataFrame) -> DataFrame:

@@ -1040,13 +1040,28 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     arranged identically in both engines (left-associated double
     products) so ln sees bit-identical inputs.
     """
+    from go_integ_spark.functions.cache import cached_persist
+
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", "text")
     )
     toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    # cached_persist both count tables: the returned plan references
+    # uni three times (u1, u2, the tot scalar) and big twice (btot,
+    # the output rows), and Catalyst does not share subplans across
+    # DataFrame references — the r13 before-plan carried FIVE
+    # corpus scan+explode subtrees for what is two passes of real
+    # work (guide §1.2/§2.4: don't recompute what you already have).
+    # Both frames are vocabulary-sized (unigram / bigram counts), so
+    # the persist is bounded at any corpus scale; the corpus itself
+    # is now tokenized exactly once per n-gram order.
+    uni = cached_persist(
+        "text_colloc_uni",
+        docs,
+        lambda: toks.groupBy("w").agg(F.count(F.lit(1)).alias("n1")),
+    )
     tot = uni.agg(F.sum("n1").cast("double").alias("nt"))
     inst = (
         docs.withColumn("ws", F.split("text", " "))
@@ -1062,7 +1077,11 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b.w1", "b.w2")
     )
-    big = inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    big = cached_persist(
+        "text_colloc_big",
+        docs,
+        lambda: inst.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2")),
+    )
     btot = big.agg(F.sum("n2").cast("double").alias("mt"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("n1").alias("n1a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("n1").alias("n1b"))

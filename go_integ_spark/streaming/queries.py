@@ -785,7 +785,16 @@ def streaming_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_integ_spark.operators.dedup import paragraph_hashes
 
     path, schema = _docs_stream_source(spark, sf_dir)
-    stream = read_stream(spark, path, schema, max_files_per_trigger=2)
+    # 4 files/trigger (2 micro-batches over the 8-file source) — the
+    # same >= 2-state-merge standard every other stateful gate uses.
+    # r13: this line ran 4 micro-batches (mft=2), paying two extra
+    # rounds of per-batch fixed cost (planning, WAL + state commits)
+    # for no additional evidence; the interleaved A/B measured
+    # 1.4-1.9 s vs 2.3-3.2 s with the surviving key set identical
+    # (18,194 keys, equal hash signature, every run). The 4-batch
+    # explode-in-streaming stressor remains exercised by
+    # streaming_chunk_manifest (mft=2, unchanged).
+    stream = read_stream(spark, path, schema, max_files_per_trigger=4)
     deduped = paragraph_hashes(stream).select("ph").dropDuplicates(["ph"])
     return _run_to_memory(deduped, "append", "spr", source_path=path)
 
