@@ -459,11 +459,25 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f3", F.col("f2") & F.coalesce(F.col("keep"), F.lit(False))
     )
     wins = chunk_window_hashes(d3.filter(F.col("f3")))
+    # "b shares a chunk hash with some smaller doc a" == "b is not
+    # the minimum doc_id of at least one of its chunk groups", so one
+    # groupBy replaces the r12 self-join on chunk_hash. That join (a)
+    # recomputed the whole wins lineage — scan, exact-dedup join,
+    # window extraction — once per side, and (b) was quadratic per
+    # hot chunk (k docs sharing a boilerplate chunk -> k^2/2 join
+    # rows vs k set entries here): guide §2.3 aggregate-before-
+    # shuffle + §3 exploding-join avoidance in one move. Set size is
+    # bounded by docs-per-chunk, the same quantity the join squared.
     dup_b = (
-        wins.select(F.col("doc_id").alias("a"), "chunk_hash")
-        .join(wins.select(F.col("doc_id").alias("b"), "chunk_hash"), "chunk_hash")
-        .filter(F.col("a") < F.col("b"))
-        .select(F.col("b").alias("doc_id"))
+        wins.groupBy("chunk_hash")
+        .agg(
+            F.min("doc_id").alias("mn"),
+            F.collect_set("doc_id").alias("ds"),
+        )
+        .filter(F.size("ds") >= 2)
+        .select(F.explode("ds").alias("doc_id"), "mn")
+        .filter(F.col("doc_id") != F.col("mn"))
+        .select("doc_id")
         .distinct()
         .select("doc_id", F.lit(True).alias("dup"))
     )

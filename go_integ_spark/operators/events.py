@@ -219,18 +219,32 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage frames share the user_id partitioning, so AQE coalesces the
     join exchanges, and no window ever sees a user's full history.
     """
+    from go_integ_spark.functions.cache import cached_persist
+
     ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
+    # cached_persist the first two stage frames: v is referenced by c
+    # and the final join, c by p and the final join — without the
+    # persist Catalyst re-derives each referencing subtree, so the
+    # r13 before-plan scanned events six times for three passes of
+    # real work (guide §1.2: don't recompute what you already have).
+    # Both frames are user-cardinality aggregates (far smaller than
+    # the event corpus) and carry the groupBy's user_id hash
+    # partitioning, which every downstream join is keyed on.
+    v = cached_persist(
+        "events_funnel_v",
+        ev,
+        lambda: ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+        .agg(F.min("ts").alias("t_view")),
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
+    c = cached_persist(
+        "events_funnel_c",
+        ev,
+        lambda: ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+        .agg(F.min("ts").alias("t_click")),
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

@@ -472,16 +472,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # eu is an SF-scaled supplier subset: no hint, AQE decides
     eu_cost = cost.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
-    mc = eu_cost.groupBy(F.col("l_partkey").alias("mp")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    # r13 restructure (result-identical, oracle unchanged): the r12
+    # form joined eu_cost back to its own per-part min aggregate, so
+    # the whole lineitem-agg + supplier-chain lineage was computed
+    # TWICE (the before-plan scans every table twice — guide §1.2
+    # step 1). The per-part min is a window over the same frame —
+    # one pass — and restricting to p_size=15 parts FIRST is valid
+    # because the min is per-part (dropping other parts cannot change
+    # it), which also shrinks the window input by the part-filter
+    # selectivity. 2 full lineage passes -> 1, and the window sees
+    # only surviving parts.
+    from pyspark.sql import Window
+
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    w = Window.partitionBy("l_partkey")
     return (
-        eu_cost.join(
-            mc,
-            (F.col("mp") == F.col("l_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
-        )
-        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        eu_cost.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
