@@ -449,14 +449,16 @@ LIMIT 100
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (no partsupp in this schema: supply cost =
     cheapest observed unit price in lineitem). The correlated min is
-    decorrelated by hand into two aggregates sharing one l_partkey
-    partitioning — per-(part,supplier) unit cost, then per-part min
-    over EUROPE suppliers — joined back on equality. Supplier dim is
-    filtered through broadcast nation/region *before* touching the
-    fact, so the lineitem agg is the only big shuffle; the final
-    ORDER BY ... LIMIT is TakeOrderedAndProject (no global sort).
-    Unit cost is rounded identically on both sides before the min /
-    equality so ULP noise can't flip the argmin.
+    a per-part WINDOW min over the (part, supplier) unit-cost frame,
+    applied after the selective part filter — one pass over the
+    lineitem-agg + supplier-chain lineage (the r12 join-back-to-own-
+    aggregate form computed it twice; equivalence pinned in
+    tests/test_round13_opt.py). Supplier dim is filtered through
+    broadcast nation/region *before* touching the fact, so the
+    lineitem agg is the only big shuffle; the final ORDER BY ...
+    LIMIT is TakeOrderedAndProject (no global sort). Unit cost is
+    rounded before the min / equality so ULP noise can't flip the
+    argmin.
     """
     li = load_table(spark, sf_dir, "lineitem")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
