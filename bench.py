@@ -234,6 +234,39 @@ def _fresh_session(app_name: str, sf_dir: str, ncpus: int):
     from go_integ_spark.sources.datasource import warmup_datasource
 
     warmup_datasource(spark)
+    # ... and one trivial streaming query (3-row parquet source ->
+    # groupBy count -> memory sink, availableNow), so the streaming
+    # ENGINE is warm: MicroBatchExecution, state-store provider,
+    # offset/commit-log classes and the streaming codegen
+    # infrastructure are all first-touched here instead of billing
+    # ~1.4-3 s of session-level class-loading to whichever streaming
+    # headline query runs first (r14 probe scripts/probe_plan_warmup.py:
+    # streaming_session_window's cold-warm delta 2.7/4.9 s without this
+    # warm vs 1.3/1.8 s with it, ABAB arms). The warm plan is a plain
+    # hash-aggregate over a throwaway 3-row source — a DIFFERENT shape
+    # from every measured streaming query (session_window,
+    # dropDuplicates-after-explode), so no measured plan is
+    # pre-executed; same treatment as the two warms above.
+    import tempfile
+
+    warm_src = tempfile.mkdtemp(prefix="sg_bench_stream_warm_")
+    warm_df = spark.range(0, 3).select(
+        F.col("id"), (F.col("id") % 2).alias("k")
+    )
+    warm_df.write.mode("overwrite").parquet(warm_src)
+    q = (
+        spark.readStream.schema(warm_df.schema)
+        .parquet(warm_src)
+        .groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("bench_stream_warm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.catalog.dropTempView("bench_stream_warm")
     return spark
 
 
@@ -320,6 +353,22 @@ def _run_pass(spark, registry, bench_queries, sf_dir) -> dict[str, float]:
 # headline and read as a fantasy trend point) — retry the WHOLE
 # measurement up to this many times and keep the first clean one.
 MAX_ATTEMPTS = 3
+
+
+def select_attempt(attempts: list[dict]) -> dict:
+    """The attempt the committed artifact records, pure so tests can
+    pin it: healthy+uncontended beats uncontended-but-degraded beats
+    contended; ties broken by the faster total. A degraded window
+    only INFLATES wall time, so among comparable attempts the fastest
+    is the least-disturbed measurement."""
+    return min(
+        attempts,
+        key=lambda a: (
+            int(a["contended"]),
+            int(a["par_band"] != "healthy"),
+            min(a["totals"]),
+        ),
+    )
 
 
 def _ordered_bench_queries(registry) -> list[str]:
@@ -492,27 +541,43 @@ def _one_attempt(sf_dir: str, ncpus: int, own: set[int] | None = None) -> dict:
 def main() -> None:
     ncpus = os.cpu_count() or 1
     cpu_calib = _cpu_calibration()
-    cpu_calib_par = _cpu_calibration_parallel()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    # Retry-into-a-healthy-window (VERDICT r13 item 1): the r13 round's
+    # official number was a par_band=degraded artifact because the
+    # retry loop only knew about CONTENTION (a sharing tenant), not a
+    # degraded hypervisor window — every verified plan win was
+    # invisible in the driver's ground truth. The parallel calibration
+    # now runs immediately BEFORE each attempt so par_band describes
+    # that attempt's window, a degraded attempt retries exactly like a
+    # contended one (bounded, with a longer sleep — steal windows decay
+    # slower than a JVM exiting), and the recorded attempt is the best
+    # clean one: healthy+uncontended first, then uncontended, then the
+    # last attempt. If every retry was degraded the value is still
+    # emitted, with ``value_normalized`` (value / cpu_calib_sec, the
+    # BASELINE.md cross-host comparison figure) for trend consumers.
     attempts = []
     own: set[int] = set()
     for i in range(MAX_ATTEMPTS):
+        par_i = _cpu_calibration_parallel()
         attempt = _one_attempt(sf_dir, ncpus, own)
+        attempt["par_calib_sec"] = par_i
+        attempt["par_band"] = par_band(par_i)
         attempts.append(attempt)
-        if not attempt["contended"]:
+        if not attempt["contended"] and attempt["par_band"] == "healthy":
             break
         print(
-            f"# attempt {i + 1}/{MAX_ATTEMPTS} CONTENDED "
-            f"(pass totals {attempt['totals']}, "
+            f"# attempt {i + 1}/{MAX_ATTEMPTS} "
+            f"{'CONTENDED' if attempt['contended'] else 'DEGRADED'} "
+            f"(pass totals {attempt['totals']}, par {par_i:.2f}, "
             f"{attempt['contention']}) — "
             + ("retrying" if i + 1 < MAX_ATTEMPTS else "giving up"),
             file=sys.stderr,
         )
         if i + 1 < MAX_ATTEMPTS:
-            time.sleep(5)
+            time.sleep(5 if attempt["contended"] else 20)
 
-    final = attempts[-1]
+    final = select_attempt(attempts)
     contended = final["contended"]
     if contended:
         print(
@@ -520,6 +585,13 @@ def main() -> None:
             "point (trend_point: false); re-run solo",
             file=sys.stderr,
         )
+    elif final["par_band"] == "degraded":
+        print(
+            "# all attempts in a DEGRADED window — value recorded, "
+            "compare value_normalized across rounds",
+            file=sys.stderr,
+        )
+    cpu_calib_par = final["par_calib_sec"]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     cpu_calib_end = _cpu_calibration()
     # COMPACT final stdout line. Round 11's committed BENCH_r11.json
@@ -539,12 +611,17 @@ def main() -> None:
         "cpu_calib_sec": cpu_calib,
         "cpu_calib_par_sec": cpu_calib_par,
         "cpu_calib_end_sec": cpu_calib_end,
-        "par_band": par_band(cpu_calib_par),
+        "par_band": final["par_band"],
+        # Cross-host comparison figure (BASELINE.md convention):
+        # headline seconds normalized by the single-thread host
+        # fingerprint. THE number to trend when par_band is degraded.
+        "value_normalized": round(min(final["totals"]) / cpu_calib, 2),
         "contended": contended,
         # The one bit a trend consumer must check: false means every
         # retry was contended and "value" is measurement noise.
         "trend_point": not contended,
         "attempts": len(attempts),
+        "attempt_par_calib_secs": [a["par_calib_sec"] for a in attempts],
         "pass_totals": final["totals"],
     }
     # recorded pass's one-time costs as top-level fields too, for

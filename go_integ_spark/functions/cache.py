@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 #   second invocation sees [] — again never matching.
 # The analyzed plan's leaf relations keep their root paths regardless
 # of cache substitution, so that's what we key on.
-_slots: dict[str, tuple[int, tuple[str, ...], DataFrame]] = {}
+_slots: dict[str, tuple[int, tuple[str, ...], DataFrame, object]] = {}
 
 
 def _plan_key(df: DataFrame) -> tuple[str, ...]:
@@ -71,15 +71,25 @@ def _plan_key(df: DataFrame) -> tuple[str, ...]:
 
 
 def cached_persist(
-    slot: str, key_df: DataFrame, build: Callable[[], DataFrame]
+    slot: str,
+    key_df: DataFrame,
+    build: Callable[[], DataFrame],
+    token: object = None,
 ) -> DataFrame:
+    """``token`` carries any non-plan parameter the built frame bakes
+    in (a block-size cap, a threshold): it is part of the verifying
+    key, so a parameter change EVICTS and rebuilds in place. Folding
+    the parameter into the slot NAME instead (the r13 entity.py form)
+    forked a new slot per value and left the old value's frame
+    persisted for the life of the session — a bounded storage-memory
+    leak contrary to the one-live-handle intent (ADVICE r13)."""
     key = key_df.semanticHash()
     plan = _plan_key(key_df)
     cached = _slots.get(slot)
     if cached is not None:
-        if cached[0] == key and cached[1] == plan:
+        if cached[0] == key and cached[1] == plan and cached[3] == token:
             return cached[2]
         cached[2].unpersist()
     frame = build().persist()
-    _slots[slot] = (key, plan, frame)
+    _slots[slot] = (key, plan, frame, token)
     return frame

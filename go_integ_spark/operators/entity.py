@@ -111,10 +111,12 @@ def _kept_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             "block_n", F.count(F.lit(1)).over(Window.partitionBy("block_key"))
         ).filter(F.col("block_n") <= MAX_BLOCK)
 
-    # MAX_BLOCK participates in the slot key: the cached frame bakes
-    # the guard in, so a different cap (tests monkeypatch it) must
-    # build its own slot rather than be served the old guard's rows.
-    return cached_persist(f"er_kept_names_cap{MAX_BLOCK}", part, build)
+    # MAX_BLOCK participates in the verifying KEY (token), not the
+    # slot name: the cached frame bakes the guard in, so a different
+    # cap (tests monkeypatch it) must rebuild — and via the token it
+    # EVICTS the old cap's frame instead of forking a second live
+    # slot that stays persisted for the session (ADVICE r13).
+    return cached_persist("er_kept_names", part, build, token=MAX_BLOCK)
 
 
 def _match_pairs(kept: DataFrame) -> DataFrame:
