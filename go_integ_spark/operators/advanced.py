@@ -6,6 +6,8 @@ correctness gate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -553,32 +555,44 @@ if basket_part_pairs.__doc__:  # absent under PYTHONOPTIMIZE=2
     )
 
 
-# In-process paginated servers for the distributed-read gate query,
-# one per sf_dir, kept alive for the session (the DataSource read is
-# lazy: executors fetch when the driver collects, so the server must
-# outlive this function). Daemon threads die with the process.
+# Paginated servers for the distributed-read gate query, one per
+# sf_dir, kept alive for the session (the DataSource read is lazy:
+# executors fetch when the driver collects, so the server must
+# outlive this function). Daemon worker processes die with the
+# session process.
 _GATE_SERVERS: dict[str, int] = {}
 
+# Worker processes serving one gate fixture. 4 is plenty for the
+# bench's 8 concurrent strides over 300 pages; the 2M-row scale probe
+# (scripts/probe_connector_scale.py) uses its own 8-worker pool.
+GATE_WORKERS = 4
 
-def _orders_gate_server(sf_dir: str) -> int:
+
+def _gate_worker_main(sf_dir: str, port: int, parent_pid: int) -> None:
+    """One gate-server worker process: loads the orders page data,
+    binds the shared SO_REUSEPORT port, prints READY, serves until
+    the parent dies (ppid watchdog) or it is terminated. Launched as
+    a fresh subprocess — not a fork: by the time the bench/gate calls
+    for the server a Spark JVM and its py4j sockets already exist in
+    the parent, and a forked child inheriting those descriptors is a
+    latent hazard a measurement fixture must not carry."""
     import json as _json
+    import socket
     import threading
+    import time as _time
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import parse_qs, urlparse
 
     import pyarrow.parquet as pq
 
-    if sf_dir in _GATE_SERVERS:
-        return _GATE_SERVERS[sf_dir]
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
     rows = pq.read_table(f"{sf_dir}/orders.parquet", columns=cols).to_pylist()
 
     # Serve pre-serialized page bodies: with 8 executor strides
-    # hitting the ThreadingHTTPServer concurrently, per-request
-    # json.dumps of 500-row slices contends on the driver's GIL and
-    # the bench line ends up measuring the TOY SERVER, not the client
-    # extract path being benchmarked. Cache keyed by (start, num);
-    # bounded by page count.
+    # hitting the server concurrently, per-request json.dumps of
+    # 500-row slices would make the bench line measure the TOY
+    # SERVER, not the client extract path. Cache keyed by
+    # (start, num); bounded by page count.
     page_cache: dict[tuple[int, int], bytes] = {}
 
     class Handler(BaseHTTPRequestHandler):
@@ -598,10 +612,89 @@ def _orders_gate_server(sf_dir: str) -> int:
         def log_message(self, *a):
             pass
 
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
-    _GATE_SERVERS[sf_dir] = srv.server_port
-    return srv.server_port
+    class ReusePortServer(ThreadingHTTPServer):
+        def server_bind(self):
+            self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+            super().server_bind()
+
+    def _watch_parent() -> None:
+        while os.getppid() == parent_pid:
+            _time.sleep(2.0)
+        os._exit(0)
+
+    threading.Thread(target=_watch_parent, daemon=True).start()
+    srv = ReusePortServer(("127.0.0.1", port), Handler)
+    print("READY", flush=True)
+    srv.serve_forever()
+
+
+def _orders_gate_server(sf_dir: str) -> int:
+    """Start (once per sf_dir) the paginated orders API the connector
+    gate queries read. Served from GATE_WORKERS independent PROCESSES
+    sharing one SO_REUSEPORT listen port — NOT from a thread inside
+    the driver python process: the r13 bench line was bimodal
+    (0.71-2.25 s on identical code) because the in-driver toy server's
+    30-request pagination chains competed with the driver's own GIL
+    and scheduler slice, so the line measured driver-process jitter,
+    not the extract path (VERDICT r13 item 4). The kernel
+    load-balances connections across the worker listeners (the
+    HTTP/1.0 close-per-request handler makes every page fetch a fresh
+    connection), same isolation the 2M-row scale probe already used."""
+    import socket
+    import subprocess
+    import sys
+
+    if sf_dir in _GATE_SERVERS:
+        return _GATE_SERVERS[sf_dir]
+    # hold the chosen port with a REUSEPORT-bound (non-listening)
+    # socket until every worker has bound it, so no other process can
+    # claim it in the gap; TCP routes connections only to LISTENING
+    # sockets, so the placeholder never receives one.
+    placeholder = socket.socket()
+    placeholder.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+    placeholder.bind(("127.0.0.1", 0))
+    port = placeholder.getsockname()[1]
+    pkg_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "go_integ_spark.operators.advanced",
+                sf_dir,
+                str(port),
+                str(os.getpid()),
+            ],
+            stdout=subprocess.PIPE,
+            env=env,
+        )
+        for _ in range(int(os.environ.get("SG_GATE_WORKERS", GATE_WORKERS)))
+    ]
+    for p in procs:
+        if b"READY" not in p.stdout.readline():
+            raise RuntimeError(
+                f"gate-server worker for {sf_dir} failed to become ready"
+            )
+    # workers self-terminate via the ppid watchdog when this process
+    # exits; terminate eagerly too so a long-lived session that
+    # re-execs doesn't strand listeners until the watchdog tick.
+    import atexit
+
+    def _reap() -> None:
+        for p in procs:
+            try:
+                p.terminate()
+            except OSError:
+                pass
+
+    atexit.register(_reap)
+    placeholder.close()
+    _GATE_SERVERS[sf_dir] = port
+    return port
 
 
 def _gate_paginator():
@@ -1804,3 +1897,11 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delta_us"),
     )
+
+
+if __name__ == "__main__":
+    # gate-server worker entry: python -m go_integ_spark.operators.advanced
+    #   <sf_dir> <port> <parent_pid>
+    import sys as _sys
+
+    _gate_worker_main(_sys.argv[1], int(_sys.argv[2]), int(_sys.argv[3]))
