@@ -86,6 +86,11 @@ class TestRowCostCalibration:
         # calibration path: clamped to [ROW_COST/3, ROW_COST*4] so a
         # broken micro-timing can never run the packer off the anchor
         monkeypatch.delenv("SG_ROW_COST")
+        # pin the reference: this test exercises the CLAMP, and since
+        # r14 the reference is fingerprint-sourced (and re-derived via
+        # _micro_ratio on a foreign host class, which would otherwise
+        # see the same monkeypatched value)
+        monkeypatch.setattr(blocks, "_micro_ratio_ref", lambda: 11.0)
         monkeypatch.setattr(blocks, "_row_cost_cache", None)
         monkeypatch.setattr(blocks, "_micro_ratio", lambda: 1e9)
         assert blocks.calibrated_row_cost() == blocks.ROW_COST * 4

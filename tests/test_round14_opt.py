@@ -99,6 +99,59 @@ class TestFunnelWindowMinEquivalence:
         assert plan.count("Window") >= 1
 
 
+class TestMicroRatioRefFingerprint:
+    """VERDICT r13 item 8: the grid cost model's calibration reference
+    is sourced from the committed fingerprint file, and a host-class
+    change re-derives it automatically (min-of-3) instead of the
+    former manual doc step."""
+
+    def test_ref_comes_from_committed_fingerprint_on_matching_host(
+        self, monkeypatch
+    ):
+        import json
+
+        from go_integ_spark.functions import blocks
+
+        with open(blocks._CALIB_FINGERPRINT_PATH) as f:
+            fp = json.load(f)
+        monkeypatch.setattr(
+            blocks, "_host_cpu_fingerprint", lambda: fp["host_cpu_calib_sec"]
+        )
+        monkeypatch.setattr(
+            blocks,
+            "_micro_ratio",
+            lambda: (_ for _ in ()).throw(AssertionError("must not re-derive")),
+        )
+        assert blocks._micro_ratio_ref() == fp["micro_ratio_ref"]
+
+    def test_foreign_host_class_rederives_reference(self, monkeypatch):
+        import json
+
+        from go_integ_spark.functions import blocks
+
+        with open(blocks._CALIB_FINGERPRINT_PATH) as f:
+            fp = json.load(f)
+        foreign = fp["host_cpu_calib_sec"] * fp["tolerance"] * 2
+        monkeypatch.setattr(blocks, "_host_cpu_fingerprint", lambda: foreign)
+        monkeypatch.setattr(blocks, "_micro_ratio", lambda: 42.5)
+        assert blocks._micro_ratio_ref() == 42.5
+
+    def test_missing_fingerprint_file_falls_back_to_anchor(
+        self, monkeypatch
+    ):
+        from go_integ_spark.functions import blocks
+
+        monkeypatch.setattr(
+            blocks, "_CALIB_FINGERPRINT_PATH", "/nonexistent/fp.json"
+        )
+        monkeypatch.setattr(blocks, "_row_cost_cache", None)
+        monkeypatch.delenv("SG_ROW_COST", raising=False)
+        # _micro_ratio_ref raises -> calibrated_row_cost's guard
+        # returns the anchor constant, never blocking planning
+        assert blocks.calibrated_row_cost() == blocks.ROW_COST
+        monkeypatch.setattr(blocks, "_row_cost_cache", None)
+
+
 class TestCachedPersistToken:
     def test_token_change_evicts_instead_of_forking(self, spark):
         """ADVICE r13 (entity.py): a parameter baked into the built
