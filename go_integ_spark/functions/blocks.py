@@ -338,6 +338,19 @@ def plan_grid_bins(
         # side once more (probes x nc member-splits, members x np_
         # probe-splits), so grow the split whose replication is
         # cheaper.
+        #
+        # Measured and REJECTED (r14, VERDICT r13 item 6): a
+        # near-square argmin geometry (minimize total shipped rows
+        # n_p*nc + n_m*np_ under the pair cap) was A/B'd at the
+        # 1000x multilang probe — pair set byte-identical, map-side
+        # shuffle only -3% (17.85 vs 18.43 GB: cap-bound hot cells
+        # are a small share of corpus bytes), and wall WORSE (994 s
+        # healthy vs 799 s degraded-window greedy) because splitting
+        # the larger side multiplies the explode over its expensive
+        # parse lineage on the critical-path map stage. Artifacts:
+        # SMOKE_r14_1000x_bitext_geom_{greedy,balanced}.json,
+        # scripts/probe_bitext_geometry.py. Keep the corner greedy:
+        # it never replicates the bigger side while the cap allows.
         while (n_m / nc) * (n_p / np_) > pair_cap:
             if n_p <= n_m:
                 nc += 1
