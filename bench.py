@@ -162,6 +162,61 @@ def _cpu_calibration_parallel() -> float:
 PAR_BAND_HEALTHY_MAX_SEC = 5.0
 
 
+# Healthy-band factor for the in-process Arrow-assembly micro ratio
+# (r14). The r14 evening session isolated a SECOND host-degradation
+# axis the pure-CPU parallel calibration cannot see: a window that
+# stalls syscall/scheduler wakeups (26% system time, 59% idle with 32
+# active tasks; executor run 7003 s vs CPU 182 s) made every
+# JVM<->Python-boundary stage 3-40x slower on byte-identical plans
+# while par_band read HEALTHY. blocks.py's kernel-vs-Arrow micro
+# ratio DOES move with that axis (24.8 measured in the stalled
+# window vs the committed idle reference 11.0, spread 10.5-11.4), so
+# each attempt also measures it and a ratio above ref * this factor
+# classifies the window degraded, retried like a par-degraded one.
+# Only meaningful when the host class matches the committed
+# fingerprint (elsewhere the band reads "unknown" and never blocks).
+ARROW_HEALTHY_MAX_FACTOR = 1.5
+
+
+def arrow_band(ratio: float, ref: float | None) -> str:
+    """Self-describing verdict for the Python-boundary window axis,
+    pure so tests can pin it. ``ref`` None means the running host is
+    a different class than the committed fingerprint (or the
+    fingerprint is unreadable) — the band is then ``unknown``: it
+    neither triggers retries nor penalizes attempt selection."""
+    if ref is None or not (ratio == ratio):  # NaN-safe
+        return "unknown"
+    factor = float(
+        os.environ.get("SG_ARROW_HEALTHY_MAX_FACTOR", ARROW_HEALTHY_MAX_FACTOR)
+    )
+    return "healthy" if ratio <= ref * factor else "degraded"
+
+
+def _arrow_window() -> tuple[float, str]:
+    """(measured micro ratio, band) for this attempt's window. The
+    committed reference applies only when the single-thread host
+    fingerprint matches the committed class (same rule as
+    blocks._micro_ratio_ref); calibration must never block the
+    bench, so any failure reads (nan, unknown)."""
+    try:
+        import json as _json
+
+        from go_integ_spark.functions import blocks
+
+        with open(blocks._CALIB_FINGERPRINT_PATH) as f:
+            fp = _json.load(f)
+        ref = float(fp["micro_ratio_ref"])
+        anchor = float(fp["host_cpu_calib_sec"])
+        tol = float(fp["tolerance"])
+        now = blocks._host_cpu_fingerprint()
+        ratio = blocks._micro_ratio()
+        if not (anchor / tol <= now <= anchor * tol):
+            return (round(ratio, 2), "unknown")
+        return (round(ratio, 2), arrow_band(ratio, ref))
+    except Exception:
+        return (float("nan"), "unknown")
+
+
 def par_band(par_calib_sec: float) -> str:
     """Self-describing host-health verdict for a committed artifact
     (VERDICT r12 item 6): the r12 official bench was measured at
@@ -357,15 +412,18 @@ MAX_ATTEMPTS = 3
 
 def select_attempt(attempts: list[dict]) -> dict:
     """The attempt the committed artifact records, pure so tests can
-    pin it: healthy+uncontended beats uncontended-but-degraded beats
-    contended; ties broken by the faster total. A degraded window
-    only INFLATES wall time, so among comparable attempts the fastest
-    is the least-disturbed measurement."""
+    pin it: uncontended beats contended, then the fewest degraded
+    window axes (par band, and the r14 Arrow/syscall band when the
+    host class is fingerprinted — "unknown" does not penalize);
+    ties broken by the faster total. A degraded window only INFLATES
+    wall time, so among comparable attempts the fastest is the
+    least-disturbed measurement."""
     return min(
         attempts,
         key=lambda a: (
             int(a["contended"]),
-            int(a["par_band"] != "healthy"),
+            int(a["par_band"] != "healthy")
+            + int(a.get("arrow_band") == "degraded"),
             min(a["totals"]),
         ),
     )
@@ -560,16 +618,24 @@ def main() -> None:
     own: set[int] = set()
     for i in range(MAX_ATTEMPTS):
         par_i = _cpu_calibration_parallel()
+        arrow_i, arrow_band_i = _arrow_window()
         attempt = _one_attempt(sf_dir, ncpus, own)
         attempt["par_calib_sec"] = par_i
         attempt["par_band"] = par_band(par_i)
+        attempt["arrow_ratio"] = arrow_i
+        attempt["arrow_band"] = arrow_band_i
         attempts.append(attempt)
-        if not attempt["contended"] and attempt["par_band"] == "healthy":
+        if (
+            not attempt["contended"]
+            and attempt["par_band"] == "healthy"
+            and arrow_band_i != "degraded"
+        ):
             break
         print(
             f"# attempt {i + 1}/{MAX_ATTEMPTS} "
             f"{'CONTENDED' if attempt['contended'] else 'DEGRADED'} "
             f"(pass totals {attempt['totals']}, par {par_i:.2f}, "
+            f"arrow {arrow_i} [{arrow_band_i}], "
             f"{attempt['contention']}) — "
             + ("retrying" if i + 1 < MAX_ATTEMPTS else "giving up"),
             file=sys.stderr,
@@ -585,7 +651,10 @@ def main() -> None:
             "point (trend_point: false); re-run solo",
             file=sys.stderr,
         )
-    elif final["par_band"] == "degraded":
+    elif (
+        final["par_band"] == "degraded"
+        or final.get("arrow_band") == "degraded"
+    ):
         print(
             "# all attempts in a DEGRADED window — value recorded, "
             "compare value_normalized across rounds",
@@ -622,6 +691,10 @@ def main() -> None:
         "trend_point": not contended,
         "attempts": len(attempts),
         "attempt_par_calib_secs": [a["par_calib_sec"] for a in attempts],
+        # r14 Python-boundary window axis (see ARROW_HEALTHY_MAX_FACTOR)
+        "arrow_ratio": final["arrow_ratio"],
+        "arrow_band": final["arrow_band"],
+        "attempt_arrow_ratios": [a["arrow_ratio"] for a in attempts],
         "pass_totals": final["totals"],
     }
     # recorded pass's one-time costs as top-level fields too, for

@@ -70,6 +70,21 @@ def get_spark(
         # byte-coalescible full-key exchange on top (r11; plan pins
         # in tests/test_round11_ops.py).
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # Shuffle/broadcast/spill codec (guide §2.3/§9): zstd over the
+        # lz4 default. A/B'd at the 1000x kNN probe where shuffles are
+        # GBs (SMOKE_r14_1000x_knn_codec_{lz4,zstd}.json, adjacent
+        # same-window arms): scoring-exchange shuffle bytes -18.9%
+        # (6626 -> 5377 MB), wall -13.1%, every codec-touched stage
+        # faster (map medians -39%, scoring-stage max task -21%) with
+        # no codec-free stage improved — the win is the byte
+        # reduction, not window drift. At the 17 MB bench inputs the
+        # codec is in the noise either way. SG_IO_CODEC overrides
+        # (the probe's A/B hook and an lz4 escape hatch for
+        # high-entropy payloads per the guide's "measure both").
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SG_IO_CODEC", "zstd"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -43,6 +43,62 @@ def test_select_attempt_ties_break_on_faster_total():
     assert bench.select_attempt([d_slow, d_fast]) is d_fast
 
 
+class TestArrowWindowBand:
+    """r14: the Python-boundary (syscall/scheduler) degradation axis.
+    A window can stall JVM<->Python wakeups 3-40x while the pure-CPU
+    par calibration reads healthy; the in-process Arrow micro ratio
+    detects it (24.8 measured in the stalled window vs the committed
+    idle reference 11.0)."""
+
+    def test_band_thresholds(self, monkeypatch):
+        monkeypatch.delenv("SG_ARROW_HEALTHY_MAX_FACTOR", raising=False)
+        assert bench.arrow_band(11.0, 11.0) == "healthy"
+        assert bench.arrow_band(16.4, 11.0) == "healthy"  # <= ref*1.5
+        assert bench.arrow_band(24.8, 11.0) == "degraded"
+        # foreign host class / unreadable fingerprint: never blocks
+        assert bench.arrow_band(24.8, None) == "unknown"
+        assert bench.arrow_band(float("nan"), 11.0) == "unknown"
+
+    def test_select_attempt_penalizes_arrow_degraded(self):
+        stalled = {**_att(20.0), "arrow_band": "degraded"}
+        clean = {**_att(30.0), "arrow_band": "healthy"}
+        assert bench.select_attempt([stalled, clean]) is clean
+        # unknown (unfingerprinted host) does NOT penalize
+        unknown = {**_att(30.0), "arrow_band": "unknown"}
+        assert bench.select_attempt([stalled, unknown]) is unknown
+        # legacy attempts without the key still select (no crash)
+        assert bench.select_attempt([_att(30.0), _att(29.0)])["totals"] == [
+            29.0
+        ]
+
+    def test_arrow_window_measures_on_this_host(self):
+        ratio, band = bench._arrow_window()
+        assert band in ("healthy", "degraded", "unknown")
+        if band != "unknown":
+            assert ratio > 0
+
+
+def test_session_io_codec_default_and_override(monkeypatch):
+    """r14 codec ship (guide §2.3/§9): zstd is the session default —
+    A/B'd at the 1000x kNN probe, scoring-exchange shuffle -18.9%
+    bytes / -13.1% wall (SMOKE_r14_1000x_knn_codec_*.json) — and
+    SG_IO_CODEC overrides for probes/escape hatch."""
+    import inspect
+
+    from go_integ_spark import session as sess
+
+    src = inspect.getsource(sess.get_spark)
+    assert "spark.io.compression.codec" in src
+    monkeypatch.delenv("SG_IO_CODEC", raising=False)
+    assert 'os.environ.get("SG_IO_CODEC", "zstd")' in src
+
+
+def test_live_session_uses_zstd_codec(spark):
+    """The conftest session is built by get_spark with no override,
+    so the shipped default must be live in it."""
+    assert spark.conf.get("spark.io.compression.codec") == "zstd"
+
+
 class TestFunnelWindowMinEquivalence:
     def test_window_form_equals_selfjoin_form(self, spark):
         """VERDICT r13 item 2: the de-arrayed near-dup membership —
