@@ -37,6 +37,46 @@ def ensure_engine_contract(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _mem_gb(mem: str) -> float:
+    """Parse a JVM memory string ("48g", "512m", "8192k") to GiB.
+    Unparseable values resolve to 0.0 (pretouch stays off)."""
+    m = mem.strip().lower()
+    try:
+        if m.endswith("g"):
+            return float(m[:-1])
+        if m.endswith("m"):
+            return float(m[:-1]) / 1024.0
+        if m.endswith("k"):
+            return float(m[:-1]) / (1024.0 * 1024.0)
+        return float(m) / (1024.0**3)
+    except ValueError:
+        return 0.0
+
+
+def pretouch_enabled(mem: str, env: str | None) -> bool:
+    """Whether to pre-commit the driver/executor heap
+    (``-Xms<mem> -XX:+AlwaysPreTouch``). Explicit SG_PRETOUCH=1/0
+    wins; default is on only in the large-heap scale regime
+    (>= 16 GiB — the 1000x-probe / production-profile shape), so the
+    bench and the test suite at the 8g default keep an unchanged JVM
+    environment and the driver's bench stays comparable.
+
+    Why (guide §5; r14 straggler probe, ABA arms
+    SMOKE_r14_1000x_knn_straggler_{base2,pretouch,base3}.json): in a
+    fresh large-heap JVM every heavyweight stage's FIRST wave pays
+    concurrent heap-commit page faults while the heap grows toward
+    -Xmx — 32 tasks fault-zeroing pages simultaneously. At the 1000x
+    kNN probe this made wave-0 of the 5.4 GB scoring exchange run
+    ~44 s vs a 3.2 s steady median (13.7x, zero GC / zero fetch in
+    the stragglers) and inflated every single-wave 32-task stage.
+    Pre-committing the heap moves that cost to session startup
+    (~63 s for 48g, once, off the measured path) where it zeroes
+    sequentially without contending with task compute."""
+    if env is not None:
+        return env == "1"
+    return _mem_gb(mem) >= 16.0
+
+
 def get_spark(
     app_name: str = "go_integ_spark",
     master: str | None = None,
@@ -88,6 +128,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if pretouch_enabled(mem, os.environ.get("SG_PRETOUCH")):
+        # Only effective when this call launches the gateway JVM
+        # (first session of the process) — exactly the fresh-JVM case
+        # the first-wave page-fault cost belongs to.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -139,11 +139,12 @@ def main() -> None:
     from go_integ_spark.registry import load_all
     from go_integ_spark.session import get_spark
 
+    # get_spark owns the pretouch java options now (session.py
+    # pretouch_enabled, shipped from this probe's A/B/A evidence);
+    # pin the env so the base arm stays base even at 48g where the
+    # session default is ON.
+    os.environ["SG_PRETOUCH"] = "1" if pretouch else "0"
     extra = {"spark.ui.enabled": "true"}
-    if pretouch:
-        extra["spark.driver.extraJavaOptions"] = (
-            f"-Xms{mem} -XX:+AlwaysPreTouch"
-        )
     t_sess0 = time.perf_counter()
     spark = get_spark(
         app_name=f"probe_knn_straggler_{'pretouch' if pretouch else 'base'}",

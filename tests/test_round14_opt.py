@@ -297,3 +297,38 @@ class TestCachedPersistToken:
         assert er_slots == ["er_kept_names"]
         assert cache._slots["er_kept_names"][3] == entity.MAX_BLOCK
         cache._slots.pop("er_kept_names")[2].unpersist()
+
+
+class TestPretouchRegime:
+    """Session-level heap pre-commit (VERDICT r13 item 5, guide §5):
+    ON by default only in the large-heap scale regime (>= 16 GiB
+    driver memory — the 1000x-probe / production profile), OFF at the
+    bench/test 8g default so the driver's measured JVM environment is
+    unchanged; SG_PRETOUCH=1/0 overrides both ways. Evidence for the
+    default: SMOKE_r14_1000x_knn_straggler_{base2,pretouch,base3}
+    ABA arms."""
+
+    def test_default_off_at_bench_memory(self):
+        from go_integ_spark.session import pretouch_enabled
+
+        assert pretouch_enabled("8g", None) is False
+        assert pretouch_enabled("512m", None) is False
+
+    def test_default_on_at_scale_memory(self):
+        from go_integ_spark.session import pretouch_enabled
+
+        assert pretouch_enabled("48g", None) is True
+        assert pretouch_enabled("16g", None) is True
+
+    def test_env_overrides_both_ways(self):
+        from go_integ_spark.session import pretouch_enabled
+
+        assert pretouch_enabled("8g", "1") is True
+        assert pretouch_enabled("48g", "0") is False
+
+    def test_unparseable_memory_stays_off(self):
+        from go_integ_spark.session import _mem_gb, pretouch_enabled
+
+        assert _mem_gb("weird") == 0.0
+        assert pretouch_enabled("weird", None) is False
+        assert _mem_gb("16384m") == 16.0
